@@ -1,0 +1,242 @@
+"""Model factory & config registry.
+
+Public API matches open_CLIP's factory (open_CLIP/src/open_clip/factory.py:
+108-338): `create_model`, `create_model_and_transforms`, `create_loss`,
+`list_models`, `get_model_config`. The JSON schema of
+`model_configs/*.json` ({embed_dim, vision_cfg, text_cfg[, multimodal_cfg]})
+is accepted verbatim; the built-in registry below encodes the standard CLIP
+architecture ladder (ViT-S → ViT-e) in code.
+
+ResNet/ConvNeXt/timm/HF-text towers from the reference zoo are not yet
+implemented (roadmap — see README); requesting one raises with a clear error.
+"""
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+from pathlib import Path
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from megatron_clip_tpu.config import (
+    CLIPCfg, VisionCfg, TextCfg, MultimodalCfg, Precision, BF16)
+from megatron_clip_tpu.models.clip import init_clip, apply_clip, encode_image, encode_text
+from megatron_clip_tpu.losses import ClipLoss, CoCaLoss, SigLipLoss
+
+
+def _vit(embed_dim, v_layers, v_width, patch, t_width, t_heads, t_layers,
+         image_size=224, head_width=64, mlp_ratio=4.0, context=77, **extra):
+    cfg = {
+        "embed_dim": embed_dim,
+        "vision_cfg": {"image_size": image_size, "layers": v_layers,
+                       "width": v_width, "patch_size": patch},
+        "text_cfg": {"context_length": context, "vocab_size": 49408,
+                     "width": t_width, "heads": t_heads, "layers": t_layers},
+    }
+    if head_width != 64:
+        cfg["vision_cfg"]["head_width"] = head_width
+    if mlp_ratio != 4.0:
+        cfg["vision_cfg"]["mlp_ratio"] = mlp_ratio
+    cfg.update(extra)
+    return cfg
+
+
+# The standard open-CLIP ViT ladder (architecture facts, not copied files).
+_BUILTIN: Dict[str, dict] = {
+    "ViT-S-32": _vit(384, 12, 384, 32, 384, 6, 12),
+    "ViT-S-16": _vit(384, 12, 384, 16, 384, 6, 12),
+    "ViT-M-32": _vit(512, 12, 512, 32, 512, 8, 12),
+    "ViT-M-16": _vit(512, 12, 512, 16, 512, 8, 12),
+    "ViT-B-32": _vit(512, 12, 768, 32, 512, 8, 12),
+    "ViT-B-32-plus-256": _vit(640, 12, 896, 32, 640, 10, 12, image_size=256),
+    "ViT-B-16": _vit(512, 12, 768, 16, 512, 8, 12),
+    "ViT-B-16-plus-240": _vit(640, 12, 896, 16, 640, 10, 12, image_size=240),
+    "ViT-L-14": _vit(768, 24, 1024, 14, 768, 12, 12),
+    "ViT-L-14-336": _vit(768, 24, 1024, 14, 768, 12, 12, image_size=336),
+    "ViT-L-16": _vit(768, 24, 1024, 16, 768, 12, 12),
+    "ViT-H-14": _vit(1024, 32, 1280, 14, 1024, 16, 24, head_width=80),
+    "ViT-H-16": _vit(1024, 32, 1280, 16, 1024, 16, 24, head_width=80),
+    "ViT-g-14": _vit(1024, 40, 1408, 14, 1024, 16, 24, head_width=88,
+                     mlp_ratio=4.3637),
+    "ViT-G-14": _vit(1280, 48, 1664, 14, 1280, 20, 32, head_width=104,
+                     mlp_ratio=4.9231),
+    "ViT-e-14": _vit(1280, 56, 1792, 14, 1280, 20, 36, head_width=112,
+                     mlp_ratio=8.5715),
+}
+# quickgelu variants (OpenAI-trained checkpoints use QuickGELU)
+for _name in ["ViT-B-32", "ViT-B-16", "ViT-L-14"]:
+    _c = dict(_BUILTIN[_name])
+    _c["quick_gelu"] = True
+    _BUILTIN[_name + "-quickgelu"] = _c
+
+# CoCa variants
+_BUILTIN["coca_ViT-B-32"] = {
+    **_vit(512, 12, 768, 32, 512, 8, 12),
+    "multimodal_cfg": {"context_length": 76, "width": 512, "heads": 8,
+                       "layers": 12, "attn_pooler_heads": 8},
+    "custom_text": True,
+}
+_BUILTIN["coca_ViT-L-14"] = {
+    **_vit(768, 24, 1024, 14, 768, 12, 12),
+    "multimodal_cfg": {"context_length": 76, "width": 768, "heads": 12,
+                       "layers": 12, "attn_pooler_heads": 12},
+    "custom_text": True,
+}
+
+_UNSUPPORTED_PREFIXES = ("RN", "convnext", "swin", "vit_", "mt5", "roberta",
+                         "xlm-roberta", "nllb")
+
+# extra JSON config dirs (open_CLIP compatibility)
+_CONFIG_DIRS = [Path(__file__).parent / "model_configs"]
+if os.environ.get("MCT_MODEL_CONFIG_DIR"):
+    _CONFIG_DIRS.append(Path(os.environ["MCT_MODEL_CONFIG_DIR"]))
+
+
+def list_models():
+    names = set(_BUILTIN)
+    for d in _CONFIG_DIRS:
+        if d.is_dir():
+            names.update(p.stem for p in d.glob("*.json"))
+    return sorted(names)
+
+
+def get_model_config(name: str) -> Optional[dict]:
+    for d in _CONFIG_DIRS:
+        p = d / f"{name}.json"
+        if p.is_file():
+            with open(p) as f:
+                return json.load(f)
+    if name in _BUILTIN:
+        return json.loads(json.dumps(_BUILTIN[name]))  # deep copy
+    return None
+
+
+def _filter_fields(d: dict, cls) -> dict:
+    import dataclasses
+    names = {f.name for f in dataclasses.fields(cls)}
+    known = {k: v for k, v in d.items() if k in names}
+    return known
+
+
+def parse_model_cfg(cfg_dict: dict) -> CLIPCfg:
+    v = _filter_fields(cfg_dict.get("vision_cfg", {}), VisionCfg)
+    t = _filter_fields(cfg_dict.get("text_cfg", {}), TextCfg)
+    mm = None
+    if cfg_dict.get("multimodal_cfg"):
+        mm = MultimodalCfg(**_filter_fields(cfg_dict["multimodal_cfg"], MultimodalCfg))
+    return CLIPCfg(
+        embed_dim=cfg_dict["embed_dim"],
+        vision=VisionCfg(**v),
+        text=TextCfg(**t),
+        quick_gelu=bool(cfg_dict.get("quick_gelu", False)),
+        init_logit_bias=cfg_dict.get("init_logit_bias"),
+        multimodal=mm,
+    )
+
+
+@dataclass
+class CLIPModel:
+    """Functional model handle: config + precision; params are explicit.
+
+    This is the JAX-idiomatic replacement for open_CLIP's nn.Module — all
+    methods are pure and jittable with `params` as the first argument.
+    """
+
+    cfg: CLIPCfg
+    precision: Precision = BF16
+    name: str = ""
+
+    def init(self, rng) -> Any:
+        return init_clip(rng, self.cfg, dtype=self.precision.param_jnp)
+
+    def __call__(self, params, images, text_ids, **kw):
+        return apply_clip(params, images, text_ids, self.cfg,
+                          compute_dtype=self.precision.compute_jnp, **kw)
+
+    def encode_image(self, params, images, normalize=True):
+        return encode_image(params, images, self.cfg, normalize=normalize,
+                            compute_dtype=self.precision.compute_jnp)
+
+    def encode_text(self, params, text_ids, normalize=True):
+        return encode_text(params, text_ids, self.cfg, normalize=normalize,
+                           compute_dtype=self.precision.compute_jnp)
+
+    @property
+    def image_size(self) -> int:
+        return self.cfg.vision.image_size
+
+    @property
+    def context_length(self) -> int:
+        return self.cfg.text.context_length
+
+
+def _precision_from_str(precision: str) -> Precision:
+    # open_CLIP --precision values (params.py): amp, amp_bf16, bf16, fp16, fp32...
+    if precision in ("amp_bf16", "bf16", "pure_bf16", "amp_bfloat16", "amp"):
+        return Precision("float32", "bfloat16")
+    if precision in ("fp32", "float32"):
+        return Precision("float32", "float32")
+    if precision in ("fp16", "float16"):
+        # bf16 is strictly better on TPU; honor the request anyway
+        return Precision("float32", "float16")
+    raise ValueError(f"unknown precision {precision!r}")
+
+
+def create_model(model_name: str, precision: str = "bf16", *, seed: int = 0,
+                 init_params: bool = True, force_quick_gelu: bool = False,
+                 **overrides) -> Tuple[CLIPModel, Any]:
+    model_name = model_name.replace("/", "-")  # ViT-B/32 -> ViT-B-32
+    cfg_dict = get_model_config(model_name)
+    if cfg_dict is None:
+        if model_name.startswith(_UNSUPPORTED_PREFIXES):
+            raise NotImplementedError(
+                f"model tower family of {model_name!r} (ResNet/ConvNeXt/timm/HF) "
+                "is not yet implemented in megatron_clip_tpu; see README roadmap")
+        raise RuntimeError(f"model config for {model_name!r} not found; "
+                           f"available: {list_models()}")
+    if force_quick_gelu:
+        cfg_dict["quick_gelu"] = True
+    cfg_dict.update(overrides)
+    cfg = parse_model_cfg(cfg_dict)
+    model = CLIPModel(cfg=cfg, precision=_precision_from_str(precision),
+                      name=model_name)
+    params = model.init(jax.random.PRNGKey(seed)) if init_params else None
+    return model, params
+
+
+def create_model_and_transforms(model_name: str, pretrained: str = "",
+                                precision: str = "bf16", *, seed: int = 0,
+                                image_mean=None, image_std=None, **kw):
+    """Returns (model, params, preprocess_train, preprocess_val) — the JAX
+    analogue of factory.py:286 (params explicit instead of inside a Module)."""
+    from megatron_clip_tpu.data.transforms import image_transform
+    model, params = create_model(model_name, precision, seed=seed, **kw)
+    if pretrained:
+        from megatron_clip_tpu.checkpoints.torch_interop import load_openclip_checkpoint
+        params = load_openclip_checkpoint(pretrained, model.cfg, params)
+    pp_train = image_transform(model.image_size, is_train=True,
+                               mean=image_mean, std=image_std)
+    pp_val = image_transform(model.image_size, is_train=False,
+                             mean=image_mean, std=image_std)
+    return model, params, pp_train, pp_val
+
+
+def create_loss(args):
+    """Dispatch mirroring open_CLIP create_loss (factory.py:250-283).
+    `args` may be an argparse Namespace or any object with the same fields."""
+    get = lambda k, d=None: getattr(args, k, d)
+    axis = get("loss_axis_name")
+    if get("model", "").startswith("coca") or get("coca_caption_loss_weight"):
+        return CoCaLoss(
+            caption_loss_weight=get("coca_caption_loss_weight", 2.0),
+            clip_loss_weight=get("coca_contrastive_loss_weight", 1.0),
+            local_loss=get("local_loss", True),
+            gather_with_grad=get("gather_with_grad", True), axis_name=axis)
+    if get("siglip"):
+        return SigLipLoss(axis_name=axis)
+    return ClipLoss(local_loss=get("local_loss", True),
+                    gather_with_grad=get("gather_with_grad", True),
+                    axis_name=axis)

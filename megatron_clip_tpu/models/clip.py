@@ -1,0 +1,80 @@
+"""The two-tower CLIP model.
+
+Combines the ViT vision tower and the text transformer with a learned
+temperature, matching open_CLIP's CLIP/CustomTextCLIP
+(open_CLIP/src/open_clip/model.py:178-320) and the fork's CLIPModel
+(megatron/model/CLIP_model.py:259-326). `logit_scale` is initialized to
+ln(1/0.07) and clamped to ln(100) at use (train.py:470-471).
+"""
+import math
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from megatron_clip_tpu.config import CLIPCfg
+from megatron_clip_tpu.models.vit import init_vit, apply_vit
+from megatron_clip_tpu.models.text import init_text, apply_text
+
+LOGIT_SCALE_MAX = math.log(100.0)
+
+
+def init_clip(key, cfg: CLIPCfg, dtype=jnp.float32):
+    kv, kt = jax.random.split(key)
+    params = {
+        "visual": init_vit(kv, cfg.vision, cfg.embed_dim, act=cfg.act, dtype=dtype),
+        "text": init_text(kt, cfg.text, cfg.embed_dim, act=cfg.act, dtype=dtype),
+        "logit_scale": jnp.asarray(cfg.init_logit_scale, dtype=jnp.float32),
+    }
+    if cfg.init_logit_bias is not None:
+        params["logit_bias"] = jnp.asarray(cfg.init_logit_bias, dtype=jnp.float32)
+    return params
+
+
+def _l2_normalize(x, eps: float = 1e-12):
+    # F.normalize semantics; do the norm in fp32 for stability.
+    xf = x.astype(jnp.float32)
+    n = jnp.maximum(jnp.linalg.norm(xf, axis=-1, keepdims=True), eps)
+    return xf / n
+
+
+def encode_image(params, images, cfg: CLIPCfg, *, normalize: bool = True,
+                 compute_dtype=jnp.bfloat16, patch_dropout_rng=None):
+    f = apply_vit(params["visual"], images, cfg.vision, cfg.embed_dim,
+                  act=cfg.act, compute_dtype=compute_dtype,
+                  patch_dropout_rng=patch_dropout_rng)
+    return _l2_normalize(f) if normalize else f.astype(jnp.float32)
+
+
+def encode_text(params, text_ids, cfg: CLIPCfg, *, normalize: bool = True,
+                compute_dtype=jnp.bfloat16):
+    f = apply_text(params["text"], text_ids, cfg.text, cfg.embed_dim,
+                   act=cfg.act, compute_dtype=compute_dtype)
+    return _l2_normalize(f) if normalize else f.astype(jnp.float32)
+
+
+def apply_clip(params, images, text_ids, cfg: CLIPCfg, *,
+               compute_dtype=jnp.bfloat16, patch_dropout_rng=None):
+    """Forward both towers. Returns the dict shape open_CLIP's CLIP.forward
+    emits (model.py:232-243): normalized features + clamped logit_scale."""
+    out = {}
+    if images is not None:
+        out["image_features"] = encode_image(
+            params, images, cfg, compute_dtype=compute_dtype,
+            patch_dropout_rng=patch_dropout_rng)
+    if text_ids is not None:
+        out["text_features"] = encode_text(
+            params, text_ids, cfg, compute_dtype=compute_dtype)
+    out["logit_scale"] = jnp.exp(
+        jnp.minimum(params["logit_scale"], LOGIT_SCALE_MAX))
+    if "logit_bias" in params:
+        out["logit_bias"] = params["logit_bias"]
+    return out
+
+
+def clamp_logit_scale(params):
+    """Post-step clamp, matching open_CLIP train loop's
+    `logit_scale.clamp_(0, ln(100))` (train.py:470-471)."""
+    params = dict(params)
+    params["logit_scale"] = jnp.clip(params["logit_scale"], 0.0, LOGIT_SCALE_MAX)
+    return params

@@ -1,0 +1,139 @@
+"""Vision transformer tower (CLIP-style).
+
+Semantics follow open_CLIP's VisionTransformer
+(open_CLIP/src/open_clip/transformer.py:325-513) and the fork's
+CLIP_VitBackbone (megatron/model/vision/vit_backbone.py:275-434):
+  patchify -> linear patch embed (conv, no bias) -> [cls] + learned pos embed
+  -> ln_pre -> pre-LN blocks -> ln_post -> pool (tok/avg/attentional) -> proj.
+
+TPU notes: images are NHWC; the non-overlapping patch conv is expressed as
+reshape+matmul so it lands on the MXU as one big GEMM (the reference uses
+einops rearrange + linear the same way, vit_backbone.py:389-394).
+"""
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from megatron_clip_tpu.config import VisionCfg, TransformerCfg
+from megatron_clip_tpu.nn.transformer import (
+    init_transformer, apply_transformer, init_layer_norm)
+from megatron_clip_tpu.ops import layer_norm, multi_head_attention
+
+
+def patchify(images, patch_size: int):
+    """[B, H, W, C] -> [B, gh*gw, p*p*C] for non-overlapping patches."""
+    b, h, w, c = images.shape
+    gh, gw = h // patch_size, w // patch_size
+    x = images.reshape(b, gh, patch_size, gw, patch_size, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)  # B gh gw p p C
+    return x.reshape(b, gh * gw, patch_size * patch_size * c)
+
+
+def init_vit(key, cfg: VisionCfg, embed_dim: int, act: str = "gelu",
+             dtype=jnp.float32):
+    w = cfg.width
+    scale = w ** -0.5
+    keys = jax.random.split(key, 6)
+    patch_dim = cfg.patch_size * cfg.patch_size * 3
+    params = {
+        # conv patch embed == linear over flattened patch, bias=False
+        "patch_embed": {"w": (jax.random.normal(keys[0], (patch_dim, w))
+                              * patch_dim ** -0.5).astype(dtype)},
+        "cls": (scale * jax.random.normal(keys[1], (w,))).astype(dtype),
+        "pos_embed": (scale * jax.random.normal(keys[2], (cfg.seq_len, w))).astype(dtype),
+        "ln_post": init_layer_norm(w, dtype),
+        "proj": (scale * jax.random.normal(keys[4], (w, embed_dim))).astype(dtype),
+        "blocks": init_transformer(keys[3], cfg.transformer(act=act), dtype),
+    }
+    if not cfg.no_ln_pre:
+        params["ln_pre"] = init_layer_norm(w, dtype)
+    if cfg.attentional_pool:
+        params["attn_pool"] = init_attentional_pooler(
+            keys[5], d_model=embed_dim, context_dim=w,
+            n_queries=cfg.attn_pooler_queries, dtype=dtype)
+    return params
+
+
+def init_attentional_pooler(key, d_model: int, context_dim: int,
+                            n_queries: int, dtype=jnp.float32):
+    """open_CLIP AttentionalPooler (transformer.py): learned queries cross-attend
+    to the token sequence."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    std = d_model ** -0.5
+    return {
+        "query": (std * jax.random.normal(k1, (n_queries, d_model))).astype(dtype),
+        "attn": {
+            "wq": (std * jax.random.normal(k2, (d_model, d_model))).astype(dtype),
+            "bq": jnp.zeros((d_model,), dtype=dtype),
+            "wkv": (std * jax.random.normal(k3, (context_dim, 2 * d_model))).astype(dtype),
+            "bkv": jnp.zeros((2 * d_model,), dtype=dtype),
+            "wo": (std * jax.random.normal(k2, (d_model, d_model))).astype(dtype),
+            "bo": jnp.zeros((d_model,), dtype=dtype),
+        },
+        "ln_q": init_layer_norm(d_model, dtype),
+        "ln_k": init_layer_norm(context_dim, dtype),
+    }
+
+
+def apply_attentional_pooler(pool, x, heads: int):
+    q = layer_norm(pool["query"].astype(x.dtype)[None].repeat(x.shape[0], axis=0),
+                   pool["ln_q"]["scale"], pool["ln_q"]["bias"])
+    k = layer_norm(x, pool["ln_k"]["scale"], pool["ln_k"]["bias"])
+    return multi_head_attention(q, pool["attn"], heads, kv=k, use_flash=False)
+
+
+def _global_pool(x, pool_type: str):
+    if pool_type == "tok":
+        return x[:, 0], x[:, 1:]
+    if pool_type == "avg":
+        return jnp.mean(x[:, 1:], axis=1), x[:, 1:]
+    return x, x  # 'none'
+
+
+def apply_vit(params, images, cfg: VisionCfg, embed_dim: int, *,
+              act: str = "gelu", tcfg: Optional[TransformerCfg] = None,
+              compute_dtype=jnp.bfloat16, patch_dropout_rng=None,
+              output_tokens: bool = False):
+    """images: [B, H, W, C] float (already normalized). Returns [B, embed_dim]
+    (or (pooled, tokens) when output_tokens)."""
+    tcfg = tcfg or cfg.transformer(act=act)
+    x = patchify(images.astype(compute_dtype), cfg.patch_size)
+    x = jnp.einsum("bnp,pw->bnw", x, params["patch_embed"]["w"].astype(compute_dtype))
+    b = x.shape[0]
+    cls = params["cls"].astype(compute_dtype)[None, None].repeat(b, axis=0)
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + params["pos_embed"].astype(compute_dtype)[None]
+
+    if patch_dropout_rng is not None and cfg.patch_dropout > 0.0:
+        # open_CLIP PatchDropout (transformer.py): keep cls, keep a random
+        # (1 - rate) fraction of patches, same count per example.
+        n = x.shape[1] - 1
+        keep = max(1, int(n * (1.0 - cfg.patch_dropout)))
+        noise = jax.random.uniform(patch_dropout_rng, (b, n))
+        ids = jnp.argsort(noise, axis=1)[:, :keep]
+        patches = jnp.take_along_axis(x[:, 1:], ids[..., None], axis=1)
+        x = jnp.concatenate([x[:, :1], patches], axis=1)
+
+    if "ln_pre" in params:
+        x = layer_norm(x, params["ln_pre"]["scale"], params["ln_pre"]["bias"])
+    x = apply_transformer(params["blocks"], x, tcfg, causal=False)
+
+    if "attn_pool" in params:
+        x = layer_norm(x, params["ln_post"]["scale"], params["ln_post"]["bias"])
+        x = apply_attentional_pooler(params["attn_pool"], x, cfg.attn_pooler_heads)
+        pooled, tokens = x[:, 0], x
+        pooled = pooled @ params["proj"].astype(pooled.dtype) \
+            if params["proj"].shape[0] == pooled.shape[-1] else pooled
+    elif cfg.final_ln_after_pool:
+        pooled, tokens = _global_pool(x, cfg.pool_type)
+        pooled = layer_norm(pooled, params["ln_post"]["scale"], params["ln_post"]["bias"])
+        pooled = pooled @ params["proj"].astype(pooled.dtype)
+    else:
+        x = layer_norm(x, params["ln_post"]["scale"], params["ln_post"]["bias"])
+        pooled, tokens = _global_pool(x, cfg.pool_type)
+        pooled = pooled @ params["proj"].astype(pooled.dtype)
+
+    if output_tokens:
+        return pooled, tokens
+    return pooled

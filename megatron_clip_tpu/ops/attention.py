@@ -1,0 +1,94 @@
+"""Attention ops.
+
+`sdpa` is the numerics oracle (plain jnp, softmax in fp32) replacing the
+reference's CoreAttention (megatron/model/transformer.py:282-417: fused
+scaled-masked-softmax CUDA kernel + batched matmuls) and open_CLIP's
+nn.MultiheadAttention path. The Pallas flash-attention kernel
+(ops/pallas/flash_attention.py) replaces the external `flash_attn` CUDA
+package (megatron/model/transformer.py:30-35,419-479) and is used on TPU.
+
+Both mask regimes of the reference are supported:
+  - causal (text tower / GPT)
+  - full / no mask (ViT)
+  - additive bias masks (padding) for generality
+"""
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def sdpa(q, k, v, *, causal: bool = False, bias: Optional[jax.Array] = None,
+         scale: Optional[float] = None):
+    """Scaled dot-product attention, softmax in fp32.
+
+    q: [B, H, Sq, D], k/v: [B, H, Sk, D], bias broadcastable to [B, H, Sq, Sk].
+    """
+    dtype = q.dtype
+    head_dim = q.shape[-1]
+    if scale is None:
+        scale = head_dim ** -0.5
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    if causal:
+        sq, sk = logits.shape[-2], logits.shape[-1]
+        row = jax.lax.broadcasted_iota(jnp.int32, (sq, sk), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (sq, sk), 1)
+        # offset handles sq != sk (KV-cache decode)
+        causal_mask = row + (sk - sq) >= col
+        logits = jnp.where(causal_mask, logits, jnp.float32(-1e30))
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(dtype)
+
+
+def _attention(q, k, v, *, causal, bias, scale, use_flash):
+    if use_flash and bias is None:
+        from megatron_clip_tpu.ops import use_pallas
+        if use_pallas():
+            from megatron_clip_tpu.ops.pallas.flash_attention import flash_attention
+            try:
+                return flash_attention(q, k, v, causal=causal, scale=scale)
+            except NotImplementedError:
+                pass
+    return sdpa(q, k, v, causal=causal, bias=bias, scale=scale)
+
+
+def multi_head_attention(x, params, heads: int, *, causal: bool = False,
+                         bias: Optional[jax.Array] = None, use_flash: bool = True,
+                         kv: Optional[jax.Array] = None):
+    """Full MHA block: fused qkv projection -> attention -> output projection.
+
+    x: [B, S, W]. params: {'wqkv': [W, 3W], 'bqkv': [3W], 'wo': [W, W], 'bo': [W]}.
+    When `kv` is given (cross-attention, CoCa), params must instead hold
+    'wq' [W, W] and 'wkv' [Wkv, 2W].
+    """
+    b, s, w = x.shape
+    if kv is None:
+        qkv = jnp.einsum("bsw,wd->bsd", x, params["wqkv"].astype(x.dtype))
+        if params.get("bqkv") is not None:
+            qkv = qkv + params["bqkv"].astype(x.dtype)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+    else:
+        q = jnp.einsum("bsw,wd->bsd", x, params["wq"].astype(x.dtype))
+        if params.get("bq") is not None:
+            q = q + params["bq"].astype(x.dtype)
+        kvp = jnp.einsum("bsw,wd->bsd", kv, params["wkv"].astype(kv.dtype))
+        if params.get("bkv") is not None:
+            kvp = kvp + params["bkv"].astype(kv.dtype)
+        k, v = jnp.split(kvp, 2, axis=-1)
+
+    def split_heads(t):
+        return t.reshape(b, t.shape[1], heads, -1).transpose(0, 2, 1, 3)
+
+    out = _attention(split_heads(q), split_heads(k), split_heads(v),
+                     causal=causal, bias=bias, scale=None, use_flash=use_flash)
+    out = out.transpose(0, 2, 1, 3).reshape(b, s, w)
+    out = jnp.einsum("bsw,wd->bsd", out, params["wo"].astype(x.dtype))
+    if params.get("bo") is not None:
+        out = out + params["bo"].astype(x.dtype)
+    return out
