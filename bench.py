@@ -1,0 +1,114 @@
+"""Benchmark: CLIP ViT-B-32 training step throughput + MFU on the local chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Baseline anchor (BASELINE.md): the reference publishes no CLIP perf numbers;
+the north-star is >=50% MFU. vs_baseline is therefore measured MFU / 0.50.
+"""
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def transformer_flops_per_token(layers, width, mlp_hidden, seq):
+    """Forward FLOPs per token (matmuls only): qkv+out projections, attention
+    scores/apply, 2 mlp matmuls."""
+    proj = 2 * width * (3 * width) + 2 * width * width      # qkv + out
+    attn = 2 * seq * width * 2                               # QK^T + AV
+    mlp = 2 * width * mlp_hidden * 2
+    return layers * (proj + attn + mlp)
+
+
+def clip_train_flops_per_image(cfg):
+    v, t = cfg.vision, cfg.text
+    sv, st = v.seq_len, t.context_length
+    fv = transformer_flops_per_token(v.layers, v.width, int(v.width * 4), sv) * sv
+    fv += 2 * sv * (v.patch_size ** 2 * 3) * v.width          # patch embed
+    ft = transformer_flops_per_token(t.layers, t.width, int(t.width * 4), st) * st
+    fwd = fv + ft
+    return 3 * fwd  # train = fwd + ~2x fwd for backward
+
+
+PEAK_FLOPS = {
+    "v5e": 197e12, "v5 lite": 197e12, "v5litepod": 197e12,
+    "v5p": 459e12, "v4": 275e12, "v6e": 918e12, "cpu": 1e12,
+}
+
+
+def peak_flops_for(device) -> float:
+    kind = getattr(device, "device_kind", "cpu").lower()
+    for k, v in PEAK_FLOPS.items():
+        if k in kind:
+            return v
+    return 197e12
+
+
+def main():
+    on_cpu = jax.default_backend() == "cpu"
+    from megatron_clip_tpu.factory import create_model
+    from megatron_clip_tpu.losses import clip_loss
+    from megatron_clip_tpu.training import make_optimizer, cosine_lr, make_train_step
+    from megatron_clip_tpu.training.train_step import TrainState
+
+    if on_cpu:  # smoke mode
+        model, params = create_model(
+            "ViT-B-32", precision="fp32",
+            embed_dim=64,
+            vision_cfg={"image_size": 32, "layers": 2, "width": 64,
+                        "head_width": 32, "patch_size": 8},
+            text_cfg={"context_length": 16, "vocab_size": 512, "width": 64,
+                      "heads": 2, "layers": 2})
+        batch, iters, warmup = 8, 3, 1
+    else:
+        model, params = create_model("ViT-B-32", precision="bf16", seed=0)
+        model = dataclasses.replace(model, remat=os.environ.get("BENCH_REMAT", "selective"))
+        batch = int(os.environ.get("BENCH_BATCH", "256"))
+        iters, warmup = 20, 3
+
+    tx = make_optimizer(params, cosine_lr(1e-3, 100, 10000), grad_clip_norm=1.0)
+    state = TrainState.create(params, tx)
+    step = make_train_step(model, tx)
+
+    cfg = model.cfg
+    key = jax.random.PRNGKey(0)
+    images = jax.random.normal(key, (batch, cfg.vision.image_size,
+                                     cfg.vision.image_size, 3), jnp.float32)
+    texts = jax.random.randint(key, (batch, cfg.text.context_length), 1,
+                               cfg.text.vocab_size - 2).astype(jnp.int32)
+
+    for _ in range(warmup):
+        state, metrics = step(state, images, texts)
+    float(metrics["loss"])  # scalar fetch: the only reliable sync on axon
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        state, metrics = step(state, images, texts)
+    final_loss = float(metrics["loss"])  # forces full pipeline completion
+    dt = time.perf_counter() - t0
+
+    images_per_sec = batch * iters / dt
+    flops_per_image = clip_train_flops_per_image(cfg)
+    achieved = images_per_sec * flops_per_image
+    peak = peak_flops_for(jax.devices()[0])
+    mfu = achieved / peak
+
+    print(json.dumps({
+        "metric": "CLIP ViT-B/32 train MFU (1 chip, bs%d)" % batch,
+        "value": round(mfu, 4),
+        "unit": "MFU",
+        "vs_baseline": round(mfu / 0.50, 4),
+        "images_per_sec_per_chip": round(images_per_sec, 1),
+        "step_ms": round(1000 * dt / iters, 2),
+        "loss": final_loss,
+        "device": str(jax.devices()[0].device_kind),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -148,11 +148,13 @@ class CLIPModel:
     cfg: CLIPCfg
     precision: Precision = BF16
     name: str = ""
+    remat: str = "none"  # none | selective | full (megatron --recompute-granularity)
 
     def init(self, rng) -> Any:
         return init_clip(rng, self.cfg, dtype=self.precision.param_jnp)
 
     def __call__(self, params, images, text_ids, **kw):
+        kw.setdefault("remat", self.remat)
         return apply_clip(params, images, text_ids, self.cfg,
                           compute_dtype=self.precision.compute_jnp, **kw)
 

@@ -1,0 +1,87 @@
+"""Device-mesh construction.
+
+This file replaces the reference's process-group state machine
+(megatron/core/parallel_state.py:99-561 — 1069 LoC of NCCL `new_group`
+bookkeeping with rank offsets). On TPU the equivalent state is one
+`jax.sharding.Mesh` whose named axes play the role of process groups:
+
+    reference group                      mesh axis
+    ---------------                      ---------
+    data-parallel group                  "data" (+ "fsdp" for ZeRO sharding)
+    tensor-model-parallel group          "tensor"
+    pipeline-model-parallel group        "stage"
+    expert-parallel group                "expert" (folded over data axes)
+
+`get_*_group()/rank()/world_size()` getters become `mesh.shape[axis]` /
+`jax.lax.axis_index(axis)`; collectives are `psum/all_gather/ppermute` over
+axis names. The branch split (`extra_world_size`) is in parallel/branch.py.
+"""
+from dataclasses import dataclass
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA = "data"
+FSDP = "fsdp"
+TENSOR = "tensor"
+STAGE = "stage"
+EXPERT = "expert"
+
+MeshAxes = (DATA, FSDP, TENSOR, STAGE)
+
+
+def build_mesh(cfg, devices: Optional[Sequence] = None,
+               contiguous_stage: bool = True) -> Mesh:
+    """Build a Mesh of shape (dp, fsdp, tp, pp) from a ParallelCfg.
+
+    Axis order puts `tensor` innermost-but-one so TP collectives ride the
+    fastest ICI hops, with `stage` outermost-minor so pipeline p2p is
+    neighbour-to-neighbour (the layout megatron's rank-ordering achieves with
+    `tp-pp-dp` rank assignment, parallel_state.py docstring).
+    """
+    cfg.validate()
+    devices = list(devices if devices is not None else jax.devices())
+    need = cfg.num_devices
+    if len(devices) < need:
+        raise ValueError(f"need {need} devices for {cfg}, have {len(devices)}")
+    devices = devices[:need]
+    arr = np.asarray(devices).reshape(cfg.dp, cfg.fsdp, cfg.pp, cfg.tp)
+    # mesh dims ordered (data, fsdp, stage, tensor): tensor fastest-varying
+    return Mesh(arr, (DATA, FSDP, STAGE, TENSOR))
+
+
+def batch_spec(mesh: Mesh, extra_dims: int = 0) -> P:
+    """PartitionSpec for a [B, ...] batch: shard batch over data+fsdp."""
+    return P((DATA, FSDP), *([None] * extra_dims))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def named(mesh: Mesh, *spec) -> NamedSharding:
+    return NamedSharding(mesh, P(*spec))
+
+
+@dataclass(frozen=True)
+class MeshInfo:
+    """Convenience getters mirroring parallel_state's rank/world-size API."""
+
+    mesh: Mesh
+
+    def world_size(self, axis: str) -> int:
+        return self.mesh.shape.get(axis, 1)
+
+    @property
+    def data_parallel_world_size(self):
+        return self.world_size(DATA) * self.world_size(FSDP)
+
+    @property
+    def tensor_model_parallel_world_size(self):
+        return self.world_size(TENSOR)
+
+    @property
+    def pipeline_model_parallel_world_size(self):
+        return self.world_size(STAGE)

@@ -1,0 +1,140 @@
+"""The jitted CLIP train step (data/tensor/fsdp-parallel path).
+
+Replaces the reference's train_step orchestration (megatron/training.py:414-501:
+zero grad buffers -> forward_backward_func -> DP all-reduce -> clip -> adam)
+and open_CLIP's train_one_epoch inner loop (train.py:338-471). Under `jit`
+with sharded params/batch, gradient synchronization, the contrastive feature
+all-gather, and TP collectives are all inserted by XLA — there is no DDP
+wrapper, grad-buffer bucketing (core/distributed.py:301-499), or loss scaling
+to port.
+
+Gradient accumulation (megatron's num_microbatches / open_CLIP --accum-freq)
+is a `lax.scan` over microbatch slices with summed grads — one compiled step,
+no host round-trips.
+"""
+from typing import Any, Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from megatron_clip_tpu.losses import ClipLoss
+from megatron_clip_tpu.models.clip import LOGIT_SCALE_MAX
+from megatron_clip_tpu.parallel.mesh import DATA, FSDP, TENSOR
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+class TrainState(NamedTuple):
+    params: Any
+    opt_state: Any
+    step: jax.Array
+
+    @classmethod
+    def create(cls, params, tx):
+        return cls(params=params, opt_state=tx.init(params),
+                   step=jnp.zeros((), jnp.int32))
+
+
+def make_train_step(model, tx, *, loss_obj: Optional[Callable] = None,
+                    mesh: Optional[Mesh] = None, microbatches: int = 1,
+                    sequence_parallel: bool = False,
+                    jit: bool = True) -> Callable:
+    """Build `step(state, images, texts) -> (state, metrics)`.
+
+    model: factory.CLIPModel; tx: optax transformation.
+    With a mesh, inputs are constrained to batch sharding and (optionally)
+    sequence-parallel activation sharding is requested via the model's
+    sharding hints.
+    """
+    loss_obj = loss_obj or ClipLoss()
+
+    def loss_fn(params, images, texts):
+        out = model(params, images, texts)
+        loss = loss_obj(out["image_features"], out["text_features"],
+                        out["logit_scale"])
+        if isinstance(loss, dict):
+            loss = sum(loss.values())
+        return loss, out["logit_scale"]
+
+    grad_fn = jax.value_and_grad(loss_fn, has_aux=True)
+
+    def step_fn(state: TrainState, images, texts):
+        if mesh is not None:
+            bspec = NamedSharding(mesh, P((DATA, FSDP)))
+            images = jax.lax.with_sharding_constraint(images, bspec)
+            texts = jax.lax.with_sharding_constraint(texts, bspec)
+
+        if microbatches > 1:
+            def mb(carry, xs):
+                im, tx_ = xs
+                (l, s), g = grad_fn(state.params, im, tx_)
+                acc_g, acc_l = carry
+                return (jax.tree.map(jnp.add, acc_g, g), acc_l + l), s
+
+            def split(x):
+                return x.reshape(microbatches, x.shape[0] // microbatches,
+                                 *x.shape[1:])
+            zeros = jax.tree.map(jnp.zeros_like, state.params)
+            (grads, loss_sum), scales = jax.lax.scan(
+                mb, (zeros, jnp.zeros((), jnp.float32)),
+                (split(images), split(texts)))
+            grads = jax.tree.map(lambda g: g / microbatches, grads)
+            loss, scale = loss_sum / microbatches, scales[-1]
+        else:
+            (loss, scale), grads = grad_fn(state.params, images, texts)
+
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        # open_CLIP post-step clamp: logit_scale in [0, ln 100] (train.py:470)
+        params = dict(params)
+        params["logit_scale"] = jnp.clip(params["logit_scale"], 0.0,
+                                         LOGIT_SCALE_MAX)
+        new_state = TrainState(params=params, opt_state=opt_state,
+                               step=state.step + 1)
+        metrics = {
+            "loss": loss,
+            "logit_scale": scale,
+            "grad_norm": optax.global_norm(grads),
+        }
+        return new_state, metrics
+
+    if jit:
+        step_fn = jax.jit(step_fn, donate_argnums=(0,))
+    return step_fn
+
+
+def shard_train_state(state: TrainState, mesh: Mesh, param_specs) -> TrainState:
+    """Place params AND optimizer state on the mesh. Optimizer moments inherit
+    the param shardings — this is the distributed-optimizer/ZeRO capability
+    (megatron/optimizer/distrib_optimizer.py) falling out of fsdp sharding."""
+    from megatron_clip_tpu.parallel.sharding import make_sharding_tree
+
+    pshard = make_sharding_tree(mesh, param_specs)
+    params = jax.device_put(state.params, pshard)
+
+    def opt_shard(leaf):
+        # moments have param shapes; scalars replicate
+        return None
+
+    def place_opt(x):
+        return x
+
+    # optax state is a pytree mixing param-shaped moments and scalars; map
+    # param-shaped leaves to the matching param sharding by structure.
+    flat_params, treedef = jax.tree.flatten(state.params)
+    flat_shard = jax.tree.leaves(pshard)
+    shape_to_shard = {}
+    for p, s in zip(flat_params, flat_shard):
+        shape_to_shard.setdefault((p.shape, p.dtype), s)
+
+    def place(x):
+        if hasattr(x, "shape"):
+            s = shape_to_shard.get((x.shape, x.dtype))
+            if s is None:
+                s = NamedSharding(mesh, P())
+            return jax.device_put(x, s)
+        return x
+
+    opt_state = jax.tree.map(place, state.opt_state)
+    step = jax.device_put(state.step, NamedSharding(mesh, P()))
+    return TrainState(params=params, opt_state=opt_state, step=step)

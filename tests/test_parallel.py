@@ -1,0 +1,105 @@
+"""Parallelism correctness: the sharded (DP×FSDP×TP) train step must produce
+the same numbers as the single-device step — the TPU analogue of the
+reference's mpu tests comparing TP layers vs a single-GPU oracle
+(megatron/mpu/tests/test_layers.py)."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from megatron_clip_tpu.config import CLIPCfg, VisionCfg, TextCfg, ParallelCfg
+from megatron_clip_tpu.factory import CLIPModel
+from megatron_clip_tpu.config import Precision
+from megatron_clip_tpu.models.clip import init_clip
+from megatron_clip_tpu.parallel import (
+    build_mesh, clip_param_specs, shard_params, DATA, FSDP, TENSOR, STAGE)
+from megatron_clip_tpu.training import make_train_step, make_optimizer, cosine_lr
+from megatron_clip_tpu.training.train_step import TrainState, shard_train_state
+
+TINY = CLIPCfg(
+    embed_dim=64,
+    vision=VisionCfg(layers=2, width=64, head_width=32, patch_size=8, image_size=32),
+    text=TextCfg(context_length=16, vocab_size=512, width=64, heads=2, layers=2),
+)
+
+
+def _model():
+    return CLIPModel(cfg=TINY, precision=Precision("float32", "float32"))
+
+
+def _data(b=8):
+    k = jax.random.PRNGKey(7)
+    ki, kt = jax.random.split(k)
+    images = jax.random.normal(ki, (b, 32, 32, 3))
+    texts = jax.random.randint(kt, (b, 16), 1, 510).astype(jnp.int32)
+    texts = texts.at[:, 12].set(511)
+    return images, texts
+
+
+def _run_steps(mesh, pcfg, n=3):
+    model = _model()
+    params = init_clip(jax.random.PRNGKey(0), TINY)
+    tx = make_optimizer(params, cosine_lr(1e-3, 2, 100), grad_clip_norm=1.0)
+    state = TrainState.create(params, tx)
+    if mesh is not None:
+        specs = clip_param_specs(params)
+        state = shard_train_state(state, mesh, specs)
+    step = make_train_step(model, tx, mesh=mesh)
+    images, texts = _data()
+    losses = []
+    for _ in range(n):
+        state, m = step(state, images, texts)
+        losses.append(float(m["loss"]))
+    return losses, state
+
+
+def test_mesh_shapes(devices8):
+    cfg = ParallelCfg(dp=2, fsdp=2, tp=2, pp=1)
+    mesh = build_mesh(cfg)
+    assert mesh.shape == {DATA: 2, FSDP: 2, STAGE: 1, TENSOR: 2}
+
+
+def test_param_specs_cover_tree():
+    params = init_clip(jax.random.PRNGKey(0), TINY)
+    specs = clip_param_specs(params)
+    assert jax.tree.structure(specs) == jax.tree.structure(
+        params, is_leaf=lambda x: hasattr(x, "shape"))
+    # spot-check the column/row rules on stacked block leaves
+    v = specs["visual"]["blocks"]
+    assert v["attn"]["wqkv"] == P(None, FSDP, TENSOR)
+    assert v["attn"]["wo"] == P(None, TENSOR, FSDP)
+    assert v["mlp"]["w1"] == P(None, FSDP, TENSOR)
+    assert v["mlp"]["w2"] == P(None, TENSOR, FSDP)
+    assert specs["text"]["tok_embed"] == P(TENSOR, FSDP)
+
+
+@pytest.mark.parametrize("layout", [
+    dict(dp=8, fsdp=1, tp=1),
+    dict(dp=2, fsdp=2, tp=2),
+    dict(dp=1, fsdp=1, tp=8),   # heads=2 < tp=8: XLA still partitions correctly
+    dict(dp=1, fsdp=8, tp=1),   # pure ZeRO/FSDP
+])
+def test_sharded_step_matches_single_device(devices8, layout):
+    ref_losses, _ = _run_steps(None, None)
+    mesh = build_mesh(ParallelCfg(**layout))
+    got_losses, state = _run_steps(mesh, layout)
+    np.testing.assert_allclose(got_losses, ref_losses, rtol=2e-4, atol=2e-5)
+    # params stay finite and sharded
+    ls = float(state.params["logit_scale"])
+    assert np.isfinite(ls)
+
+
+def test_optimizer_state_is_sharded(devices8):
+    mesh = build_mesh(ParallelCfg(dp=1, fsdp=8, tp=1))
+    params = init_clip(jax.random.PRNGKey(0), TINY)
+    tx = make_optimizer(params, cosine_lr(1e-3, 2, 100))
+    state = TrainState.create(params, tx)
+    specs = clip_param_specs(params)
+    state = shard_train_state(state, mesh, specs)
+    # find a moment leaf for a big matrix and confirm it is not fully replicated
+    leaves = [x for x in jax.tree.leaves(state.opt_state)
+              if hasattr(x, "sharding") and x.ndim >= 2]
+    assert any(not l.sharding.is_fully_replicated for l in leaves)
