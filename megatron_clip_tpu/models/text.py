@@ -52,14 +52,19 @@ def text_pool(x, text_ids, pool_type: str):
 
 def apply_text(params, text_ids, cfg: TextCfg, embed_dim: int, *,
                act: str = "gelu", tcfg: Optional[TransformerCfg] = None,
-               compute_dtype=jnp.bfloat16, output_tokens: bool = False):
+               compute_dtype=jnp.bfloat16, output_tokens: bool = False,
+               layers_fn=None):
     """text_ids: [B, S] int32 token ids (context_length padded with pad_id)."""
     tcfg = tcfg or cfg.transformer(act=act)
     s = text_ids.shape[1]
     x = params["tok_embed"][text_ids].astype(compute_dtype)
     x = x + params["pos_embed"][:s].astype(compute_dtype)[None]
-    x = apply_transformer(params["blocks"], x, tcfg,
-                          causal=not cfg.no_causal_mask)
+    if layers_fn is None:
+        x = apply_transformer(params["blocks"], x, tcfg,
+                              causal=not cfg.no_causal_mask)
+    else:
+        x = layers_fn(params["blocks"], x, tcfg,
+                      causal=not cfg.no_causal_mask)
     x = layer_norm(x, params["ln_final"]["scale"], params["ln_final"]["bias"])
     pooled = text_pool(x, text_ids, cfg.pool_type)
     pooled = pooled @ params["proj"]["w"].astype(pooled.dtype)

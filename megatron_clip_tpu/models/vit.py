@@ -94,7 +94,7 @@ def _global_pool(x, pool_type: str):
 def apply_vit(params, images, cfg: VisionCfg, embed_dim: int, *,
               act: str = "gelu", tcfg: Optional[TransformerCfg] = None,
               compute_dtype=jnp.bfloat16, patch_dropout_rng=None,
-              output_tokens: bool = False):
+              output_tokens: bool = False, layers_fn=None):
     """images: [B, H, W, C] float (already normalized). Returns [B, embed_dim]
     (or (pooled, tokens) when output_tokens)."""
     tcfg = tcfg or cfg.transformer(act=act)
@@ -117,7 +117,10 @@ def apply_vit(params, images, cfg: VisionCfg, embed_dim: int, *,
 
     if "ln_pre" in params:
         x = layer_norm(x, params["ln_pre"]["scale"], params["ln_pre"]["bias"])
-    x = apply_transformer(params["blocks"], x, tcfg, causal=False)
+    if layers_fn is None:
+        x = apply_transformer(params["blocks"], x, tcfg, causal=False)
+    else:
+        x = layers_fn(params["blocks"], x, tcfg, causal=False)
 
     if "attn_pool" in params:
         x = layer_norm(x, params["ln_post"]["scale"], params["ln_post"]["bias"])

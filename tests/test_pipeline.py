@@ -1,0 +1,99 @@
+"""Pipeline parallelism: the staged shard_map/ppermute schedule must be
+numerically identical to the sequential transformer — forward AND gradients —
+the contract of the reference's schedule tests
+(tests/unit_tests/pipeline_parallel/test_schedules.py)."""
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from megatron_clip_tpu.config import (
+    CLIPCfg, VisionCfg, TextCfg, ParallelCfg, BranchParallelCfg, TransformerCfg)
+from megatron_clip_tpu.nn.transformer import init_transformer, apply_transformer
+from megatron_clip_tpu.parallel import build_mesh
+from megatron_clip_tpu.parallel.pipeline import pipeline_transformer
+
+CFG = TransformerCfg(layers=4, width=64, heads=2)
+
+
+@pytest.mark.parametrize("pp,mb,dp,tp", [
+    (4, 4, 2, 1),
+    (2, 6, 2, 2),
+    (4, 8, 1, 2),
+])
+@pytest.mark.parametrize("causal", [False, True])
+def test_pipeline_matches_sequential(devices8, pp, mb, dp, tp, causal):
+    mesh = build_mesh(ParallelCfg(dp=dp, tp=tp, pp=pp, microbatches=mb))
+    blocks = init_transformer(jax.random.PRNGKey(0), CFG)
+    x = jax.random.normal(jax.random.PRNGKey(1), (24, 8, 64))
+
+    want = apply_transformer(blocks, x, CFG, causal=causal)
+    got = pipeline_transformer(blocks, x, CFG, mesh=mesh, num_microbatches=mb,
+                               causal=causal)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_pipeline_gradients_match(devices8):
+    mesh = build_mesh(ParallelCfg(dp=2, tp=1, pp=4, microbatches=4))
+    blocks = init_transformer(jax.random.PRNGKey(0), CFG)
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 8, 64))
+
+    def loss_seq(b):
+        return jnp.sum(apply_transformer(b, x, CFG) ** 2)
+
+    def loss_pipe(b):
+        return jnp.sum(pipeline_transformer(b, x, CFG, mesh=mesh,
+                                            num_microbatches=4) ** 2)
+
+    g_seq = jax.grad(loss_seq)(blocks)
+    g_pipe = jax.grad(loss_pipe)(blocks)
+    for a, b in zip(jax.tree.leaves(g_seq), jax.tree.leaves(g_pipe)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-4, atol=5e-5)
+
+
+def test_branch_parallel_with_pipeline(devices8):
+    """End to end: vision tower pipelined over 4 stages, text tower dp4 —
+    the zPretrain/pretrain_clip.sh topology shape (main TP1/PP4 + extra
+    branch), checked against the joint single-device step."""
+    from megatron_clip_tpu.parallel.branch import BranchParallelCLIP
+    from megatron_clip_tpu.factory import CLIPModel
+    from megatron_clip_tpu.config import Precision
+    from megatron_clip_tpu.models.clip import init_clip
+    from megatron_clip_tpu.training import make_train_step, make_optimizer, cosine_lr
+    from megatron_clip_tpu.training.train_step import TrainState
+
+    cfg = CLIPCfg(
+        embed_dim=64,
+        vision=VisionCfg(layers=4, width=64, head_width=32, patch_size=8,
+                         image_size=32),
+        text=TextCfg(context_length=16, vocab_size=512, width=64, heads=2,
+                     layers=2),
+    )
+    bp = BranchParallelCfg(vision=ParallelCfg(dp=1, tp=1, pp=4, microbatches=4),
+                           text=ParallelCfg(dp=4))
+    runner = BranchParallelCLIP(cfg=cfg, bp=bp, compute_dtype=jnp.float32)
+
+    def tx_factory(p):
+        return make_optimizer(p, cosine_lr(1e-3, 2, 100))
+
+    state = runner.init_state(jax.random.PRNGKey(0), tx_factory)
+
+    model = CLIPModel(cfg=cfg, precision=Precision("float32", "float32"))
+    params = init_clip(jax.random.PRNGKey(0), cfg)
+    tx = tx_factory(params)
+    ref_state = TrainState.create(params, tx)
+    ref_step = make_train_step(model, tx)
+
+    k = jax.random.PRNGKey(7)
+    images = jax.random.normal(k, (8, 32, 32, 3))
+    texts = jax.random.randint(k, (8, 16), 1, 510).astype(jnp.int32)
+
+    for _ in range(2):
+        state, m = runner.train_step(state, images, texts)
+        ref_state, rm = ref_step(ref_state, images, texts)
+        np.testing.assert_allclose(float(m["loss"]), float(rm["loss"]),
+                                   rtol=3e-4)
