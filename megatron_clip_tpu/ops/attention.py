@@ -29,7 +29,8 @@ def sdpa(q, k, v, *, causal: bool = False, bias: Optional[jax.Array] = None,
     head_dim = q.shape[-1]
     if scale is None:
         scale = head_dim ** -0.5
-    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+    prec = jax.lax.Precision.HIGHEST if q.dtype == jnp.float32 else None
+    logits = jnp.einsum("bhqd,bhkd->bhqk", q, k, precision=prec,
                         preferred_element_type=jnp.float32) * scale
     if bias is not None:
         logits = logits + bias.astype(jnp.float32)
@@ -42,19 +43,23 @@ def sdpa(q, k, v, *, causal: bool = False, bias: Optional[jax.Array] = None,
         logits = jnp.where(causal_mask, logits, jnp.float32(-1e30))
     probs = jax.nn.softmax(logits, axis=-1)
     out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(dtype), v,
-                     preferred_element_type=jnp.float32)
+                     precision=prec, preferred_element_type=jnp.float32)
     return out.astype(dtype)
 
 
+# below this sequence length XLA's fused attention beats the Pallas kernel's
+# padding/tiling overhead (measured on v5e: s2048 comparable, s<256 XLA wins,
+# s8192 XLA cannot even materialize the logits)
+MIN_FLASH_SEQ = 256
+
+
 def _attention(q, k, v, *, causal, bias, scale, use_flash):
-    if use_flash and bias is None:
+    if (use_flash and bias is None and q.shape[-2] >= MIN_FLASH_SEQ
+            and q.shape[-1] <= 128):
         from megatron_clip_tpu.ops import use_pallas
         if use_pallas():
             from megatron_clip_tpu.ops.pallas.flash_attention import flash_attention
-            try:
-                return flash_attention(q, k, v, causal=causal, scale=scale)
-            except NotImplementedError:
-                pass
+            return flash_attention(q, k, v, causal=causal, scale=scale)
     return sdpa(q, k, v, causal=causal, bias=bias, scale=scale)
 
 
