@@ -1,0 +1,81 @@
+"""Checkpoint save/load.
+
+Replaces both of the reference's checkpoint generations (SURVEY.md §5):
+  - legacy megatron per-(tp,pp)-rank `mp_rank_XX/model_optim_rng.pt` files +
+    `latest_checkpointed_iteration.txt` tracker (megatron/checkpointing.py:
+    80-117,215-314) — on TPU there are no rank files: Orbax writes the
+    global sharded arrays directly;
+  - mcore dist_checkpointing ShardedTensor/zarr (megatron/core/
+    dist_checkpointing/) — subsumed by Orbax's OCDBT/zarr storage.
+
+Kept semantics: the tracker file name, iteration-numbered directories
+(`iter_0000100/`), consumed-samples metadata driving dataloader resume
+(megatron/training.py:1031-1038), and `--finetune`-style model-only loads.
+"""
+import json
+import os
+from typing import Any, Optional, Tuple
+
+import jax
+import numpy as np
+
+TRACKER_FILENAME = "latest_checkpointed_iteration.txt"
+
+
+def _iter_dir(root: str, step: int) -> str:
+    return os.path.join(root, f"iter_{step:07d}")
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+    return ocp.StandardCheckpointer()
+
+
+def save_checkpoint(root: str, step: int, state: Any,
+                    metadata: Optional[dict] = None) -> str:
+    """Write `root/iter_XXXXXXX/` + tracker file. `state` is any pytree
+    (TrainState, BranchState, raw params)."""
+    os.makedirs(root, exist_ok=True)
+    path = os.path.abspath(_iter_dir(root, step))
+    ckptr = _checkpointer()
+    ckptr.save(os.path.join(path, "state"), state, force=True)
+    ckptr.wait_until_finished()
+    if metadata is not None:
+        with open(os.path.join(path, "metadata.json"), "w") as f:
+            json.dump(metadata, f, indent=1)
+    tmp = os.path.join(root, TRACKER_FILENAME + ".tmp")
+    with open(tmp, "w") as f:
+        f.write(str(step))
+    os.replace(tmp, os.path.join(root, TRACKER_FILENAME))  # atomic, like
+    # open_CLIP --save-most-recent tmp->replace (main.py:481-486)
+    return path
+
+
+def latest_checkpoint_step(root: str) -> Optional[int]:
+    tracker = os.path.join(root, TRACKER_FILENAME)
+    if not os.path.isfile(tracker):
+        return None
+    with open(tracker) as f:
+        return int(f.read().strip())
+
+
+def load_checkpoint(root: str, abstract_state: Any,
+                    step: Optional[int] = None) -> Tuple[Any, dict, int]:
+    """Restore (state, metadata, step). `abstract_state` provides the pytree
+    structure/shardings (pass the freshly-initialized state)."""
+    if step is None:
+        step = latest_checkpoint_step(root)
+        if step is None:
+            raise FileNotFoundError(f"no {TRACKER_FILENAME} under {root}")
+    path = os.path.abspath(_iter_dir(root, step))
+    ckptr = _checkpointer()
+    target = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=getattr(x, "sharding", None))
+        if hasattr(x, "shape") else x, abstract_state)
+    state = ckptr.restore(os.path.join(path, "state"), target)
+    meta_path = os.path.join(path, "metadata.json")
+    metadata = {}
+    if os.path.isfile(meta_path):
+        with open(meta_path) as f:
+            metadata = json.load(f)
+    return state, metadata, step

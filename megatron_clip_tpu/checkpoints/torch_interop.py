@@ -1,0 +1,149 @@
+"""open_CLIP `.pt` checkpoint import/export.
+
+The converter the reference ecosystem expects (open_CLIP factory's
+`pretrained=` loading, factory.py:286-338; megatron's checkpoint reshard
+tools, tools/checkpoint/loader_megatron.py). Maps open_CLIP's torch
+state_dict layout (model.py:178-243 CLIP module tree) onto our param pytree:
+
+  torch                                   ours
+  visual.conv1.weight [W,3,p,p]           visual/patch_embed/w [p*p*3, W]
+  visual.class_embedding                  visual/cls
+  visual.positional_embedding             visual/pos_embed
+  visual.ln_pre|ln_post.{weight,bias}     visual/ln_pre|ln_post/{scale,bias}
+  visual.proj [W,E]                       visual/proj
+  *.resblocks.i.attn.in_proj_weight       blocks/attn/wqkv[i] (transposed)
+  *.resblocks.i.attn.out_proj.weight      blocks/attn/wo[i]   (transposed)
+  *.resblocks.i.mlp.c_fc|c_proj.weight    blocks/mlp/w1|w2[i] (transposed)
+  token_embedding.weight                  text/tok_embed
+  positional_embedding                    text/pos_embed
+  ln_final.{weight,bias}                  text/ln_final
+  text_projection [W,E]                   text/proj/w
+  logit_scale                             logit_scale
+
+Weight matrices transpose because torch Linear computes x @ W.T while we
+store x @ W layouts.
+"""
+from typing import Any, Dict
+
+import numpy as np
+import jax.numpy as jnp
+
+from megatron_clip_tpu.config import CLIPCfg
+
+
+def _t(x):
+    return np.asarray(x, dtype=np.float32)
+
+
+def _stack_blocks(sd: Dict[str, np.ndarray], prefix: str, layers: int) -> dict:
+    def get(i, name):
+        return _t(sd[f"{prefix}.resblocks.{i}.{name}"])
+
+    out = {
+        "ln_1": {"scale": [], "bias": []},
+        "attn": {"wqkv": [], "bqkv": [], "wo": [], "bo": []},
+        "ln_2": {"scale": [], "bias": []},
+        "mlp": {"w1": [], "b1": [], "w2": [], "b2": []},
+    }
+    for i in range(layers):
+        out["ln_1"]["scale"].append(get(i, "ln_1.weight"))
+        out["ln_1"]["bias"].append(get(i, "ln_1.bias"))
+        out["attn"]["wqkv"].append(get(i, "attn.in_proj_weight").T)
+        out["attn"]["bqkv"].append(get(i, "attn.in_proj_bias"))
+        out["attn"]["wo"].append(get(i, "attn.out_proj.weight").T)
+        out["attn"]["bo"].append(get(i, "attn.out_proj.bias"))
+        out["ln_2"]["scale"].append(get(i, "ln_2.weight"))
+        out["ln_2"]["bias"].append(get(i, "ln_2.bias"))
+        out["mlp"]["w1"].append(get(i, "mlp.c_fc.weight").T)
+        out["mlp"]["b1"].append(get(i, "mlp.c_fc.bias"))
+        out["mlp"]["w2"].append(get(i, "mlp.c_proj.weight").T)
+        out["mlp"]["b2"].append(get(i, "mlp.c_proj.bias"))
+    return {
+        k: {kk: jnp.asarray(np.stack(vv)) for kk, vv in sub.items()}
+        for k, sub in out.items()
+    }
+
+
+def params_from_openclip_state_dict(sd: Dict[str, Any], cfg: CLIPCfg) -> dict:
+    """Build our param tree from an open_CLIP CLIP state_dict (numpy/torch)."""
+    sd = {k: (v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v))
+          for k, v in sd.items()}
+    p = cfg.vision.patch_size
+    conv = _t(sd["visual.conv1.weight"])                  # [W, 3, p, p]
+    patch_w = conv.transpose(2, 3, 1, 0).reshape(p * p * 3, -1)
+    visual = {
+        "patch_embed": {"w": jnp.asarray(patch_w)},
+        "cls": jnp.asarray(_t(sd["visual.class_embedding"])),
+        "pos_embed": jnp.asarray(_t(sd["visual.positional_embedding"])),
+        "ln_post": {"scale": jnp.asarray(_t(sd["visual.ln_post.weight"])),
+                    "bias": jnp.asarray(_t(sd["visual.ln_post.bias"]))},
+        "proj": jnp.asarray(_t(sd["visual.proj"])),
+        "blocks": _stack_blocks(sd, "visual.transformer", cfg.vision.layers),
+    }
+    if "visual.ln_pre.weight" in sd:
+        visual["ln_pre"] = {"scale": jnp.asarray(_t(sd["visual.ln_pre.weight"])),
+                            "bias": jnp.asarray(_t(sd["visual.ln_pre.bias"]))}
+    text = {
+        "tok_embed": jnp.asarray(_t(sd["token_embedding.weight"])),
+        "pos_embed": jnp.asarray(_t(sd["positional_embedding"])),
+        "ln_final": {"scale": jnp.asarray(_t(sd["ln_final.weight"])),
+                     "bias": jnp.asarray(_t(sd["ln_final.bias"]))},
+        "proj": {"w": jnp.asarray(_t(sd["text_projection"]))},
+        "blocks": _stack_blocks(sd, "transformer", cfg.text.layers),
+    }
+    return {"visual": visual, "text": text,
+            "logit_scale": jnp.asarray(float(_t(sd["logit_scale"])))}
+
+
+def openclip_state_dict_from_params(params: dict, cfg: CLIPCfg) -> Dict[str, np.ndarray]:
+    """Inverse conversion (export for open_CLIP/torch consumers)."""
+    sd = {}
+    v = params["visual"]
+    p = cfg.vision.patch_size
+    w = np.asarray(v["patch_embed"]["w"])
+    sd["visual.conv1.weight"] = w.reshape(p, p, 3, -1).transpose(3, 2, 0, 1)
+    sd["visual.class_embedding"] = np.asarray(v["cls"])
+    sd["visual.positional_embedding"] = np.asarray(v["pos_embed"])
+    if "ln_pre" in v:
+        sd["visual.ln_pre.weight"] = np.asarray(v["ln_pre"]["scale"])
+        sd["visual.ln_pre.bias"] = np.asarray(v["ln_pre"]["bias"])
+    sd["visual.ln_post.weight"] = np.asarray(v["ln_post"]["scale"])
+    sd["visual.ln_post.bias"] = np.asarray(v["ln_post"]["bias"])
+    sd["visual.proj"] = np.asarray(v["proj"])
+
+    def unstack(blocks, prefix):
+        n = np.asarray(blocks["ln_1"]["scale"]).shape[0]
+        for i in range(n):
+            sd[f"{prefix}.resblocks.{i}.ln_1.weight"] = np.asarray(blocks["ln_1"]["scale"][i])
+            sd[f"{prefix}.resblocks.{i}.ln_1.bias"] = np.asarray(blocks["ln_1"]["bias"][i])
+            sd[f"{prefix}.resblocks.{i}.attn.in_proj_weight"] = np.asarray(blocks["attn"]["wqkv"][i]).T
+            sd[f"{prefix}.resblocks.{i}.attn.in_proj_bias"] = np.asarray(blocks["attn"]["bqkv"][i])
+            sd[f"{prefix}.resblocks.{i}.attn.out_proj.weight"] = np.asarray(blocks["attn"]["wo"][i]).T
+            sd[f"{prefix}.resblocks.{i}.attn.out_proj.bias"] = np.asarray(blocks["attn"]["bo"][i])
+            sd[f"{prefix}.resblocks.{i}.ln_2.weight"] = np.asarray(blocks["ln_2"]["scale"][i])
+            sd[f"{prefix}.resblocks.{i}.ln_2.bias"] = np.asarray(blocks["ln_2"]["bias"][i])
+            sd[f"{prefix}.resblocks.{i}.mlp.c_fc.weight"] = np.asarray(blocks["mlp"]["w1"][i]).T
+            sd[f"{prefix}.resblocks.{i}.mlp.c_fc.bias"] = np.asarray(blocks["mlp"]["b1"][i])
+            sd[f"{prefix}.resblocks.{i}.mlp.c_proj.weight"] = np.asarray(blocks["mlp"]["w2"][i]).T
+            sd[f"{prefix}.resblocks.{i}.mlp.c_proj.bias"] = np.asarray(blocks["mlp"]["b2"][i])
+
+    unstack(v["blocks"], "visual.transformer")
+    t = params["text"]
+    sd["token_embedding.weight"] = np.asarray(t["tok_embed"])
+    sd["positional_embedding"] = np.asarray(t["pos_embed"])
+    sd["ln_final.weight"] = np.asarray(t["ln_final"]["scale"])
+    sd["ln_final.bias"] = np.asarray(t["ln_final"]["bias"])
+    sd["text_projection"] = np.asarray(t["proj"]["w"])
+    unstack(t["blocks"], "transformer")
+    sd["logit_scale"] = np.asarray(params["logit_scale"])
+    return sd
+
+
+def load_openclip_checkpoint(path: str, cfg: CLIPCfg, params=None) -> dict:
+    """Load an open_CLIP .pt file (torch serialized)."""
+    import torch
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = ckpt.get("state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
+    sd = {k[len("module."):] if k.startswith("module.") else k: v
+          for k, v in sd.items()}
+    return params_from_openclip_state_dict(sd, cfg)

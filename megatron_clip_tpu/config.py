@@ -59,6 +59,11 @@ class TransformerCfg:
     mlp_ratio: float = 4.0
     ls_init_value: Optional[float] = None  # layer-scale init (open_CLIP ls_init_value)
     act: str = "gelu"  # gelu | quick_gelu | swiglu
+    norm: str = "layernorm"  # layernorm | rmsnorm (megatron --normalization)
+    use_bias: bool = True    # linear biases (megatron --disable-bias-linear)
+    rope: bool = False       # rotary embeddings (megatron --use-rotary-position-embeddings)
+    rope_theta: float = 10000.0
+    kv_heads: Optional[int] = None  # grouped-query attention (megatron --group-query-attention)
     # execution knobs
     remat: str = "none"  # none | full | selective  (megatron --recompute-granularity)
     use_flash: bool = True  # Pallas flash attention when on TPU

@@ -1,0 +1,101 @@
+"""GPT pretraining dataset: epoch/shuffle/sample-packing index construction
+over an MMapIndexedDataset.
+
+Replaces megatron/data/gpt_dataset.py:240-586 (`_build_index_mappings` with
+the C++ build_sample_idx) — same three-index design:
+  doc_idx    : documents repeated num_epochs times, shuffled;
+  sample_idx : [n_samples+1, 2] (doc position, token offset) packing
+               boundaries (native helper, data/native/helpers.cpp);
+  shuffle_idx: permutation over samples.
+Indices are cached to .npy next to the data (the reference caches the same
+way) so multi-process loaders share the build.
+"""
+import os
+from typing import Iterator
+
+import numpy as np
+
+from megatron_clip_tpu.data.indexed_dataset import MMapIndexedDataset
+from megatron_clip_tpu.data.native import build_sample_idx
+
+
+class GPTDataset:
+    def __init__(self, prefix: str, seq_length: int, num_samples: int = 0,
+                 seed: int = 0, cache: bool = True):
+        self.data = MMapIndexedDataset(prefix)
+        self.seq_length = seq_length
+        docs = np.arange(len(self.data.doc_idx) - 1, dtype=np.int32)
+        sizes = self.data.sizes
+        tokens_per_epoch = int(sizes.sum())
+        samples_per_epoch = max(1, (tokens_per_epoch - 1) // seq_length)
+        num_epochs = max(1, -(-num_samples // samples_per_epoch)) if num_samples else 1
+
+        rng = np.random.RandomState(seed)
+        doc_idx = np.concatenate([docs] * num_epochs)
+        rng.shuffle(doc_idx)
+
+        cache_path = f"{prefix}_gpt_s{seq_length}_e{num_epochs}_r{seed}_idx.npy"
+        if cache and os.path.isfile(cache_path):
+            self.sample_idx = np.load(cache_path)
+            self.doc_idx = np.load(cache_path.replace("_idx.npy", "_doc.npy"))
+        else:
+            self.doc_idx = doc_idx
+            self.sample_idx = build_sample_idx(
+                sizes, doc_idx, seq_length, num_epochs, tokens_per_epoch)
+            if cache:
+                try:
+                    np.save(cache_path, self.sample_idx)
+                    np.save(cache_path.replace("_idx.npy", "_doc.npy"), doc_idx)
+                except OSError:
+                    pass
+        n = len(self.sample_idx) - 1
+        self.shuffle_idx = rng.permutation(n)
+
+    def __len__(self):
+        return len(self.shuffle_idx)
+
+    def __getitem__(self, idx: int) -> np.ndarray:
+        """Returns seq_length+1 tokens (inputs+shifted targets packed)."""
+        idx = self.shuffle_idx[idx % len(self.shuffle_idx)]
+        doc_pos_f, off_f = self.sample_idx[idx]
+        doc_pos_l, off_l = self.sample_idx[idx + 1]
+        if doc_pos_f == doc_pos_l:
+            return self.data.get(self.doc_idx[doc_pos_f], offset=off_f,
+                                 length=off_l - off_f + 1)
+        parts = [self.data.get(self.doc_idx[doc_pos_f], offset=off_f)]
+        for p in range(doc_pos_f + 1, doc_pos_l):
+            parts.append(self.data.get(self.doc_idx[p]))
+        parts.append(self.data.get(self.doc_idx[doc_pos_l], length=off_l + 1))
+        return np.concatenate(parts)
+
+
+def gpt_batch_iterator(prefix: str, batch_size: int, seq_length: int,
+                       seed: int = 0) -> Iterator[np.ndarray]:
+    """Infinite [B, seq_length+1] int32 batches (consumed-samples resume is
+    the caller's job via skipping)."""
+    ds = GPTDataset(prefix, seq_length, seed=seed)
+    i = 0
+    while True:
+        batch = np.stack([np.asarray(ds[i + j], np.int32)[:seq_length + 1]
+                          for j in range(batch_size)])
+        i += batch_size
+        yield batch
+
+
+class BlendableDataset:
+    """Weighted mixture of datasets (megatron/data/blendable_dataset.py:127)
+    using the native build_blending_indices helper."""
+
+    def __init__(self, datasets, weights, size: int):
+        from megatron_clip_tpu.data.native import build_blending_indices
+        assert len(datasets) == len(weights)
+        self.datasets = datasets
+        self.ds_index, self.ds_sample_index = build_blending_indices(
+            np.asarray(weights, np.float64), size)
+        self.size = size
+
+    def __len__(self):
+        return self.size
+
+    def __getitem__(self, i):
+        return self.datasets[self.ds_index[i]][int(self.ds_sample_index[i])]

@@ -72,6 +72,15 @@ for _name in ["ViT-B-32", "ViT-B-16", "ViT-L-14"]:
     _c["quick_gelu"] = True
     _BUILTIN[_name + "-quickgelu"] = _c
 
+# tiny config for tests/smoke runs (CPU-friendly; real vocab for tokenizer ids)
+_BUILTIN["test-tiny"] = {
+    "embed_dim": 64,
+    "vision_cfg": {"image_size": 32, "layers": 2, "width": 64,
+                   "head_width": 32, "patch_size": 8},
+    "text_cfg": {"context_length": 32, "vocab_size": 49408, "width": 64,
+                 "heads": 2, "layers": 2},
+}
+
 # CoCa variants
 _BUILTIN["coca_ViT-B-32"] = {
     **_vit(512, 12, 768, 32, 512, 8, 12),

@@ -1,0 +1,197 @@
+"""Autoregressive generation with a static KV cache.
+
+Replaces the reference's text-generation stack (megatron/text_generation/
+generation.py + forward_step.py InferenceParams KV cache + sampling.py):
+  - the KV cache is a preallocated [L, B, Hkv, S_max, D] array pair (static
+    shapes — XLA-friendly; the reference's InferenceParams does the same with
+    torch buffers);
+  - prefill runs the whole prompt once and fills the cache;
+  - decode is a `lax.scan` of single-token steps, entirely inside one jit —
+    no per-token host round-trips (the reference dispatches per token and
+    broadcasts logits between pipeline stages, communication.py:185);
+  - sampling: greedy / temperature / top-k / top-p (sampling.py semantics).
+"""
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from megatron_clip_tpu.config import TransformerCfg
+from megatron_clip_tpu.models.gpt import GPTCfg, apply_gpt
+from megatron_clip_tpu.nn.transformer import apply_norm
+from megatron_clip_tpu.ops.attention import sdpa
+from megatron_clip_tpu.ops.activations import bias_act, swiglu
+from megatron_clip_tpu.ops.rope import rope_cos_sin, apply_rope
+
+
+class KVCache(NamedTuple):
+    k: jax.Array  # [L, B, Hkv, S_max, D]
+    v: jax.Array
+
+    @classmethod
+    def create(cls, cfg: GPTCfg, batch: int, max_len: int, dtype=jnp.bfloat16):
+        t = cfg.transformer()
+        hkv = t.kv_heads or t.heads
+        shape = (t.layers, batch, hkv, max_len, t.head_dim)
+        return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+
+def _block_decode(block, x, cache_k, cache_v, pos, cfg: TransformerCfg, rope):
+    """One block, one (or P prompt) tokens, reading/writing the cache.
+    x: [B, T, W]; cache_[kv]: [B, Hkv, S_max, D]; pos: scalar write offset."""
+    b, t, w = x.shape
+    hkv = cfg.kv_heads or cfg.heads
+    hd = cfg.head_dim
+    h = apply_norm(block["ln_1"], x, cfg.norm)
+    qkv = jnp.einsum("btw,wd->btd", h, block["attn"]["wqkv"].astype(h.dtype))
+    if block["attn"].get("bqkv") is not None:
+        qkv = qkv + block["attn"]["bqkv"].astype(h.dtype)
+    q = qkv[..., :cfg.heads * hd].reshape(b, t, cfg.heads, hd).transpose(0, 2, 1, 3)
+    k = qkv[..., cfg.heads * hd:(cfg.heads + hkv) * hd].reshape(
+        b, t, hkv, hd).transpose(0, 2, 1, 3)
+    v = qkv[..., (cfg.heads + hkv) * hd:].reshape(b, t, hkv, hd).transpose(0, 2, 1, 3)
+    if rope is not None:
+        cos, sin = rope  # already sliced for these positions: [T, D]
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+    cache_k = jax.lax.dynamic_update_slice(cache_k, k.astype(cache_k.dtype),
+                                           (0, 0, pos, 0))
+    cache_v = jax.lax.dynamic_update_slice(cache_v, v.astype(cache_v.dtype),
+                                           (0, 0, pos, 0))
+    s_max = cache_k.shape[2]
+    # valid keys: col <= pos + t - 1, plus causality within the new tokens
+    col = jax.lax.broadcasted_iota(jnp.int32, (t, s_max), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (t, s_max), 0)
+    mask = col <= (pos + row)
+    bias = jnp.where(mask, 0.0, -1e30)[None, None]
+    kh, vh = cache_k.astype(x.dtype), cache_v.astype(x.dtype)
+    if hkv != cfg.heads:
+        kh = jnp.repeat(kh, cfg.heads // hkv, axis=1)
+        vh = jnp.repeat(vh, cfg.heads // hkv, axis=1)
+    att = sdpa(q, kh, vh, bias=bias)
+    att = att.transpose(0, 2, 1, 3).reshape(b, t, w)
+    att = jnp.einsum("btw,wd->btd", att, block["attn"]["wo"].astype(x.dtype))
+    if block["attn"].get("bo") is not None:
+        att = att + block["attn"]["bo"].astype(x.dtype)
+    x = x + att
+
+    h = apply_norm(block["ln_2"], x, cfg.norm)
+    h = jnp.einsum("btw,wd->btd", h, block["mlp"]["w1"].astype(h.dtype))
+    b1 = block["mlp"].get("b1")
+    if cfg.act == "swiglu":
+        h = swiglu(h, None if b1 is None else b1.astype(h.dtype))
+    else:
+        h = bias_act(h, None if b1 is None else b1.astype(h.dtype), cfg.act)
+    h = jnp.einsum("btw,wd->btd", h, block["mlp"]["w2"].astype(h.dtype))
+    if block["mlp"].get("b2") is not None:
+        h = h + block["mlp"]["b2"].astype(h.dtype)
+    return x + h, cache_k, cache_v
+
+
+def _forward_cached(params, tokens, pos, cache: KVCache, cfg: GPTCfg,
+                    compute_dtype):
+    """Run tokens [B, T] starting at position `pos` through all blocks with
+    cache update. Returns (logits [B, T, V], cache)."""
+    tcfg = cfg.transformer()
+    x = params["tok_embed"][tokens].astype(compute_dtype)
+    if "pos_embed" in params:
+        t = tokens.shape[1]
+        pe = jax.lax.dynamic_slice_in_dim(params["pos_embed"], pos, t, 0)
+        x = x + pe.astype(compute_dtype)[None]
+    rope = None
+    if tcfg.rope:
+        cos_full, sin_full = rope_cos_sin(cache.k.shape[3], tcfg.head_dim,
+                                          tcfg.rope_theta)
+        t = tokens.shape[1]
+        rope = (jax.lax.dynamic_slice_in_dim(cos_full, pos, t, 0),
+                jax.lax.dynamic_slice_in_dim(sin_full, pos, t, 0))
+
+    def layer(carry, xs):
+        x = carry
+        block, ck, cv = xs
+        x, ck, cv = _block_decode(block, x, ck, cv, pos, tcfg, rope)
+        return x, (ck, cv)
+
+    x, (new_k, new_v) = jax.lax.scan(layer, x, (params["blocks"],
+                                                cache.k, cache.v))
+    x = apply_norm(params["ln_f"], x, cfg.normalization)
+    if cfg.tie_embeddings:
+        logits = jnp.einsum("btw,vw->btv", x, params["tok_embed"].astype(x.dtype))
+    else:
+        logits = jnp.einsum("btw,wv->btv", x, params["lm_head"].astype(x.dtype))
+    return logits.astype(jnp.float32), KVCache(new_k, new_v)
+
+
+def _sample(logits, rng, temperature, top_k, top_p):
+    """logits [B, V] -> token ids [B] (megatron sampling.py semantics)."""
+    if temperature == 0.0:
+        return jnp.argmax(logits, axis=-1)
+    logits = logits / temperature
+    if top_k:
+        kth = jax.lax.top_k(logits, top_k)[0][:, -1:]
+        logits = jnp.where(logits < kth, -1e30, logits)
+    if top_p and top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        # smallest set with cumulative prob >= top_p; mask the rest
+        cutoff_idx = jnp.sum(cum < top_p, axis=-1, keepdims=True)
+        cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx, axis=-1)
+        logits = jnp.where(logits < cutoff, -1e30, logits)
+    return jax.random.categorical(rng, logits, axis=-1)
+
+
+@partial(jax.jit, static_argnames=("cfg", "max_new_tokens", "temperature",
+                                   "top_k", "top_p", "eos_id"))
+def generate(params, prompt, prompt_len, cfg: GPTCfg, *,
+             max_new_tokens: int = 32, temperature: float = 1.0,
+             top_k: int = 0, top_p: float = 0.0, eos_id: int = -1,
+             seed: int = 0):
+    """prompt: [B, P] right-padded; prompt_len: [B] actual lengths.
+    Returns tokens [B, P + max_new_tokens] with generations appended at each
+    row's prompt_len. One compiled computation: prefill + scan of decode steps.
+    """
+    b, p = prompt.shape
+    max_len = p + max_new_tokens
+    cache = KVCache.create(cfg, b, max_len)
+    compute = jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
+
+    logits, cache = _forward_cached(params, prompt, 0, cache, cfg, compute)
+    # next-token logits come from each row's last real prompt token
+    last = jnp.take_along_axis(logits, (prompt_len - 1)[:, None, None], axis=1)[:, 0]
+
+    out = jnp.zeros((b, max_len), jnp.int32)
+    out = jax.lax.dynamic_update_slice(out, prompt, (0, 0))
+    rng = jax.random.PRNGKey(seed)
+
+    # prompts are padded to a common length; per-row shorter prompts rely on
+    # argmax/EOT-independent causal masking (the reference pads to the max
+    # prompt length too, text_generation/tokenization.py)
+    def step_fixed(carry, i):
+        out, cache, last_logits, rng, done = carry
+        rng, sub = jax.random.split(rng)
+        tok = _sample(last_logits, sub, temperature, top_k, top_p).astype(jnp.int32)
+        tok = jnp.where(done, jnp.zeros_like(tok), tok)
+        out = jax.lax.dynamic_update_slice(out, tok[:, None], (0, p + i))
+        done = done | (tok == eos_id)
+
+        def fwd(_):
+            return _forward_cached(params, tok[:, None], p + i, cache, cfg,
+                                   compute)
+        logits, cache2 = fwd(None)
+        return (out, cache2, logits[:, 0], rng, done), None
+
+    init = (out, cache, last, rng, jnp.zeros((b,), bool))
+    (out, _, _, _, _), _ = jax.lax.scan(step_fixed, init,
+                                        jnp.arange(max_new_tokens))
+    return out
+
+
+def greedy_generate(params, prompt, cfg: GPTCfg, max_new_tokens: int = 32,
+                    eos_id: int = -1):
+    b, p = prompt.shape
+    prompt_len = jnp.full((b,), p, jnp.int32)
+    return generate(params, prompt, prompt_len, cfg,
+                    max_new_tokens=max_new_tokens, temperature=0.0,
+                    eos_id=eos_id)

@@ -1,0 +1,124 @@
+"""GPT decoder-only language model.
+
+Covers the reference's GPT workload surface (megatron/model/gpt_model.py:43,
+megatron/core/models/gpt/gpt_model.py:20, pretrain_gpt.py): token embedding
+(+ learned positions or rotary), causal pre-LN blocks with optional
+swiglu/rmsnorm/GQA (the megatron llama-style flags), final norm, and logits
+via the tied embedding (megatron's shared embedding, model/module.py) or an
+untied lm head.
+"""
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from megatron_clip_tpu.config import TransformerCfg
+from megatron_clip_tpu.nn.transformer import (
+    init_transformer, apply_transformer, init_layer_norm, apply_norm)
+from megatron_clip_tpu.ops.cross_entropy import cross_entropy
+
+
+@dataclass(frozen=True)
+class GPTCfg:
+    num_layers: int = 12
+    hidden_size: int = 768
+    num_heads: int = 12
+    vocab_size: int = 50304        # megatron pads vocab to a friendly multiple
+    seq_length: int = 1024
+    mlp_ratio: float = 4.0
+    position_embedding: str = "learned"  # learned | rope
+    rope_theta: float = 10000.0
+    swiglu: bool = False
+    normalization: str = "layernorm"     # layernorm | rmsnorm
+    use_bias: bool = True
+    kv_heads: Optional[int] = None       # GQA
+    tie_embeddings: bool = True
+    init_std: float = 0.02
+
+    def transformer(self, **overrides) -> TransformerCfg:
+        return TransformerCfg(
+            layers=self.num_layers, width=self.hidden_size,
+            heads=self.num_heads, mlp_ratio=self.mlp_ratio,
+            act="swiglu" if self.swiglu else "gelu_tanh",
+            norm=self.normalization, use_bias=self.use_bias,
+            rope=self.position_embedding == "rope",
+            rope_theta=self.rope_theta, kv_heads=self.kv_heads, **overrides)
+
+
+def init_gpt(key, cfg: GPTCfg, dtype=jnp.float32):
+    keys = jax.random.split(key, 4)
+    params = {
+        "tok_embed": (cfg.init_std * jax.random.normal(
+            keys[0], (cfg.vocab_size, cfg.hidden_size))).astype(dtype),
+        "ln_f": init_layer_norm(cfg.hidden_size, dtype, cfg.normalization),
+        "blocks": init_transformer(keys[2], cfg.transformer(), dtype),
+    }
+    if cfg.position_embedding == "learned":
+        params["pos_embed"] = (cfg.init_std * jax.random.normal(
+            keys[1], (cfg.seq_length, cfg.hidden_size))).astype(dtype)
+    if not cfg.tie_embeddings:
+        params["lm_head"] = (cfg.init_std * jax.random.normal(
+            keys[3], (cfg.hidden_size, cfg.vocab_size))).astype(dtype)
+    return params
+
+
+def apply_gpt(params, tokens, cfg: GPTCfg, *, compute_dtype=jnp.bfloat16,
+              tcfg: Optional[TransformerCfg] = None, layers_fn=None,
+              return_hidden: bool = False):
+    """tokens [B, S] int32 -> logits [B, S, V] (fp32)."""
+    tcfg = tcfg or cfg.transformer()
+    s = tokens.shape[1]
+    x = params["tok_embed"][tokens].astype(compute_dtype)
+    if "pos_embed" in params:
+        x = x + params["pos_embed"][:s].astype(compute_dtype)[None]
+    if layers_fn is None:
+        x = apply_transformer(params["blocks"], x, tcfg, causal=True)
+    else:
+        x = layers_fn(params["blocks"], x, tcfg, causal=True)
+    x = apply_norm(params["ln_f"], x, cfg.normalization)
+    if return_hidden:
+        return x
+    if cfg.tie_embeddings:
+        logits = jnp.einsum("bsw,vw->bsv", x,
+                            params["tok_embed"].astype(x.dtype))
+    else:
+        logits = jnp.einsum("bsw,wv->bsv", x,
+                            params["lm_head"].astype(x.dtype))
+    return logits.astype(jnp.float32)
+
+
+def gpt_loss(params, tokens, cfg: GPTCfg, *, loss_mask=None,
+             compute_dtype=jnp.bfloat16, tcfg=None, layers_fn=None):
+    """Next-token LM loss: predict tokens[:, 1:] from tokens[:, :-1]
+    (pretrain_gpt.py loss_func semantics, with loss-mask averaging)."""
+    logits = apply_gpt(params, tokens[:, :-1], cfg,
+                       compute_dtype=compute_dtype, tcfg=tcfg,
+                       layers_fn=layers_fn)
+    targets = tokens[:, 1:]
+    per_tok = cross_entropy(logits, targets)
+    if loss_mask is None:
+        return per_tok.mean()
+    m = loss_mask[:, 1:].astype(jnp.float32)
+    return jnp.sum(per_tok * m) / jnp.maximum(jnp.sum(m), 1.0)
+
+
+def gpt_param_specs(params, *, stage_axis=None):
+    """TP/FSDP PartitionSpecs for GPT params (mirrors clip_param_specs)."""
+    from jax.sharding import PartitionSpec as P
+    from megatron_clip_tpu.parallel.sharding import transformer_block_specs, _path_str
+    import jax.tree_util as jtu
+
+    def rule(path, leaf):
+        p = _path_str(path)
+        nd = leaf.ndim
+        if "blocks/" in p or p.startswith("blocks"):
+            return transformer_block_specs(p, nd, stacked=True,
+                                           stage_axis=stage_axis)
+        if p.endswith("tok_embed"):
+            return P("tensor", "fsdp")      # vocab-parallel embedding + head
+        if p.endswith("lm_head"):
+            return P("fsdp", "tensor")
+        return P(*([None] * nd))
+
+    return jtu.tree_map_with_path(rule, params)

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from megatron_clip_tpu.config import TransformerCfg
-from megatron_clip_tpu.ops import multi_head_attention, layer_norm
+from megatron_clip_tpu.ops import multi_head_attention, layer_norm, rms_norm
 from megatron_clip_tpu.ops.activations import bias_act, swiglu
 
 
@@ -35,9 +35,17 @@ def init_linear(key, d_in: int, d_out: int, std: float, bias: bool = True,
     return p
 
 
-def init_layer_norm(width: int, dtype=jnp.float32):
-    return {"scale": jnp.ones((width,), dtype=dtype),
-            "bias": jnp.zeros((width,), dtype=dtype)}
+def init_layer_norm(width: int, dtype=jnp.float32, norm: str = "layernorm"):
+    p = {"scale": jnp.ones((width,), dtype=dtype)}
+    if norm == "layernorm":
+        p["bias"] = jnp.zeros((width,), dtype=dtype)
+    return p
+
+
+def apply_norm(p, x, norm: str = "layernorm"):
+    if norm == "rmsnorm":
+        return rms_norm(x, p["scale"])
+    return layer_norm(x, p["scale"], p["bias"])
 
 
 def init_block(key, cfg: TransformerCfg, dtype=jnp.float32):
@@ -48,22 +56,25 @@ def init_block(key, cfg: TransformerCfg, dtype=jnp.float32):
     fc_std = (2 * w) ** -0.5
     k_qkv, k_o, k_fc, k_proj = jax.random.split(key, 4)
     mlp_in = cfg.mlp_hidden * (2 if cfg.act == "swiglu" else 1)
+    hkv = cfg.kv_heads or cfg.heads
+    qkv_out = (cfg.heads + 2 * hkv) * cfg.head_dim
     block = {
-        "ln_1": init_layer_norm(w, dtype),
+        "ln_1": init_layer_norm(w, dtype, cfg.norm),
         "attn": {
-            "wqkv": (jax.random.normal(k_qkv, (w, 3 * w)) * attn_std).astype(dtype),
-            "bqkv": jnp.zeros((3 * w,), dtype=dtype),
+            "wqkv": (jax.random.normal(k_qkv, (w, qkv_out)) * attn_std).astype(dtype),
             "wo": (jax.random.normal(k_o, (w, w)) * proj_std).astype(dtype),
-            "bo": jnp.zeros((w,), dtype=dtype),
         },
-        "ln_2": init_layer_norm(w, dtype),
+        "ln_2": init_layer_norm(w, dtype, cfg.norm),
         "mlp": {
             "w1": (jax.random.normal(k_fc, (w, mlp_in)) * fc_std).astype(dtype),
-            "b1": jnp.zeros((mlp_in,), dtype=dtype),
             "w2": (jax.random.normal(k_proj, (cfg.mlp_hidden, w)) * proj_std).astype(dtype),
-            "b2": jnp.zeros((w,), dtype=dtype),
         },
     }
+    if cfg.use_bias:
+        block["attn"]["bqkv"] = jnp.zeros((qkv_out,), dtype=dtype)
+        block["attn"]["bo"] = jnp.zeros((w,), dtype=dtype)
+        block["mlp"]["b1"] = jnp.zeros((mlp_in,), dtype=dtype)
+        block["mlp"]["b2"] = jnp.zeros((w,), dtype=dtype)
     if cfg.ls_init_value is not None:
         block["ls_1"] = jnp.full((w,), cfg.ls_init_value, dtype=dtype)
         block["ls_2"] = jnp.full((w,), cfg.ls_init_value, dtype=dtype)
@@ -80,29 +91,32 @@ def init_transformer(key, cfg: TransformerCfg, dtype=jnp.float32):
 # ------------------------------- apply -------------------------------------
 
 def apply_block(block, x, cfg: TransformerCfg, *, causal: bool = False,
-                bias: Optional[jax.Array] = None):
+                bias: Optional[jax.Array] = None, rope=None):
     """x: [B, S, W] in compute dtype."""
-    h = layer_norm(x, block["ln_1"]["scale"], block["ln_1"]["bias"])
+    h = apply_norm(block["ln_1"], x, cfg.norm)
     h = multi_head_attention(h, block["attn"], cfg.heads, causal=causal,
-                             bias=bias, use_flash=cfg.use_flash)
+                             bias=bias, use_flash=cfg.use_flash, rope=rope,
+                             kv_heads=cfg.kv_heads)
     if "ls_1" in block:
         h = h * block["ls_1"].astype(h.dtype)
     x = x + h
-    h = layer_norm(x, block["ln_2"]["scale"], block["ln_2"]["bias"])
+    h = apply_norm(block["ln_2"], x, cfg.norm)
     h = jnp.einsum("bsw,wd->bsd", h, block["mlp"]["w1"].astype(h.dtype))
+    b1 = block["mlp"].get("b1")
     if cfg.act == "swiglu":
-        h = swiglu(h, block["mlp"]["b1"].astype(h.dtype))
+        h = swiglu(h, None if b1 is None else b1.astype(h.dtype))
     else:
-        h = bias_act(h, block["mlp"]["b1"].astype(h.dtype), cfg.act)
+        h = bias_act(h, None if b1 is None else b1.astype(h.dtype), cfg.act)
     h = jnp.einsum("bsw,wd->bsd", h, block["mlp"]["w2"].astype(h.dtype))
-    h = h + block["mlp"]["b2"].astype(h.dtype)
+    if block["mlp"].get("b2") is not None:
+        h = h + block["mlp"]["b2"].astype(h.dtype)
     if "ls_2" in block:
         h = h * block["ls_2"].astype(h.dtype)
     return x + h
 
 
 def apply_transformer(blocks, x, cfg: TransformerCfg, *, causal: bool = False,
-                      bias: Optional[jax.Array] = None):
+                      bias: Optional[jax.Array] = None, rope=None):
     """Run the stacked blocks. `blocks` leaves have leading layer axis.
 
     Activation recompute: cfg.remat
@@ -112,7 +126,10 @@ def apply_transformer(blocks, x, cfg: TransformerCfg, *, causal: bool = False,
                        jax.checkpoint with dots_saveable policy
       - 'none'
     """
-    block_fn = partial(apply_block, cfg=cfg, causal=causal, bias=bias)
+    if rope is None and cfg.rope:
+        from megatron_clip_tpu.ops.rope import rope_cos_sin
+        rope = rope_cos_sin(x.shape[1], cfg.head_dim, cfg.rope_theta)
+    block_fn = partial(apply_block, cfg=cfg, causal=causal, bias=bias, rope=rope)
     if cfg.remat == "full":
         block_fn = jax.checkpoint(block_fn)
     elif cfg.remat == "selective":

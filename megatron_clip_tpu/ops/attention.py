@@ -65,19 +65,27 @@ def _attention(q, k, v, *, causal, bias, scale, use_flash):
 
 def multi_head_attention(x, params, heads: int, *, causal: bool = False,
                          bias: Optional[jax.Array] = None, use_flash: bool = True,
-                         kv: Optional[jax.Array] = None):
+                         kv: Optional[jax.Array] = None, rope=None,
+                         kv_heads: Optional[int] = None):
     """Full MHA block: fused qkv projection -> attention -> output projection.
 
-    x: [B, S, W]. params: {'wqkv': [W, 3W], 'bqkv': [3W], 'wo': [W, W], 'bo': [W]}.
-    When `kv` is given (cross-attention, CoCa), params must instead hold
-    'wq' [W, W] and 'wkv' [Wkv, 2W].
+    x: [B, S, W]. params: {'wqkv': [W, (H+2Hkv)*hd], 'bqkv', 'wo', 'bo'}.
+    `rope`: optional (cos, sin) rotary tables applied to q/k after head split
+    (megatron rotary_pos_embedding). `kv_heads` < heads enables grouped-query
+    attention (megatron --group-query-attention): k/v heads are shared across
+    query-head groups. When `kv` is given (cross-attention, CoCa), params must
+    instead hold 'wq' [W, W] and 'wkv' [Wkv, 2W].
     """
     b, s, w = x.shape
+    hkv = kv_heads or heads
     if kv is None:
+        head_dim = params["wqkv"].shape[1] // (heads + 2 * hkv)
         qkv = jnp.einsum("bsw,wd->bsd", x, params["wqkv"].astype(x.dtype))
         if params.get("bqkv") is not None:
             qkv = qkv + params["bqkv"].astype(x.dtype)
-        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = qkv[..., :heads * head_dim]
+        k = qkv[..., heads * head_dim:(heads + hkv) * head_dim]
+        v = qkv[..., (heads + hkv) * head_dim:]
     else:
         q = jnp.einsum("bsw,wd->bsd", x, params["wq"].astype(x.dtype))
         if params.get("bq") is not None:
@@ -87,10 +95,22 @@ def multi_head_attention(x, params, heads: int, *, causal: bool = False,
             kvp = kvp + params["bkv"].astype(kv.dtype)
         k, v = jnp.split(kvp, 2, axis=-1)
 
-    def split_heads(t):
-        return t.reshape(b, t.shape[1], heads, -1).transpose(0, 2, 1, 3)
+    def split_heads(t, h):
+        return t.reshape(b, t.shape[1], h, -1).transpose(0, 2, 1, 3)
 
-    out = _attention(split_heads(q), split_heads(k), split_heads(v),
+    qh = split_heads(q, heads)
+    kh = split_heads(k, hkv if kv is None else heads)
+    vh = split_heads(v, hkv if kv is None else heads)
+    if rope is not None:
+        from megatron_clip_tpu.ops.rope import apply_rope
+        cos, sin = rope
+        qh = apply_rope(qh, cos, sin)
+        kh = apply_rope(kh, cos, sin)
+    if kv is None and hkv != heads:
+        rep = heads // hkv
+        kh = jnp.repeat(kh, rep, axis=1)
+        vh = jnp.repeat(vh, rep, axis=1)
+    out = _attention(qh, kh, vh,
                      causal=causal, bias=bias, scale=None, use_flash=use_flash)
     out = out.transpose(0, 2, 1, 3).reshape(b, s, w)
     out = jnp.einsum("bsw,wd->bsd", out, params["wo"].astype(x.dtype))

@@ -1,0 +1,263 @@
+"""The training orchestration — `pretrain()` for the TPU stack.
+
+Plays the role of megatron's pretrain()/train() (megatron/training.py:60-860:
+init → model+optimizer → data iterators → step loop with logging/eval/save)
+and open_CLIP's main()/train_one_epoch (training/main.py:73-524,
+train.py:338-525), reduced to what TPU actually needs: no DDP wrapping, no
+loss scaling, no rank guards.
+"""
+import dataclasses
+import json
+import math
+import os
+import signal
+import sys
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from megatron_clip_tpu import factory
+from megatron_clip_tpu.config import ParallelCfg, BranchParallelCfg
+from megatron_clip_tpu.checkpoints import (
+    save_checkpoint, load_checkpoint, latest_checkpoint_step)
+from megatron_clip_tpu.data.loaders import get_data
+from megatron_clip_tpu.parallel import build_mesh, clip_param_specs
+from megatron_clip_tpu.training.optim import (
+    make_optimizer, cosine_lr, const_lr, const_lr_cooldown)
+from megatron_clip_tpu.training.train_step import (
+    make_train_step, TrainState, shard_train_state)
+
+
+def _log(msg: str):
+    print(msg, flush=True)
+
+
+def _make_schedule(args, total_steps: int):
+    if args.lr_scheduler == "cosine":
+        return cosine_lr(args.lr, args.warmup, total_steps)
+    if args.lr_scheduler == "const":
+        return const_lr(args.lr, args.warmup)
+    cooldown = (args.epochs_cooldown or 1) * max(total_steps // max(args.epochs, 1), 1)
+    return const_lr_cooldown(args.lr, args.warmup, total_steps, cooldown,
+                             args.lr_cooldown_power, args.lr_cooldown_end)
+
+
+def _model_overrides(args) -> dict:
+    ov = {}
+    vision = {}
+    if args.v_num_layers:
+        vision["layers"] = args.v_num_layers
+    if args.v_hidden_size:
+        vision["width"] = args.v_hidden_size
+    if args.v_patch_size:
+        vision["patch_size"] = args.v_patch_size
+    if args.v_image_size:
+        vision["image_size"] = args.v_image_size
+    if vision:
+        base = factory.get_model_config(args.model.replace("/", "-"))
+        base_v = dict(base["vision_cfg"]) if base else {}
+        base_v.update(vision)
+        ov["vision_cfg"] = base_v
+    return ov
+
+
+def run_training(args) -> dict:
+    devices = jax.devices()
+    tp, pp = args.tensor_model_parallel_size, args.pipeline_model_parallel_size
+    fsdp = args.fsdp_parallel_size
+    extra = args.extra_world_size
+    main_world = len(devices) - extra
+    dp = max(1, main_world // (tp * pp * fsdp))
+
+    model, params = factory.create_model(
+        args.model, precision=args.precision, seed=args.seed,
+        force_quick_gelu=args.force_quick_gelu, **_model_overrides(args))
+    model = dataclasses.replace(model, remat=args.recompute_granularity)
+    n_params = sum(x.size for x in jax.tree.leaves(params))
+    _log(f"model {args.model}: {n_params/1e6:.1f}M params | devices="
+         f"{len(devices)} dp={dp} fsdp={fsdp} tp={tp} pp={pp} extra={extra}")
+
+    try:
+        from megatron_clip_tpu.tokenizer import get_tokenizer
+        tokenizer = get_tokenizer(args.model)
+    except FileNotFoundError:
+        tokenizer = None
+        if args.dataset_type != "synthetic":
+            raise
+    from megatron_clip_tpu.data.transforms import image_transform
+    pp_train = image_transform(model.image_size, is_train=True)
+    pp_val = image_transform(model.image_size, is_train=False)
+    data = get_data(args, pp_train, pp_val, tokenizer,
+                    context_length=model.context_length,
+                    image_size=model.image_size)
+    steps_per_epoch = args.steps_per_epoch or data["train"].num_batches
+    total_steps = steps_per_epoch * args.epochs
+
+    schedule = _make_schedule(args, total_steps)
+    tx_factory = lambda p: make_optimizer(
+        p, schedule, beta1=args.beta1, beta2=args.beta2, eps=args.eps,
+        weight_decay=args.wd, grad_clip_norm=args.grad_clip_norm)
+
+    loss_obj = factory.create_loss(args)
+
+    if extra > 0:
+        runner = _BranchRunner(args, model, tx_factory, devices)
+    else:
+        runner = _JointRunner(args, model, params, tx_factory,
+                              ParallelCfg(dp=dp, fsdp=fsdp, tp=tp, pp=pp,
+                                          microbatches=args.num_microbatches),
+                              loss_obj)
+
+    start_step, consumed = 0, 0
+    if args.resume and args.save:
+        root = os.path.join(args.save, args.name or "default")
+        if latest_checkpoint_step(root) is not None:
+            state, meta, start_step = runner.load(root)
+            consumed = meta.get("consumed_samples", 0)
+            _log(f"resumed from {root} @ step {start_step} "
+                 f"(consumed_samples={consumed})")
+
+    save_root = os.path.join(args.save, args.name or "default") if args.save else None
+    writer = None
+    if "tensorboard" in (args.report_to or "") and save_root:
+        try:
+            from tensorboardX import SummaryWriter
+            writer = SummaryWriter(os.path.join(save_root, "tensorboard"))
+        except ImportError:
+            _log("tensorboardX unavailable; skipping TB logging")
+    # SIGTERM -> save-and-exit (megatron DistributedSignalHandler semantics,
+    # megatron/dist_signal_handler.py + training.py:815-821)
+    term = {"flag": False}
+    prev_handler = None
+    def _on_term(signum, frame):
+        term["flag"] = True
+    try:
+        prev_handler = signal.signal(signal.SIGTERM, _on_term)
+    except ValueError:
+        pass  # not in main thread (tests)
+
+    step = start_step
+    t_window = time.perf_counter()
+    window_samples = 0
+    final_metrics = {}
+    # consumed-samples resume: fast-forward within the interrupted epoch
+    # (megatron/training.py:1031-1038 dataloader resume semantics)
+    start_epoch = start_step // steps_per_epoch
+    skip_batches = start_step % steps_per_epoch
+    for epoch in range(start_epoch, args.epochs):
+        for batch_i, (images, texts) in enumerate(data["train"]):
+            if epoch == start_epoch and batch_i < skip_batches:
+                continue
+            if step >= total_steps or (args.exit_interval and
+                                       step >= args.exit_interval):
+                break
+            metrics = runner.step(images, texts)
+            step += 1
+            consumed += args.batch_size
+            window_samples += args.batch_size
+            if step % args.log_interval == 0 or step == total_steps:
+                loss = float(metrics["loss"])  # forces device sync
+                dt = time.perf_counter() - t_window
+                ips = window_samples / dt if dt > 0 else 0.0
+                lr_now = float(schedule(step))
+                scale = float(metrics.get("logit_scale", 0.0))
+                _log(f"step {step}/{total_steps} | epoch {epoch} | "
+                     f"loss {loss:.4f} | lr {lr_now:.3e} | "
+                     f"logit_scale {scale:.2f} | {ips:.1f} samples/s")
+                if writer is not None:
+                    writer.add_scalar("train/loss", loss, step)
+                    writer.add_scalar("train/lr", lr_now, step)
+                    writer.add_scalar("train/logit_scale", scale, step)
+                    writer.add_scalar("train/samples_per_s", ips, step)
+                final_metrics = {"loss": loss, "samples_per_s": ips,
+                                 "step": step}
+                t_window = time.perf_counter()
+                window_samples = 0
+            if save_root and args.save_interval and step % args.save_interval == 0:
+                runner.save(save_root, step, consumed)
+            if term["flag"]:
+                if save_root:
+                    runner.save(save_root, step, consumed)
+                    _log(f"SIGTERM: saved checkpoint @ step {step}, exiting")
+                if prev_handler is not None:
+                    signal.signal(signal.SIGTERM, prev_handler)
+                return final_metrics
+        if save_root and ((epoch + 1) % args.save_frequency == 0):
+            runner.save(save_root, step, consumed)
+            _log(f"saved checkpoint @ step {step}")
+    if prev_handler is not None:
+        signal.signal(signal.SIGTERM, prev_handler)
+    return final_metrics
+
+
+class _JointRunner:
+    """Single-mesh (dp/fsdp/tp[/pp]) train-step runner."""
+
+    def __init__(self, args, model, params, tx_factory, pcfg, loss_obj):
+        self.mesh = build_mesh(pcfg) if pcfg.num_devices > 1 else None
+        self.tx = tx_factory(params)
+        state = TrainState.create(params, self.tx)
+        if self.mesh is not None:
+            from megatron_clip_tpu.parallel.mesh import STAGE
+            stage_axis = STAGE if pcfg.pp > 1 else None
+            specs = clip_param_specs(params, stage_axis=stage_axis)
+            state = shard_train_state(state, self.mesh, specs)
+        self.state = state
+        self.step_fn = make_train_step(model, self.tx, loss_obj=loss_obj,
+                                       mesh=self.mesh,
+                                       microbatches=max(1, args.accum_freq))
+
+    def step(self, images, texts):
+        self.state, metrics = self.step_fn(self.state, jnp.asarray(images),
+                                           jnp.asarray(texts))
+        return metrics
+
+    def save(self, root, step, consumed):
+        save_checkpoint(root, step, self.state._asdict(),
+                        {"consumed_samples": consumed})
+
+    def load(self, root):
+        tree, meta, step = load_checkpoint(root, self.state._asdict())
+        self.state = TrainState(**tree)
+        return self.state, meta, step
+
+
+class _BranchRunner:
+    """Branch-parallel (two-mesh) runner: --extra-world-size > 0."""
+
+    def __init__(self, args, model, tx_factory, devices):
+        from megatron_clip_tpu.parallel.branch import BranchParallelCLIP
+        extra = args.extra_world_size
+        main_world = len(devices) - extra
+        tp, pp = args.tensor_model_parallel_size, args.pipeline_model_parallel_size
+        xtp, xpp = args.xtensor_model_parallel_size, args.xpipeline_model_parallel_size
+        vdp = max(1, main_world // (tp * pp))
+        tdp = max(1, extra // (xtp * xpp))
+        bp = BranchParallelCfg(
+            vision=ParallelCfg(dp=vdp, tp=tp, pp=pp,
+                               microbatches=args.num_microbatches),
+            text=ParallelCfg(dp=tdp, tp=xtp, pp=xpp,
+                             microbatches=args.num_microbatches))
+        self.runner = BranchParallelCLIP(
+            cfg=model.cfg, bp=bp, compute_dtype=model.precision.compute_jnp,
+            remat=model.remat, devices=devices)
+        self.state = self.runner.init_state(jax.random.PRNGKey(args.seed),
+                                            tx_factory)
+
+    def step(self, images, texts):
+        self.state, metrics = self.runner.train_step(
+            self.state, jnp.asarray(images), jnp.asarray(texts))
+        return metrics
+
+    def save(self, root, step, consumed):
+        save_checkpoint(root, step, self.state._asdict(),
+                        {"consumed_samples": consumed})
+
+    def load(self, root):
+        from megatron_clip_tpu.parallel.branch import BranchState
+        tree, meta, step = load_checkpoint(root, self.state._asdict())
+        self.state = BranchState(**tree)
+        return self.state, meta, step

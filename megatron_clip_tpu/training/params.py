@@ -1,0 +1,126 @@
+"""Training CLI flags.
+
+Merges the two flag systems of the reference into one argparse:
+  - open_CLIP's training flags (open_CLIP/src/training/params.py — data,
+    model, optimization, checkpointing, logging), same names where sensible;
+  - megatron's parallelism flags (megatron/arguments.py), including the
+    branch-parallel family `--extra-world-size`,
+    `--xtensor-model-parallel-size`, `--xpipeline-model-parallel-size`
+    (arguments.py:1114-1123) and the `--v-*` vision-tower overrides
+    (arguments.py:1357-1394).
+On TPU the "world" is the local device count (or the mesh given), so
+rank/env discovery (training/distributed.py:43-115) has no equivalent.
+"""
+import argparse
+
+
+def parse_args(args=None):
+    p = argparse.ArgumentParser("megatron_clip_tpu pretraining")
+
+    # --- data ---------------------------------------------------------------
+    p.add_argument("--train-data", type=str, default=None,
+                   help="path: webdataset shard spec (brace-expandable), csv "
+                        "file, or empty for synthetic")
+    p.add_argument("--val-data", type=str, default=None)
+    p.add_argument("--dataset-type", choices=["webdataset", "csv", "synthetic",
+                                              "auto"], default="auto")
+    p.add_argument("--train-num-samples", type=int, default=None)
+    p.add_argument("--val-num-samples", type=int, default=None)
+    p.add_argument("--csv-separator", type=str, default="\t")
+    p.add_argument("--csv-img-key", type=str, default="filepath")
+    p.add_argument("--csv-caption-key", type=str, default="title")
+    p.add_argument("--workers", type=int, default=4)
+
+    # --- model --------------------------------------------------------------
+    p.add_argument("--model", type=str, default="ViT-B-32")
+    p.add_argument("--pretrained", type=str, default="")
+    p.add_argument("--precision", choices=["amp", "amp_bf16", "bf16", "fp16",
+                                           "fp32", "pure_bf16"], default="bf16")
+    p.add_argument("--force-quick-gelu", action="store_true")
+    p.add_argument("--grad-checkpointing", action="store_true",
+                   help="full activation recompute (megatron "
+                        "--recompute-granularity full)")
+    p.add_argument("--recompute-granularity",
+                   choices=["none", "selective", "full"], default="none")
+    p.add_argument("--siglip", action="store_true",
+                   help="use SigLIP sigmoid pairwise loss")
+    p.add_argument("--local-loss", action="store_true", default=True)
+    p.add_argument("--gather-with-grad", action="store_true", default=True)
+
+    # --- optimization (open_CLIP defaults) -----------------------------------
+    p.add_argument("--batch-size", type=int, default=64,
+                   help="GLOBAL batch size (the mesh shards it)")
+    p.add_argument("--epochs", type=int, default=1)
+    p.add_argument("--steps-per-epoch", type=int, default=None)
+    p.add_argument("--lr", type=float, default=5.0e-4)
+    p.add_argument("--beta1", type=float, default=0.9)
+    p.add_argument("--beta2", type=float, default=0.98)
+    p.add_argument("--eps", type=float, default=1.0e-6)
+    p.add_argument("--wd", type=float, default=0.2)
+    p.add_argument("--warmup", type=int, default=1000)
+    p.add_argument("--lr-scheduler", choices=["cosine", "const",
+                                              "const-cooldown"], default="cosine")
+    p.add_argument("--lr-cooldown-end", type=float, default=0.0)
+    p.add_argument("--lr-cooldown-power", type=float, default=1.0)
+    p.add_argument("--epochs-cooldown", type=int, default=None)
+    p.add_argument("--grad-clip-norm", type=float, default=None)
+    p.add_argument("--accum-freq", type=int, default=1,
+                   help="gradient accumulation steps (microbatches)")
+    p.add_argument("--seed", type=int, default=0)
+
+    # --- parallelism (megatron names) ----------------------------------------
+    p.add_argument("--tensor-model-parallel-size", type=int, default=1)
+    p.add_argument("--pipeline-model-parallel-size", type=int, default=1)
+    p.add_argument("--fsdp-parallel-size", type=int, default=1,
+                   help="param/optimizer shard axis (ZeRO / distributed "
+                        "optimizer analogue, --use-distributed-optimizer)")
+    p.add_argument("--num-microbatches", type=int, default=1)
+    p.add_argument("--sequence-parallel", action="store_true")
+    p.add_argument("--extra-world-size", type=int, default=0,
+                   help="devices for the text branch; >0 enables "
+                        "branch-parallel two-mesh training")
+    p.add_argument("--xtensor-model-parallel-size", type=int, default=1)
+    p.add_argument("--xpipeline-model-parallel-size", type=int, default=1)
+
+    # --- vision tower overrides (megatron --v-* family) ----------------------
+    p.add_argument("--v-num-layers", type=int, default=None)
+    p.add_argument("--v-hidden-size", type=int, default=None)
+    p.add_argument("--v-patch-size", type=int, default=None)
+    p.add_argument("--v-image-size", type=int, default=None)
+
+    # --- checkpointing / logging ---------------------------------------------
+    p.add_argument("--save", "--logs", dest="save", type=str, default=None,
+                   help="checkpoint/log root directory")
+    p.add_argument("--name", type=str, default=None)
+    p.add_argument("--save-frequency", type=int, default=1,
+                   help="save every N epochs")
+    p.add_argument("--save-interval", type=int, default=None,
+                   help="save every N steps (megatron --save-interval)")
+    p.add_argument("--resume", type=str, default=None,
+                   help="'latest' or a checkpoint dir")
+    p.add_argument("--log-interval", type=int, default=10,
+                   help="console/TB metrics every N steps (megatron "
+                        "--log-interval)")
+    p.add_argument("--report-to", type=str, default="",
+                   help="comma list: tensorboard")
+    p.add_argument("--exit-interval", type=int, default=None,
+                   help="stop after N steps total (megatron --exit-interval)")
+
+    # --- eval ----------------------------------------------------------------
+    p.add_argument("--val-frequency", type=int, default=1)
+    p.add_argument("--imagenet-val", type=str, default=None,
+                   help="path to ImageNet val dir for zero-shot eval")
+    p.add_argument("--zeroshot-frequency", type=int, default=2)
+
+    ns = p.parse_args(args)
+    if ns.grad_checkpointing and ns.recompute_granularity == "none":
+        ns.recompute_granularity = "full"
+    if ns.dataset_type == "auto":
+        if not ns.train_data:
+            ns.dataset_type = "synthetic"
+        elif ns.train_data.endswith((".csv", ".tsv")):
+            ns.dataset_type = "csv"
+        else:
+            ns.dataset_type = "webdataset"
+    ns.loss_axis_name = None  # jit-sharded path needs no explicit axis
+    return ns

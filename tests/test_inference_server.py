@@ -1,0 +1,60 @@
+"""REST generation server tests (reference: text_generation_server API)."""
+import json
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+
+from megatron_clip_tpu.models.gpt import GPTCfg, init_gpt
+from megatron_clip_tpu.tokenizer import find_bpe_vocab
+
+pytestmark = pytest.mark.skipif(find_bpe_vocab() is None,
+                                reason="no BPE vocab")
+
+TINY = GPTCfg(num_layers=2, hidden_size=64, num_heads=4, vocab_size=49408,
+              seq_length=64)
+
+
+@pytest.fixture(scope="module")
+def server():
+    from megatron_clip_tpu.tokenizer import SimpleTokenizer
+    from megatron_clip_tpu.inference.server import GenerationService, run_server
+    tok = SimpleTokenizer()
+    params = init_gpt(jax.random.PRNGKey(0), TINY)
+    service = GenerationService(params, TINY, tok, eos_id=tok.eot_token_id)
+    srv = run_server(service, host="127.0.0.1", port=0)
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def _put(url, payload):
+    req = urllib.request.Request(url + "/api", method="PUT",
+                                 data=json.dumps(payload).encode(),
+                                 headers={"Content-Type": "application/json"})
+    try:
+        with urllib.request.urlopen(req, timeout=300) as r:
+            return r.status, json.loads(r.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_generate_endpoint(server):
+    status, out = _put(server, {"prompts": ["a photo of"],
+                                "tokens_to_generate": 4,
+                                "temperature": 0.0})
+    assert status == 200
+    assert isinstance(out["text"], list) and len(out["text"]) == 1
+    assert isinstance(out["text"][0], str)
+
+
+def test_bad_request(server):
+    status, out = _put(server, {"prompts": []})
+    assert status == 400 and "message" in out
+
+
+def test_multi_prompt_batch(server):
+    status, out = _put(server, {"prompts": ["one", "two three"],
+                                "tokens_to_generate": 3,
+                                "temperature": 1.0, "top_k": 5})
+    assert status == 200 and len(out["text"]) == 2

@@ -1,0 +1,56 @@
+#!/usr/bin/env python
+"""Launch the REST text-generation server
+(reference: tools/run_text_generation_server.py + megatron/
+text_generation_server.py). Loads a GPT checkpoint (or random init for
+smoke) and serves PUT /api.
+
+  python tools/run_text_generation_server.py --num-layers 12 ... --port 5000
+  curl -X PUT http://localhost:5000/api \\
+      -d '{"prompts": ["hello"], "tokens_to_generate": 16}'
+"""
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+
+def main(argv=None):
+    import jax
+    from pretrain_gpt import parse_args
+    import argparse
+
+    p = argparse.ArgumentParser(add_help=False)
+    p.add_argument("--port", type=int, default=5000)
+    p.add_argument("--load", type=str, default=None,
+                   help="checkpoint root (latest_checkpointed_iteration.txt)")
+    srv_args, rest = p.parse_known_args(argv)
+    args = parse_args(rest)
+
+    from megatron_clip_tpu.models.gpt import GPTCfg, init_gpt
+    from megatron_clip_tpu.tokenizer import SimpleTokenizer
+    from megatron_clip_tpu.inference.server import GenerationService, run_server
+
+    tok = SimpleTokenizer()
+    cfg = GPTCfg(num_layers=args.num_layers, hidden_size=args.hidden_size,
+                 num_heads=args.num_heads, vocab_size=args.vocab_size,
+                 seq_length=args.seq_length,
+                 position_embedding=args.position_embedding)
+    params = init_gpt(jax.random.PRNGKey(args.seed), cfg)
+    if srv_args.load:
+        from megatron_clip_tpu.checkpoints import load_checkpoint
+        tree, _, step = load_checkpoint(srv_args.load, {"params": params})
+        params = tree["params"]
+        print(f"loaded checkpoint @ step {step}")
+
+    service = GenerationService(params, cfg, tok, eos_id=tok.eot_token_id)
+    server = run_server(service, port=srv_args.port)
+    print(f"serving on :{srv_args.port} (PUT /api)", flush=True)
+    try:
+        import threading
+        threading.Event().wait()
+    except KeyboardInterrupt:
+        server.shutdown()
+
+
+if __name__ == "__main__":
+    main()
