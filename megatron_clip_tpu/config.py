@@ -64,6 +64,10 @@ class TransformerCfg:
     rope: bool = False       # rotary embeddings (megatron --use-rotary-position-embeddings)
     rope_theta: float = 10000.0
     kv_heads: Optional[int] = None  # grouped-query attention (megatron --group-query-attention)
+    num_experts: int = 0     # >0: SwitchMLP MoE (megatron --num-experts)
+    moe_capacity_factor: float = 1.25
+    moe_router: str = "sinkhorn"  # sinkhorn (megatron) | top1 (switch)
+    sequence_parallel: bool = False  # shard activations on seq over tensor axis
     # execution knobs
     remat: str = "none"  # none | full | selective  (megatron --recompute-granularity)
     use_flash: bool = True  # Pallas flash attention when on TPU

@@ -158,12 +158,14 @@ class CLIPModel:
     precision: Precision = BF16
     name: str = ""
     remat: str = "none"  # none | selective | full (megatron --recompute-granularity)
+    sequence_parallel: bool = False  # megatron --sequence-parallel
 
     def init(self, rng) -> Any:
         return init_clip(rng, self.cfg, dtype=self.precision.param_jnp)
 
     def __call__(self, params, images, text_ids, **kw):
         kw.setdefault("remat", self.remat)
+        kw.setdefault("sequence_parallel", self.sequence_parallel)
         return apply_clip(params, images, text_ids, self.cfg,
                           compute_dtype=self.precision.compute_jnp, **kw)
 

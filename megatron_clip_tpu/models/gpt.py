@@ -33,6 +33,8 @@ class GPTCfg:
     normalization: str = "layernorm"     # layernorm | rmsnorm
     use_bias: bool = True
     kv_heads: Optional[int] = None       # GQA
+    num_experts: int = 0                 # SwitchMLP MoE (--num-experts)
+    moe_aux_loss_coeff: float = 0.01
     tie_embeddings: bool = True
     init_std: float = 0.02
 
@@ -43,7 +45,8 @@ class GPTCfg:
             act="swiglu" if self.swiglu else "gelu_tanh",
             norm=self.normalization, use_bias=self.use_bias,
             rope=self.position_embedding == "rope",
-            rope_theta=self.rope_theta, kv_heads=self.kv_heads, **overrides)
+            rope_theta=self.rope_theta, kv_heads=self.kv_heads,
+            num_experts=self.num_experts, **overrides)
 
 
 def init_gpt(key, cfg: GPTCfg, dtype=jnp.float32):
@@ -72,10 +75,13 @@ def apply_gpt(params, tokens, cfg: GPTCfg, *, compute_dtype=jnp.bfloat16,
     x = params["tok_embed"][tokens].astype(compute_dtype)
     if "pos_embed" in params:
         x = x + params["pos_embed"][:s].astype(compute_dtype)[None]
+    aux = None
     if layers_fn is None:
         x = apply_transformer(params["blocks"], x, tcfg, causal=True)
     else:
         x = layers_fn(params["blocks"], x, tcfg, causal=True)
+    if cfg.num_experts:
+        x, aux = x
     x = apply_norm(params["ln_f"], x, cfg.normalization)
     if return_hidden:
         return x
@@ -85,22 +91,32 @@ def apply_gpt(params, tokens, cfg: GPTCfg, *, compute_dtype=jnp.bfloat16,
     else:
         logits = jnp.einsum("bsw,wv->bsv", x,
                             params["lm_head"].astype(x.dtype))
-    return logits.astype(jnp.float32)
+    logits = logits.astype(jnp.float32)
+    if cfg.num_experts:
+        return logits, aux
+    return logits
 
 
 def gpt_loss(params, tokens, cfg: GPTCfg, *, loss_mask=None,
              compute_dtype=jnp.bfloat16, tcfg=None, layers_fn=None):
     """Next-token LM loss: predict tokens[:, 1:] from tokens[:, :-1]
     (pretrain_gpt.py loss_func semantics, with loss-mask averaging)."""
-    logits = apply_gpt(params, tokens[:, :-1], cfg,
-                       compute_dtype=compute_dtype, tcfg=tcfg,
-                       layers_fn=layers_fn)
+    out = apply_gpt(params, tokens[:, :-1], cfg,
+                    compute_dtype=compute_dtype, tcfg=tcfg,
+                    layers_fn=layers_fn)
+    aux = jnp.zeros((), jnp.float32)
+    if cfg.num_experts:
+        logits, aux = out
+    else:
+        logits = out
     targets = tokens[:, 1:]
     per_tok = cross_entropy(logits, targets)
     if loss_mask is None:
-        return per_tok.mean()
-    m = loss_mask[:, 1:].astype(jnp.float32)
-    return jnp.sum(per_tok * m) / jnp.maximum(jnp.sum(m), 1.0)
+        loss = per_tok.mean()
+    else:
+        m = loss_mask[:, 1:].astype(jnp.float32)
+        loss = jnp.sum(per_tok * m) / jnp.maximum(jnp.sum(m), 1.0)
+    return loss + cfg.moe_aux_loss_coeff * aux
 
 
 def gpt_param_specs(params, *, stage_axis=None):

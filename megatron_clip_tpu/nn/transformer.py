@@ -70,11 +70,17 @@ def init_block(key, cfg: TransformerCfg, dtype=jnp.float32):
             "w2": (jax.random.normal(k_proj, (cfg.mlp_hidden, w)) * proj_std).astype(dtype),
         },
     }
+    if cfg.num_experts:
+        from megatron_clip_tpu.ops.moe import init_switch_mlp
+        del block["mlp"]
+        block["moe"] = init_switch_mlp(k_fc, w, cfg.mlp_hidden,
+                                       cfg.num_experts, dtype, cfg.use_bias)
     if cfg.use_bias:
         block["attn"]["bqkv"] = jnp.zeros((qkv_out,), dtype=dtype)
         block["attn"]["bo"] = jnp.zeros((w,), dtype=dtype)
-        block["mlp"]["b1"] = jnp.zeros((mlp_in,), dtype=dtype)
-        block["mlp"]["b2"] = jnp.zeros((w,), dtype=dtype)
+        if "mlp" in block:
+            block["mlp"]["b1"] = jnp.zeros((mlp_in,), dtype=dtype)
+            block["mlp"]["b2"] = jnp.zeros((w,), dtype=dtype)
     if cfg.ls_init_value is not None:
         block["ls_1"] = jnp.full((w,), cfg.ls_init_value, dtype=dtype)
         block["ls_2"] = jnp.full((w,), cfg.ls_init_value, dtype=dtype)
@@ -90,9 +96,24 @@ def init_transformer(key, cfg: TransformerCfg, dtype=jnp.float32):
 
 # ------------------------------- apply -------------------------------------
 
+def _sp_constraint(x, cfg):
+    """Sequence parallelism (Korthikanti-style; megatron --sequence-parallel,
+    SURVEY §2.1): between blocks, activations are sharded along the sequence
+    dim over the `tensor` axis, so LN/dropout/residual work is 1/tp per
+    device; XLA inserts the all-gather before each TP matmul and the
+    reduce-scatter after the row-parallel one — exactly mappings.py:246-341.
+    Requires an active mesh (jax.sharding.use_mesh) at trace time."""
+    if not cfg.sequence_parallel:
+        return x
+    from jax.sharding import PartitionSpec as P
+    from megatron_clip_tpu.parallel.mesh import DATA, FSDP, TENSOR
+    return jax.lax.with_sharding_constraint(x, P((DATA, FSDP), TENSOR, None))
+
+
 def apply_block(block, x, cfg: TransformerCfg, *, causal: bool = False,
                 bias: Optional[jax.Array] = None, rope=None):
     """x: [B, S, W] in compute dtype."""
+    x = _sp_constraint(x, cfg)
     h = apply_norm(block["ln_1"], x, cfg.norm)
     h = multi_head_attention(h, block["attn"], cfg.heads, causal=causal,
                              bias=bias, use_flash=cfg.use_flash, rope=rope,
@@ -101,17 +122,27 @@ def apply_block(block, x, cfg: TransformerCfg, *, causal: bool = False,
         h = h * block["ls_1"].astype(h.dtype)
     x = x + h
     h = apply_norm(block["ln_2"], x, cfg.norm)
-    h = jnp.einsum("bsw,wd->bsd", h, block["mlp"]["w1"].astype(h.dtype))
-    b1 = block["mlp"].get("b1")
-    if cfg.act == "swiglu":
-        h = swiglu(h, None if b1 is None else b1.astype(h.dtype))
+    aux = jnp.zeros((), jnp.float32)
+    if "moe" in block:
+        from megatron_clip_tpu.ops.moe import apply_switch_mlp
+        h, aux = apply_switch_mlp(
+            block["moe"], h, act=cfg.act,
+            capacity_factor=cfg.moe_capacity_factor,
+            router_mode=cfg.moe_router)
     else:
-        h = bias_act(h, None if b1 is None else b1.astype(h.dtype), cfg.act)
-    h = jnp.einsum("bsw,wd->bsd", h, block["mlp"]["w2"].astype(h.dtype))
-    if block["mlp"].get("b2") is not None:
-        h = h + block["mlp"]["b2"].astype(h.dtype)
+        h = jnp.einsum("bsw,wd->bsd", h, block["mlp"]["w1"].astype(h.dtype))
+        b1 = block["mlp"].get("b1")
+        if cfg.act == "swiglu":
+            h = swiglu(h, None if b1 is None else b1.astype(h.dtype))
+        else:
+            h = bias_act(h, None if b1 is None else b1.astype(h.dtype), cfg.act)
+        h = jnp.einsum("bsw,wd->bsd", h, block["mlp"]["w2"].astype(h.dtype))
+        if block["mlp"].get("b2") is not None:
+            h = h + block["mlp"]["b2"].astype(h.dtype)
     if "ls_2" in block:
         h = h * block["ls_2"].astype(h.dtype)
+    if cfg.num_experts:
+        return x + h, aux
     return x + h
 
 
@@ -136,13 +167,28 @@ def apply_transformer(blocks, x, cfg: TransformerCfg, *, causal: bool = False,
         block_fn = jax.checkpoint(
             block_fn, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
 
+    moe = cfg.num_experts > 0
     if cfg.scan_layers:
         def body(carry, block):
+            if moe:
+                x, aux = carry
+                x, a = block_fn(block, x)
+                return (x, aux + a), None
             return block_fn(block, carry), None
+        if moe:
+            (x, aux), _ = jax.lax.scan(
+                body, (x, jnp.zeros((), jnp.float32)), blocks)
+            return x, aux
         x, _ = jax.lax.scan(body, x, blocks)
         return x
     else:
         n = jax.tree.leaves(blocks)[0].shape[0]
+        aux = jnp.zeros((), jnp.float32)
         for i in range(n):
-            x = block_fn(jax.tree.map(lambda t: t[i], blocks), x)
-        return x
+            out = block_fn(jax.tree.map(lambda t: t[i], blocks), x)
+            if moe:
+                x, a = out
+                aux = aux + a
+            else:
+                x = out
+        return (x, aux) if moe else x

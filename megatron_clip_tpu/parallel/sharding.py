@@ -61,6 +61,16 @@ def transformer_block_specs(path: str, ndim: int, *, stacked: bool,
         return spec(TENSOR)
     if "attn/wo" in path or "mlp/w2" in path:
         return spec(TENSOR, FSDP)          # row-parallel
+    # MoE expert weights: expert axis over fsdp (megatron's data-modulo-expert
+    # EP groups, parallel_state.py:516-555), hidden dims tensor-parallel
+    if "moe/w1" in path:
+        return spec(FSDP, None, TENSOR)
+    if "moe/w2" in path:
+        return spec(FSDP, TENSOR, None)
+    if "moe/b1" in path:
+        return spec(FSDP, TENSOR)
+    if "moe/b2" in path:
+        return spec(FSDP, None)
     # layernorms, biases of row-parallel layers, layer-scale: replicated
     # (sharded only over stages when stacked)
     return spec(*([None] * (ndim - len(lead))))

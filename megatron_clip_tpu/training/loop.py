@@ -75,7 +75,8 @@ def run_training(args) -> dict:
     model, params = factory.create_model(
         args.model, precision=args.precision, seed=args.seed,
         force_quick_gelu=args.force_quick_gelu, **_model_overrides(args))
-    model = dataclasses.replace(model, remat=args.recompute_granularity)
+    model = dataclasses.replace(model, remat=args.recompute_granularity,
+                                sequence_parallel=args.sequence_parallel)
     n_params = sum(x.size for x in jax.tree.leaves(params))
     _log(f"model {args.model}: {n_params/1e6:.1f}M params | devices="
          f"{len(devices)} dp={dp} fsdp={fsdp} tp={tp} pp={pp} extra={extra}")

@@ -100,6 +100,14 @@ def make_train_step(model, tx, *, loss_obj: Optional[Callable] = None,
 
     if jit:
         step_fn = jax.jit(step_fn, donate_argnums=(0,))
+    if mesh is not None:
+        inner = step_fn
+
+        def step_fn(state, images, texts):  # noqa: F811
+            # set_mesh makes bare PartitionSpec sharding constraints (e.g.
+            # sequence-parallel hints) resolvable inside the jit trace
+            with jax.sharding.set_mesh(mesh):
+                return inner(state, images, texts)
     return step_fn
 
 

@@ -31,6 +31,8 @@ def parse_args(argv=None):
                    default="layernorm")
     p.add_argument("--disable-bias-linear", action="store_true")
     p.add_argument("--untie-embeddings-and-output-weights", action="store_true")
+    p.add_argument("--num-experts", type=int, default=0)
+    p.add_argument("--sequence-parallel", action="store_true")
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--train-steps", type=int, default=20)
     p.add_argument("--lr", type=float, default=3e-4)
@@ -68,10 +70,12 @@ def run(args):
         position_embedding=args.position_embedding, swiglu=args.swiglu,
         normalization=args.normalization,
         use_bias=not args.disable_bias_linear,
+        num_experts=args.num_experts,
         tie_embeddings=not args.untie_embeddings_and_output_weights)
     compute_dtype = jnp.bfloat16 if args.precision in ("bf16", "amp_bf16") \
         else jnp.float32
-    tcfg = cfg.transformer(remat=args.recompute_granularity)
+    tcfg = cfg.transformer(remat=args.recompute_granularity,
+                           sequence_parallel=args.sequence_parallel)
 
     params = init_gpt(jax.random.PRNGKey(args.seed), cfg)
     n = sum(x.size for x in jax.tree.leaves(params))
@@ -119,18 +123,23 @@ def run(args):
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
+    import contextlib
+    mesh_ctx = jax.sharding.set_mesh(mesh) if mesh is not None \
+        else contextlib.nullcontext()
     t0 = time.perf_counter()
     loss = None
-    for i in range(1, args.train_steps + 1):
-        tokens = jnp.asarray(next(batches))
-        params, opt_state, loss = step(params, opt_state, tokens)
-        if i % args.log_interval == 0 or i == args.train_steps:
-            l = float(loss)
-            dt = time.perf_counter() - t0
-            tps = args.batch_size * args.seq_length * args.log_interval / dt
-            print(f"step {i}/{args.train_steps} | lm loss {l:.4f} | "
-                  f"ppl {np.exp(min(l, 20)):.1f} | {tps:.0f} tok/s", flush=True)
-            t0 = time.perf_counter()
+    with mesh_ctx:
+        for i in range(1, args.train_steps + 1):
+            tokens = jnp.asarray(next(batches))
+            params, opt_state, loss = step(params, opt_state, tokens)
+            if i % args.log_interval == 0 or i == args.train_steps:
+                l = float(loss)
+                dt = time.perf_counter() - t0
+                tps = args.batch_size * args.seq_length * args.log_interval / dt
+                print(f"step {i}/{args.train_steps} | lm loss {l:.4f} | "
+                      f"ppl {np.exp(min(l, 20)):.1f} | {tps:.0f} tok/s",
+                      flush=True)
+                t0 = time.perf_counter()
     return {"loss": float(loss)}
 
 

@@ -103,3 +103,22 @@ def test_optimizer_state_is_sharded(devices8):
     leaves = [x for x in jax.tree.leaves(state.opt_state)
               if hasattr(x, "sharding") and x.ndim >= 2]
     assert any(not l.sharding.is_fully_replicated for l in leaves)
+
+
+def test_sequence_parallel_matches(devices8):
+    """--sequence-parallel activation sharding must not change numerics
+    (Korthikanti SP, SURVEY §2.1)."""
+    import dataclasses
+    from megatron_clip_tpu.factory import CLIPModel
+    mesh = build_mesh(ParallelCfg(dp=2, tp=4))
+    model = CLIPModel(cfg=TINY, precision=Precision("float32", "float32"))
+    model_sp = dataclasses.replace(model, sequence_parallel=True)
+    params = init_clip(jax.random.PRNGKey(0), TINY)
+    sparams = shard_params(params, mesh)
+    images, texts = _data()
+    want = model(params, images, texts)
+    with jax.sharding.set_mesh(mesh):
+        got = jax.jit(lambda p, i, t: model_sp(p, i, t))(sparams, images, texts)
+    np.testing.assert_allclose(np.asarray(got["image_features"]),
+                               np.asarray(want["image_features"]),
+                               rtol=2e-4, atol=2e-5)
