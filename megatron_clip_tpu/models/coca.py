@@ -1,0 +1,160 @@
+"""CoCa: Contrastive Captioner (two-tower CLIP + multimodal text decoder).
+
+Follows open_CLIP's CoCa (open_CLIP/src/open_clip/coca_model.py:79-458):
+  - vision tower with attentional pooling: query 0 -> contrastive embedding,
+    remaining queries -> caption context tokens;
+  - text tower with an appended CLS token (embed_cls=True,
+    transformer.py:516-654): CLS output -> contrastive text embedding, token
+    outputs feed the decoder;
+  - multimodal decoder (coca_model.py MultimodalTransformer): causal
+    self-attention + cross-attention over image tokens + MLP per layer,
+    predicting the caption autoregressively;
+  - losses: InfoNCE on the pooled pair + caption cross-entropy (CoCaLoss).
+"""
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from megatron_clip_tpu.config import CLIPCfg, MultimodalCfg
+from megatron_clip_tpu.models.vit import (
+    init_vit, apply_vit, init_attentional_pooler, apply_attentional_pooler)
+from megatron_clip_tpu.models.text import init_text, apply_text
+from megatron_clip_tpu.models.clip import LOGIT_SCALE_MAX, _l2_normalize
+from megatron_clip_tpu.nn.transformer import init_layer_norm, init_block, apply_norm
+from megatron_clip_tpu.ops import layer_norm, multi_head_attention
+from megatron_clip_tpu.ops.activations import bias_act
+
+
+def _init_mm_block(key, cfg: MultimodalCfg, dtype=jnp.float32):
+    """Decoder block: self-attn + cross-attn + mlp (all pre-LN)."""
+    w = cfg.width
+    std = w ** -0.5
+    proj_std = std * ((2 * cfg.layers) ** -0.5)
+    fc_std = (2 * w) ** -0.5
+    ks, kc, kf, kp, kq, kk = jax.random.split(key, 6)
+    hid = int(w * cfg.mlp_ratio)
+    return {
+        "ln_1": init_layer_norm(w, dtype),
+        "attn": {
+            "wqkv": (jax.random.normal(ks, (w, 3 * w)) * std).astype(dtype),
+            "bqkv": jnp.zeros((3 * w,), dtype=dtype),
+            "wo": (jax.random.normal(kp, (w, w)) * proj_std).astype(dtype),
+            "bo": jnp.zeros((w,), dtype=dtype),
+        },
+        "ln_1_kv": init_layer_norm(w, dtype),
+        "cross": {
+            "wq": (jax.random.normal(kq, (w, w)) * std).astype(dtype),
+            "bq": jnp.zeros((w,), dtype=dtype),
+            "wkv": (jax.random.normal(kk, (w, 2 * w)) * std).astype(dtype),
+            "bkv": jnp.zeros((2 * w,), dtype=dtype),
+            "wo": (jax.random.normal(kc, (w, w)) * proj_std).astype(dtype),
+            "bo": jnp.zeros((w,), dtype=dtype),
+        },
+        "ln_2": init_layer_norm(w, dtype),
+        "mlp": {
+            "w1": (jax.random.normal(kf, (w, hid)) * fc_std).astype(dtype),
+            "b1": jnp.zeros((hid,), dtype=dtype),
+            "w2": (jax.random.normal(kp, (hid, w)) * proj_std).astype(dtype),
+            "b2": jnp.zeros((w,), dtype=dtype),
+        },
+    }
+
+
+def init_coca(key, cfg: CLIPCfg, dtype=jnp.float32):
+    assert cfg.multimodal is not None, "CoCa needs multimodal_cfg"
+    mm = cfg.multimodal
+    kv, kt, km, kp, kh, kc = jax.random.split(key, 6)
+    import dataclasses
+    # vision tower pools with 1 + n_queries attentional queries
+    vcfg = dataclasses.replace(cfg.vision, attentional_pool=True,
+                               attn_pooler_queries=mm.attn_pooler_queries + 1)
+    params = {
+        "visual": init_vit(kv, vcfg, cfg.embed_dim, act=cfg.act, dtype=dtype),
+        "text": init_text(kt, cfg.text, cfg.embed_dim, act=cfg.act, dtype=dtype),
+        "logit_scale": jnp.asarray(cfg.init_logit_scale, jnp.float32),
+        # text pooling uses argmax-EOT (same contract as open_CLIP's CLS-at-
+        # end: one position summarizes the caption for the contrastive head)
+        "mm_blocks": [],
+        "mm_ln": init_layer_norm(mm.width, dtype),
+        "mm_proj": {
+            # text-width -> decoder-width adapters when sizes differ
+            "w": (jax.random.normal(kp, (cfg.text.width, mm.width))
+                  * cfg.text.width ** -0.5).astype(dtype),
+        },
+        "img_proj": {
+            "w": (jax.random.normal(kh, (cfg.embed_dim, mm.width))
+                  * cfg.embed_dim ** -0.5).astype(dtype),
+        },
+        "lm_head": {
+            "w": (jax.random.normal(km, (mm.width, cfg.text.vocab_size))
+                  * mm.width ** -0.5).astype(dtype),
+            "b": jnp.zeros((cfg.text.vocab_size,), dtype=dtype),
+        },
+    }
+    keys = jax.random.split(km, mm.layers)
+    blocks = [_init_mm_block(k, mm, dtype) for k in keys]
+    params["mm_blocks"] = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+    return params
+
+
+def _apply_mm_block(block, x, img_tokens, heads):
+    h = layer_norm(x, block["ln_1"]["scale"], block["ln_1"]["bias"])
+    x = x + multi_head_attention(h, block["attn"], heads, causal=True,
+                                 use_flash=False)
+    h = layer_norm(x, block["ln_1_kv"]["scale"], block["ln_1_kv"]["bias"])
+    x = x + multi_head_attention(h, block["cross"], heads, kv=img_tokens,
+                                 use_flash=False)
+    h = layer_norm(x, block["ln_2"]["scale"], block["ln_2"]["bias"])
+    h = jnp.einsum("bsw,wd->bsd", h, block["mlp"]["w1"].astype(h.dtype))
+    h = bias_act(h, block["mlp"]["b1"].astype(h.dtype), "gelu")
+    h = jnp.einsum("bsw,wd->bsd", h, block["mlp"]["w2"].astype(h.dtype))
+    return x + h + block["mlp"]["b2"].astype(h.dtype)
+
+
+def apply_coca(params, images, texts, cfg: CLIPCfg, *,
+               compute_dtype=jnp.bfloat16):
+    """Returns {image_features, text_features, logits, labels, logit_scale}.
+
+    logits predict texts[:, 1:] from texts[:, :-1] through the multimodal
+    decoder (coca_model.py forward)."""
+    mm = cfg.multimodal
+    import dataclasses
+    vcfg = dataclasses.replace(cfg.vision, attentional_pool=True,
+                               attn_pooler_queries=mm.attn_pooler_queries + 1)
+    # vision attentional pool: query 0 -> contrastive, rest -> caption context
+    img_queries, pool_tokens = apply_vit(
+        params["visual"], images, vcfg, cfg.embed_dim, act=cfg.act,
+        compute_dtype=compute_dtype, output_tokens=True)
+    img_ctx = pool_tokens[:, 1:]                      # [B, nq, E]
+    img_ctx = img_ctx @ params["img_proj"]["w"].astype(img_ctx.dtype)
+
+    image_features = _l2_normalize(img_queries)
+
+    # text: tokens through the unimodal tower; CLS appended at the end
+    pooled_txt, tok_out = apply_text(params["text"], texts, cfg.text,
+                                     cfg.embed_dim, act=cfg.act,
+                                     compute_dtype=compute_dtype,
+                                     output_tokens=True)
+    text_features = _l2_normalize(pooled_txt)
+
+    # decoder input: unimodal token states (teacher forcing, drop last)
+    x = tok_out[:, :-1] @ params["mm_proj"]["w"].astype(tok_out.dtype)
+    n_layers = jax.tree.leaves(params["mm_blocks"])[0].shape[0]
+
+    def body(carry, block):
+        return _apply_mm_block(block, carry, img_ctx, mm.heads), None
+
+    x, _ = jax.lax.scan(body, x, params["mm_blocks"])
+    x = layer_norm(x, params["mm_ln"]["scale"], params["mm_ln"]["bias"])
+    logits = x @ params["lm_head"]["w"].astype(x.dtype) \
+        + params["lm_head"]["b"].astype(x.dtype)
+
+    return {
+        "image_features": image_features,
+        "text_features": text_features,
+        "logits": logits.astype(jnp.float32),
+        "labels": texts[:, 1:],
+        "logit_scale": jnp.exp(jnp.minimum(params["logit_scale"],
+                                           LOGIT_SCALE_MAX)),
+    }

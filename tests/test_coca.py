@@ -1,0 +1,58 @@
+"""CoCa model tests: forward shapes, both loss terms trainable."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from megatron_clip_tpu.config import CLIPCfg, VisionCfg, TextCfg, MultimodalCfg
+from megatron_clip_tpu.models.coca import init_coca, apply_coca
+from megatron_clip_tpu.losses import CoCaLoss
+
+TINY = CLIPCfg(
+    embed_dim=64,
+    vision=VisionCfg(layers=2, width=64, head_width=32, patch_size=8,
+                     image_size=32, attn_pooler_heads=2),
+    text=TextCfg(context_length=16, vocab_size=512, width=64, heads=2, layers=2),
+    multimodal=MultimodalCfg(context_length=15, width=64, heads=2, layers=2,
+                             attn_pooler_queries=8),
+)
+
+
+def _batch(b=4):
+    k = jax.random.PRNGKey(1)
+    ki, kt = jax.random.split(k)
+    images = jax.random.normal(ki, (b, 32, 32, 3))
+    texts = jax.random.randint(kt, (b, 16), 1, 510).astype(jnp.int32)
+    return images, texts.at[:, 12].set(511)
+
+
+def test_forward_shapes():
+    params = init_coca(jax.random.PRNGKey(0), TINY)
+    images, texts = _batch()
+    out = apply_coca(params, images, texts, TINY, compute_dtype=jnp.float32)
+    assert out["image_features"].shape == (4, 64)
+    assert out["text_features"].shape == (4, 64)
+    assert out["logits"].shape == (4, 15, 512)
+    np.testing.assert_array_equal(np.asarray(out["labels"]),
+                                  np.asarray(texts[:, 1:]))
+    np.testing.assert_allclose(
+        np.linalg.norm(np.asarray(out["image_features"]), axis=-1), 1.0,
+        rtol=1e-5)
+
+
+def test_coca_loss_trains():
+    params = init_coca(jax.random.PRNGKey(0), TINY)
+    images, texts = _batch()
+    loss_obj = CoCaLoss(caption_loss_weight=2.0, clip_loss_weight=1.0)
+
+    def loss_fn(p):
+        o = apply_coca(p, images, texts, TINY, compute_dtype=jnp.float32)
+        d = loss_obj(o["image_features"], o["text_features"], o["logits"],
+                     o["labels"], o["logit_scale"], output_dict=True)
+        return d["contrastive_loss"] + d["caption_loss"]
+
+    loss, g = jax.value_and_grad(loss_fn)(params)
+    assert np.isfinite(float(loss))
+    # both branches receive gradient
+    assert float(jnp.abs(g["mm_blocks"]["cross"]["wq"]).sum()) > 0
+    assert float(jnp.abs(g["visual"]["attn_pool"]["query"]).sum()) > 0
+    assert float(jnp.abs(g["lm_head"]["w"]).sum()) > 0

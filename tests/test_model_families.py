@@ -1,0 +1,123 @@
+"""BERT / T5 / ViT-classify / DINO workload tests (tiny configs, CPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from megatron_clip_tpu.config import VisionCfg
+
+
+def test_bert_masked_lm():
+    from megatron_clip_tpu.models.bert import (
+        BertCfg, init_bert, apply_bert, bert_loss, make_bert_masking)
+    cfg = BertCfg(num_layers=2, hidden_size=64, num_heads=4, vocab_size=256,
+                  seq_length=32)
+    params = init_bert(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(0)
+    tokens = rng.randint(4, 256, (2, 32)).astype(np.int32)
+    masked, labels, mask = make_bert_masking(rng, tokens, 3, 256)
+    assert mask.sum() > 0
+    lm_logits, nsp = apply_bert(params, jnp.asarray(masked), cfg,
+                                compute_dtype=jnp.float32)
+    assert lm_logits.shape == (2, 32, 256) and nsp.shape == (2, 2)
+    # padding mask changes outputs
+    pad = np.ones((2, 32), np.int32)
+    pad[:, 20:] = 0
+    lm2, _ = apply_bert(params, jnp.asarray(masked), cfg,
+                        pad_mask=jnp.asarray(pad), compute_dtype=jnp.float32)
+    assert not np.allclose(np.asarray(lm_logits), np.asarray(lm2))
+    loss = bert_loss(params, jnp.asarray(masked), jnp.asarray(labels),
+                     jnp.asarray(mask), cfg,
+                     is_next=jnp.zeros(2, jnp.int32),
+                     compute_dtype=jnp.float32)
+    assert np.isfinite(float(loss))
+    # loss near ln(V) + ln(2) at random init
+    assert abs(float(loss) - (np.log(256) + np.log(2))) < 1.5
+
+
+def test_t5_encoder_decoder():
+    from megatron_clip_tpu.models.t5 import T5Cfg, init_t5, apply_t5, t5_loss
+    cfg = T5Cfg(num_layers=2, num_decoder_layers=2, hidden_size=64,
+                num_heads=4, vocab_size=256, max_seq_length=32,
+                max_decode_length=16)
+    params = init_t5(jax.random.PRNGKey(0), cfg)
+    enc = jax.random.randint(jax.random.PRNGKey(1), (2, 32), 4, 256)
+    dec = jax.random.randint(jax.random.PRNGKey(2), (2, 16), 4, 256)
+    logits = apply_t5(params, enc, dec, cfg, compute_dtype=jnp.float32)
+    assert logits.shape == (2, 16, 256)
+    labels = jax.random.randint(jax.random.PRNGKey(3), (2, 16), 4, 256)
+    g = jax.grad(lambda p: t5_loss(p, enc, dec, labels,
+                                   jnp.ones((2, 16)), cfg,
+                                   compute_dtype=jnp.float32))(params)
+    assert all(np.all(np.isfinite(x)) for x in jax.tree.leaves(g))
+    # encoder pad mask changes decoder output
+    pad = jnp.ones((2, 32), jnp.int32).at[:, 16:].set(0)
+    l2 = apply_t5(params, enc, dec, cfg, enc_pad_mask=pad,
+                  compute_dtype=jnp.float32)
+    assert not np.allclose(np.asarray(logits), np.asarray(l2))
+
+
+def test_vit_classifier():
+    from megatron_clip_tpu.models.vision_classify import (
+        init_vit_classifier, apply_vit_classifier, classification_loss)
+    cfg = VisionCfg(layers=2, width=64, head_width=32, patch_size=8,
+                    image_size=32)
+    params = init_vit_classifier(jax.random.PRNGKey(0), cfg, 10)
+    images = jax.random.normal(jax.random.PRNGKey(1), (4, 32, 32, 3))
+    logits = apply_vit_classifier(params, images, cfg,
+                                  compute_dtype=jnp.float32)
+    assert logits.shape == (4, 10)
+    labels = jnp.asarray([1, 2, 3, 4], jnp.int32)
+    loss = classification_loss(params, images, labels, cfg,
+                               compute_dtype=jnp.float32)
+    assert abs(float(loss) - np.log(10)) < 0.7
+
+
+def test_dino_loss_and_ema():
+    from megatron_clip_tpu.models.vision_classify import (
+        DinoCfg, init_dino, dino_loss, dino_update_teacher)
+    vcfg = VisionCfg(layers=2, width=64, head_width=32, patch_size=8,
+                     image_size=32)
+    dcfg = DinoCfg(out_dim=32, ema_momentum=0.9)
+    state = init_dino(jax.random.PRNGKey(0), vcfg, dcfg)
+    v1 = jax.random.normal(jax.random.PRNGKey(1), (4, 32, 32, 3))
+    v2 = v1 + 0.1 * jax.random.normal(jax.random.PRNGKey(2), v1.shape)
+    (loss, center), g = jax.value_and_grad(
+        lambda s: dino_loss(s, state, v1, v2, vcfg, dcfg,
+                            compute_dtype=jnp.float32), has_aux=True)(
+        state["student"])
+    assert np.isfinite(float(loss)) and center.shape == (32,)
+    # teacher receives no gradient; EMA moves teacher toward student
+    student2 = jax.tree.map(lambda x: x + 1.0, state["student"])
+    new_state = dino_update_teacher(state, student2, dcfg)
+    d = np.asarray(new_state["teacher"]["head"]["w"]
+                   - state["teacher"]["head"]["w"])
+    np.testing.assert_allclose(d, 0.1, rtol=1e-4)
+
+
+def test_entry_points_smoke():
+    import pretrain_bert, pretrain_t5, pretrain_vision_classify, pretrain_vision_dino
+    m = pretrain_bert.run(pretrain_bert.parse_args(
+        ["--num-layers", "2", "--hidden-size", "64", "--num-heads", "4",
+         "--seq-length", "32", "--vocab-size", "256", "--batch-size", "4",
+         "--train-steps", "2", "--warmup", "1", "--precision", "fp32",
+         "--log-interval", "1"]))
+    assert np.isfinite(m["loss"])
+    m = pretrain_t5.run(pretrain_t5.parse_args(
+        ["--num-layers", "2", "--num-decoder-layers", "2", "--hidden-size",
+         "64", "--num-heads", "4", "--encoder-seq-length", "32",
+         "--decoder-seq-length", "16", "--vocab-size", "256",
+         "--batch-size", "4", "--train-steps", "2", "--warmup", "1",
+         "--precision", "fp32", "--log-interval", "1"]))
+    assert np.isfinite(m["loss"])
+    m = pretrain_vision_classify.run(pretrain_vision_classify.parse_args(
+        ["--num-layers", "2", "--hidden-size", "64", "--patch-size", "8",
+         "--img-size", "32", "--num-classes", "10", "--batch-size", "4",
+         "--train-steps", "2", "--warmup", "1", "--precision", "fp32",
+         "--log-interval", "1"]))
+    assert np.isfinite(m["loss"])
+    m = pretrain_vision_dino.run(pretrain_vision_dino.parse_args(
+        ["--num-layers", "2", "--hidden-size", "64", "--patch-size", "8",
+         "--img-size", "32", "--out-dim", "32", "--batch-size", "4",
+         "--train-steps", "2", "--warmup", "1", "--precision", "fp32",
+         "--log-interval", "1"]))
+    assert np.isfinite(m["loss"])
