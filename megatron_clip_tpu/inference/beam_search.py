@@ -1,0 +1,81 @@
+"""Beam search decoding, fully inside one jit.
+
+Replaces megatron's beam_search (megatron/text_generation/api.py:184 +
+generation.py beam loop with per-step host sync): static beam width, scan
+over decode steps, KV cache reindexed with the beam parents each step.
+"""
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from megatron_clip_tpu.models.gpt import GPTCfg
+from megatron_clip_tpu.inference.generation import KVCache, _forward_cached
+
+NEG = -1e9
+
+
+@partial(jax.jit, static_argnames=("cfg", "beam_size", "max_new_tokens",
+                                   "eos_id", "length_penalty"))
+def beam_search(params, prompt, cfg: GPTCfg, *, beam_size: int = 4,
+                max_new_tokens: int = 32, eos_id: int = 0,
+                length_penalty: float = 1.0):
+    """prompt: [B, P] (fixed length). Returns (tokens [B, K, P+N], scores [B, K])
+    sorted best-first per row."""
+    b, p = prompt.shape
+    k = beam_size
+    max_len = p + max_new_tokens
+    compute = jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
+
+    # expand prompt to beams: [B*K, P]
+    prompt_k = jnp.repeat(prompt, k, axis=0)
+    cache = KVCache.create(cfg, b * k, max_len)
+    logits, cache = _forward_cached(params, prompt_k, 0, cache, cfg, compute)
+    logp = jax.nn.log_softmax(logits[:, -1].astype(jnp.float32), axis=-1)
+    logp = logp.reshape(b, k, -1)
+
+    v = logp.shape[-1]
+    # first step: only beam 0 is live (others duplicate the prompt)
+    first = logp[:, 0]                                   # [B, V]
+    scores, tok = jax.lax.top_k(first, k)                # [B, K]
+    out = jnp.zeros((b, k, max_len), jnp.int32)
+    out = out.at[:, :, :p].set(prompt[:, None, :])
+    out = out.at[:, :, p].set(tok)
+    finished = tok == eos_id
+
+    def reindex_cache(cache, parents):
+        """parents: [B, K] beam indices; cache arrays [L, B*K, H, S, D]."""
+        flat = (jnp.arange(b)[:, None] * k + parents).reshape(-1)  # [B*K]
+        return KVCache(cache.k[:, flat], cache.v[:, flat])
+
+    def step(carry, i):
+        out, scores, cache, finished, last_tok = carry
+        logits, cache = _forward_cached(
+            params, last_tok.reshape(b * k, 1), p + i, cache, cfg, compute)
+        logp = jax.nn.log_softmax(logits[:, 0].astype(jnp.float32), axis=-1)
+        logp = logp.reshape(b, k, v)
+        # finished beams only extend with eos at zero extra cost
+        frozen = jnp.full((v,), NEG).at[eos_id].set(0.0)
+        logp = jnp.where(finished[..., None], frozen[None, None], logp)
+        total = scores[..., None] + logp                 # [B, K, V]
+        flat = total.reshape(b, k * v)
+        scores, idx = jax.lax.top_k(flat, k)             # [B, K]
+        parents = idx // v
+        tok = idx % v
+        out = jnp.take_along_axis(out, parents[..., None], axis=1)
+        out = out.at[:, :, p + 1 + i].set(tok)
+        finished = jnp.take_along_axis(finished, parents, axis=1) | (tok == eos_id)
+        cache = reindex_cache(cache, parents)
+        return (out, scores, cache, finished, tok), None
+
+    init = (out, scores, cache, finished, tok)
+    (out, scores, _, finished, _), _ = jax.lax.scan(
+        step, init, jnp.arange(max_new_tokens - 1))
+
+    if length_penalty != 1.0:
+        lengths = jnp.sum(out[:, :, p:] != 0, axis=-1).astype(jnp.float32)
+        scores = scores / (lengths ** length_penalty)
+        order = jnp.argsort(-scores, axis=1)
+        scores = jnp.take_along_axis(scores, order, axis=1)
+        out = jnp.take_along_axis(out, order[..., None], axis=1)
+    return out, scores
