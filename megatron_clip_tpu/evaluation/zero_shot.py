@@ -43,7 +43,7 @@ def load_imagenet_metadata(path: Optional[str] = None):
         candidates = [
             "/root/reference/open_CLIP/src/training/imagenet_zeroshot_data.py"]
         path = next((c for c in candidates if os.path.isfile(c)), "")
-    if not path:
+    if not path or not os.path.isfile(path):
         return None, None
     if path.endswith(".json"):
         with open(path) as f:

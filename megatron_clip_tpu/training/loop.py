@@ -143,6 +143,7 @@ def run_training(args) -> dict:
     step = start_step
     t_window = time.perf_counter()
     window_samples = 0
+    nan_iters = 0  # NaN surveillance (megatron training.py:527-539)
     final_metrics = {}
     # consumed-samples resume: fast-forward within the interrupted epoch
     # (megatron/training.py:1031-1038 dataloader resume semantics)
@@ -161,6 +162,10 @@ def run_training(args) -> dict:
             window_samples += args.batch_size
             if step % args.log_interval == 0 or step == total_steps:
                 loss = float(metrics["loss"])  # forces device sync
+                if not np.isfinite(loss):
+                    nan_iters += 1
+                    _log(f"WARNING: non-finite loss at step {step} "
+                         f"(nan iters so far: {nan_iters})")
                 dt = time.perf_counter() - t_window
                 ips = window_samples / dt if dt > 0 else 0.0
                 lr_now = float(schedule(step))
@@ -189,6 +194,38 @@ def run_training(args) -> dict:
         if save_root and ((epoch + 1) % args.save_frequency == 0):
             runner.save(save_root, step, consumed)
             _log(f"saved checkpoint @ step {step}")
+        # validation + zero-shot eval at epoch boundaries (open_CLIP
+        # evaluate/zero_shot_eval cadence, train.py:530, main.py epoch loop)
+        if ((epoch + 1) % max(args.val_frequency, 1) == 0
+                and hasattr(runner, "eval_model")):
+            model_, params_ = runner.eval_model()
+            if "val" in data:
+                from megatron_clip_tpu.evaluation import contrastive_eval_metrics
+                em = contrastive_eval_metrics(model_, params_, data["val"])
+                _log("val: " + " ".join(f"{k}={v:.4f}" for k, v in em.items()
+                                        if isinstance(v, float)))
+                final_metrics.update({f"val_{k}": v for k, v in em.items()})
+            if args.imagenet_val and tokenizer is not None and \
+                    (epoch + 1) % max(args.zeroshot_frequency, 1) == 0:
+                from megatron_clip_tpu.evaluation import (
+                    build_zero_shot_classifier, zero_shot_eval)
+                from megatron_clip_tpu.evaluation.zero_shot import (
+                    load_imagenet_metadata, SIMPLE_IMAGENET_TEMPLATES)
+                from megatron_clip_tpu.data.image_folder import image_folder_batches, scan_image_folder
+                names, templates = load_imagenet_metadata()
+                if names is None:
+                    _, names = scan_image_folder(args.imagenet_val)
+                    templates = SIMPLE_IMAGENET_TEMPLATES
+                clf = build_zero_shot_classifier(model_, params_, names,
+                                                 templates, tokenizer)
+                zs = zero_shot_eval(model_, params_, clf, image_folder_batches(
+                    args.imagenet_val, args.batch_size, model_.image_size,
+                    is_train=False, epochs=1))
+                _log("zero-shot: " + " ".join(f"{k}={v:.4f}"
+                                              for k, v in zs.items()))
+                final_metrics.update(zs)
+    if nan_iters:
+        _log(f"total non-finite loss iterations: {nan_iters}")
     if prev_handler is not None:
         signal.signal(signal.SIGTERM, prev_handler)
     return final_metrics
@@ -198,6 +235,7 @@ class _JointRunner:
     """Single-mesh (dp/fsdp/tp[/pp]) train-step runner."""
 
     def __init__(self, args, model, params, tx_factory, pcfg, loss_obj):
+        self.model = model
         self.mesh = build_mesh(pcfg) if pcfg.num_devices > 1 else None
         self.tx = tx_factory(params)
         state = TrainState.create(params, self.tx)
@@ -215,6 +253,9 @@ class _JointRunner:
         self.state, metrics = self.step_fn(self.state, jnp.asarray(images),
                                            jnp.asarray(texts))
         return metrics
+
+    def eval_model(self):
+        return self.model, self.state.params
 
     def save(self, root, step, consumed):
         save_checkpoint(root, step, self.state._asdict(),

@@ -131,3 +131,44 @@ def test_csv_training(tmp_path):
         "--warmup", "1", "--log-interval", "1", "--precision", "fp32",
         "--model", "test-tiny"]))
     assert np.isfinite(m["loss"])
+
+
+def test_val_and_zeroshot_eval(tmp_path):
+    """Epoch-end validation + zero-shot ImageNet eval wiring
+    (open_CLIP evaluate + zero_shot_eval cadence)."""
+    from PIL import Image
+    from megatron_clip_tpu.tokenizer import find_bpe_vocab
+    if find_bpe_vocab() is None:
+        pytest.skip("no BPE vocab")
+    rng = np.random.RandomState(0)
+    # csv train + val
+    for split in ("train", "val"):
+        rows = ["filepath\ttitle"]
+        for i in range(8):
+            p = tmp_path / f"{split}{i}.png"
+            Image.fromarray(rng.randint(0, 255, (40, 40, 3), np.uint8)).save(p)
+            rows.append(f"{p}\tcaption {split} {i}")
+        (tmp_path / f"{split}.tsv").write_text("\n".join(rows))
+    # tiny imagenet-val folder with 2 classes
+    for c in ("cat", "dog"):
+        d = tmp_path / "imagenet" / c
+        d.mkdir(parents=True)
+        for i in range(2):
+            Image.fromarray(rng.randint(0, 255, (40, 40, 3), np.uint8)).save(
+                d / f"{i}.png")
+    import os
+    os.environ["MCT_IMAGENET_METADATA"] = "/nonexistent"  # force folder names
+    try:
+        m = run_training(parse_args([
+            "--train-data", str(tmp_path / "train.tsv"),
+            "--val-data", str(tmp_path / "val.tsv"),
+            "--imagenet-val", str(tmp_path / "imagenet"),
+            "--batch-size", "4", "--epochs", "1", "--warmup", "1",
+            "--log-interval", "1", "--precision", "fp32",
+            "--model", "test-tiny", "--val-frequency", "1",
+            "--zeroshot-frequency", "1"]))
+    finally:
+        del os.environ["MCT_IMAGENET_METADATA"]
+    assert "val_clip_val_loss" in m
+    assert "imagenet-zeroshot-val-top1" in m
+    assert 0.0 <= m["imagenet-zeroshot-val-top1"] <= 1.0
