@@ -67,7 +67,9 @@ def main():
         batch, iters, warmup = 8, 3, 1
     else:
         model, params = create_model("ViT-B-32", precision="bf16", seed=0)
-        model = dataclasses.replace(model, remat=os.environ.get("BENCH_REMAT", "selective"))
+        model = dataclasses.replace(
+            model, remat=os.environ.get("BENCH_REMAT", "none"),
+            scan_layers=os.environ.get("BENCH_SCAN", "0") == "1")
         batch = int(os.environ.get("BENCH_BATCH", "256"))
         iters, warmup = 20, 3
 

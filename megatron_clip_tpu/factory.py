@@ -159,6 +159,8 @@ class CLIPModel:
     name: str = ""
     remat: str = "none"  # none | selective | full (megatron --recompute-granularity)
     sequence_parallel: bool = False  # megatron --sequence-parallel
+    scan_layers: bool = True  # lax.scan over layers (False = unrolled; ~15%
+    # faster on v5e for 12-layer towers at the cost of compile time)
 
     def init(self, rng) -> Any:
         return init_clip(rng, self.cfg, dtype=self.precision.param_jnp)
@@ -166,6 +168,7 @@ class CLIPModel:
     def __call__(self, params, images, text_ids, **kw):
         kw.setdefault("remat", self.remat)
         kw.setdefault("sequence_parallel", self.sequence_parallel)
+        kw.setdefault("scan_layers", self.scan_layers)
         return apply_clip(params, images, text_ids, self.cfg,
                           compute_dtype=self.precision.compute_jnp, **kw)
 

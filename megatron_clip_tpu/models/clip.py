@@ -40,28 +40,32 @@ def _l2_normalize(x, eps: float = 1e-12):
 
 def encode_image(params, images, cfg: CLIPCfg, *, normalize: bool = True,
                  compute_dtype=jnp.bfloat16, patch_dropout_rng=None,
-                 remat: str = "none", sequence_parallel: bool = False):
+                 remat: str = "none", sequence_parallel: bool = False,
+                 scan_layers: bool = True):
     f = apply_vit(params["visual"], images, cfg.vision, cfg.embed_dim,
                   act=cfg.act, compute_dtype=compute_dtype,
                   tcfg=cfg.vision.transformer(act=cfg.act, remat=remat,
-                                              sequence_parallel=sequence_parallel),
+                                              sequence_parallel=sequence_parallel,
+                                              scan_layers=scan_layers),
                   patch_dropout_rng=patch_dropout_rng)
     return _l2_normalize(f) if normalize else f.astype(jnp.float32)
 
 
 def encode_text(params, text_ids, cfg: CLIPCfg, *, normalize: bool = True,
                 compute_dtype=jnp.bfloat16, remat: str = "none",
-                sequence_parallel: bool = False):
+                sequence_parallel: bool = False, scan_layers: bool = True):
     f = apply_text(params["text"], text_ids, cfg.text, cfg.embed_dim,
                    act=cfg.act, compute_dtype=compute_dtype,
                    tcfg=cfg.text.transformer(act=cfg.act, remat=remat,
-                                             sequence_parallel=sequence_parallel))
+                                             sequence_parallel=sequence_parallel,
+                                             scan_layers=scan_layers))
     return _l2_normalize(f) if normalize else f.astype(jnp.float32)
 
 
 def apply_clip(params, images, text_ids, cfg: CLIPCfg, *,
                compute_dtype=jnp.bfloat16, patch_dropout_rng=None,
-               remat: str = "none", sequence_parallel: bool = False):
+               remat: str = "none", sequence_parallel: bool = False,
+               scan_layers: bool = True):
     """Forward both towers. Returns the dict shape open_CLIP's CLIP.forward
     emits (model.py:232-243): normalized features + clamped logit_scale."""
     out = {}
@@ -69,11 +73,11 @@ def apply_clip(params, images, text_ids, cfg: CLIPCfg, *,
         out["image_features"] = encode_image(
             params, images, cfg, compute_dtype=compute_dtype,
             patch_dropout_rng=patch_dropout_rng, remat=remat,
-            sequence_parallel=sequence_parallel)
+            sequence_parallel=sequence_parallel, scan_layers=scan_layers)
     if text_ids is not None:
         out["text_features"] = encode_text(
             params, text_ids, cfg, compute_dtype=compute_dtype, remat=remat,
-            sequence_parallel=sequence_parallel)
+            sequence_parallel=sequence_parallel, scan_layers=scan_layers)
     out["logit_scale"] = jnp.exp(
         jnp.minimum(params["logit_scale"], LOGIT_SCALE_MAX))
     if "logit_bias" in params:

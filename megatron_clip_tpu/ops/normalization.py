@@ -7,12 +7,23 @@ input dtype (matching the reference's fp32 residual/LN policy); a Pallas
 fused kernel lives in ops/pallas/layernorm.py and is dispatched on TPU for
 large rows.
 """
+import os
+
 import jax
 import jax.numpy as jnp
+
+# opt-in Pallas fused-LN dispatch (measured ~neutral vs XLA's own fusion on
+# v5e; kept as a switch for kernel-sandwich cases)
+_USE_PALLAS_LN = os.environ.get("MCT_PALLAS_LN", "0") == "1"
 
 
 def layer_norm(x, scale, bias, eps: float = 1e-5):
     """y = (x - mean)/sqrt(var+eps) * scale + bias, stats in fp32."""
+    if _USE_PALLAS_LN and bias is not None and x.ndim >= 2:
+        from megatron_clip_tpu.ops import use_pallas
+        if use_pallas():
+            from megatron_clip_tpu.ops.pallas.layernorm import fused_layer_norm
+            return fused_layer_norm(x, scale, bias, eps)
     dtype = x.dtype
     xf = x.astype(jnp.float32)
     mean = jnp.mean(xf, axis=-1, keepdims=True)

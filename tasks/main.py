@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""Downstream task harness.
+
+The reference's tasks/main.py dispatches finetune/eval jobs by --task
+(GLUE/RACE for BERT, zero-shot GPT eval, vision classify). Here:
+
+  --task zeroshot-imagenet : zero-shot classification of an ImageFolder dir
+  --task retrieval         : image<->text recall@K over a CSV dataset
+  --task linear-probe      : logistic-regression probe of frozen CLIP
+                             features on an ImageFolder dir
+
+  python tasks/main.py --task zeroshot-imagenet --model ViT-B-32 \
+      --load-torch epoch_32.pt --data-dir /data/imagenet/val
+"""
+import argparse
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).parent.parent))
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser("downstream tasks")
+    p.add_argument("--task", required=True,
+                   choices=["zeroshot-imagenet", "retrieval", "linear-probe"])
+    p.add_argument("--model", default="ViT-B-32")
+    p.add_argument("--pretrained", default="", help="open_CLIP .pt file")
+    p.add_argument("--load", default="", help="orbax checkpoint root")
+    p.add_argument("--data-dir", help="ImageFolder dir (zeroshot/linear-probe)")
+    p.add_argument("--csv", help="csv with filepath/title (retrieval)")
+    p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--probe-epochs", type=int, default=10)
+    p.add_argument("--probe-lr", type=float, default=1e-2)
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args(argv)
+
+
+def _load_model(args):
+    import jax
+    from megatron_clip_tpu.factory import create_model
+    model, params = create_model(args.model, seed=args.seed)
+    if args.pretrained:
+        from megatron_clip_tpu.checkpoints.torch_interop import load_openclip_checkpoint
+        params = load_openclip_checkpoint(args.pretrained, model.cfg)
+    elif args.load:
+        from megatron_clip_tpu.checkpoints import load_checkpoint
+        tree, _, _ = load_checkpoint(args.load, {"params": params})
+        params = tree["params"]
+    return model, params
+
+
+def run(args):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    model, params = _load_model(args)
+    from megatron_clip_tpu.tokenizer import get_tokenizer
+
+    if args.task == "zeroshot-imagenet":
+        from megatron_clip_tpu.evaluation import (
+            build_zero_shot_classifier, zero_shot_eval)
+        from megatron_clip_tpu.evaluation.zero_shot import (
+            load_imagenet_metadata, SIMPLE_IMAGENET_TEMPLATES)
+        from megatron_clip_tpu.data.image_folder import (
+            image_folder_batches, scan_image_folder)
+        names, templates = load_imagenet_metadata()
+        _, folder_names = scan_image_folder(args.data_dir)
+        if names is None or len(folder_names) != len(names):
+            names, templates = folder_names, SIMPLE_IMAGENET_TEMPLATES
+        clf = build_zero_shot_classifier(model, params, names, templates,
+                                         get_tokenizer(), batch_size=64)
+        m = zero_shot_eval(model, params, clf, image_folder_batches(
+            args.data_dir, args.batch_size, model.image_size,
+            is_train=False, epochs=1))
+        print(m)
+        return m
+
+    if args.task == "retrieval":
+        from megatron_clip_tpu.evaluation import contrastive_eval_metrics
+        from megatron_clip_tpu.data.loaders import CsvData
+        from megatron_clip_tpu.data.transforms import image_transform
+        ds = CsvData(args.csv, args.batch_size,
+                     image_transform(model.image_size, False),
+                     get_tokenizer(), shuffle=False,
+                     context_length=model.context_length)
+        m = contrastive_eval_metrics(model, params, ds)
+        print({k: round(v, 4) for k, v in m.items()})
+        return m
+
+    if args.task == "linear-probe":
+        import optax
+        from megatron_clip_tpu.data.image_folder import (
+            image_folder_batches, scan_image_folder)
+        _, classes = scan_image_folder(args.data_dir)
+        enc = jax.jit(lambda p, im: model.encode_image(p, im))
+        feats, labels = [], []
+        for im, lb in image_folder_batches(args.data_dir, args.batch_size,
+                                           model.image_size, is_train=False,
+                                           epochs=1):
+            feats.append(np.asarray(enc(params, jnp.asarray(im))))
+            labels.append(lb)
+        x = jnp.asarray(np.concatenate(feats))
+        y = jnp.asarray(np.concatenate(labels))
+        w = jnp.zeros((x.shape[1], len(classes)))
+        b = jnp.zeros((len(classes),))
+        tx = optax.adam(args.probe_lr)
+        st = tx.init((w, b))
+
+        @jax.jit
+        def step(wb, st):
+            def loss(wb):
+                logits = x @ wb[0] + wb[1]
+                from megatron_clip_tpu.ops.cross_entropy import cross_entropy
+                return cross_entropy(logits, y).mean()
+            l, g = jax.value_and_grad(loss)(wb)
+            up, st = tx.update(g, st)
+            return optax.apply_updates(wb, up), st, l
+
+        wb = (w, b)
+        for _ in range(args.probe_epochs * 10):
+            wb, st, l = step(wb, st)
+        acc = float((jnp.argmax(x @ wb[0] + wb[1], -1) == y).mean())
+        m = {"linear_probe_acc": acc, "final_loss": float(l)}
+        print(m)
+        return m
+
+
+if __name__ == "__main__":
+    run(parse_args())
