@@ -113,4 +113,14 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001 — fall back to the conservative config
+        import traceback
+        traceback.print_exc()
+        sys.stderr.write("bench: primary config failed; retrying with "
+                         "selective remat + scan\n")
+        os.environ["BENCH_REMAT"] = "selective"
+        os.environ["BENCH_SCAN"] = "1"
+        os.environ.setdefault("BENCH_BATCH", "256")
+        main()

@@ -17,7 +17,6 @@ import os
 from typing import Any, Optional, Tuple
 
 import jax
-import numpy as np
 
 TRACKER_FILENAME = "latest_checkpointed_iteration.txt"
 

@@ -6,11 +6,9 @@ megatron/arguments.py:20-1474, megatron/core/transformer/transformer_config.py,
 open_CLIP/src/open_clip/factory.py:33-84) with plain dataclasses. The JSON
 model-config registry format is preserved (see factory.py).
 """
-from __future__ import annotations
-
 import dataclasses
 from dataclasses import dataclass, field
-from typing import Any, Optional, Sequence, Tuple
+from typing import Optional
 
 import jax.numpy as jnp
 

@@ -12,8 +12,6 @@ reference's tools load directly:
 The reader memory-maps both files; `get(i)` returns sequence i, and
 slicing into documents follows doc_idx.
 """
-import os
-import shutil
 import struct
 from pathlib import Path
 from typing import Optional, Union

@@ -6,11 +6,10 @@ webdataset tar pipeline lives in data/webdataset.py. Loaders yield
 (images [B,H,W,3] float32, texts [B,ctx] int32) numpy batches; device
 placement/sharding happens in the train step.
 """
-import math
 import os
 import random
 from dataclasses import dataclass
-from typing import Callable, Iterator, Optional, Tuple
+from typing import Callable, Iterator, Optional
 
 import numpy as np
 

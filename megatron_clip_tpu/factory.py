@@ -10,8 +10,6 @@ architecture ladder (ViT-S → ViT-e) in code.
 ResNet/ConvNeXt/timm/HF-text towers from the reference zoo are not yet
 implemented (roadmap — see README); requesting one raises with a clear error.
 """
-from __future__ import annotations
-
 import json
 import os
 from dataclasses import dataclass
@@ -19,7 +17,6 @@ from pathlib import Path
 from typing import Any, Dict, Optional, Tuple
 
 import jax
-import jax.numpy as jnp
 
 from megatron_clip_tpu.config import (
     CLIPCfg, VisionCfg, TextCfg, MultimodalCfg, Precision, BF16)

@@ -12,13 +12,13 @@ generation.py + forward_step.py InferenceParams KV cache + sampling.py):
   - sampling: greedy / temperature / top-k / top-p (sampling.py semantics).
 """
 from functools import partial
-from typing import NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 
 from megatron_clip_tpu.config import TransformerCfg
-from megatron_clip_tpu.models.gpt import GPTCfg, apply_gpt
+from megatron_clip_tpu.models.gpt import GPTCfg
 from megatron_clip_tpu.nn.transformer import apply_norm
 from megatron_clip_tpu.ops.attention import sdpa
 from megatron_clip_tpu.ops.activations import bias_act, swiglu

@@ -7,7 +7,6 @@ temperature, matching open_CLIP's CLIP/CustomTextCLIP
 ln(1/0.07) and clamped to ln(100) at use (train.py:470-471).
 """
 import math
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

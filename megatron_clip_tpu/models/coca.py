@@ -11,17 +11,14 @@ Follows open_CLIP's CoCa (open_CLIP/src/open_clip/coca_model.py:79-458):
     predicting the caption autoregressively;
   - losses: InfoNCE on the pooled pair + caption cross-entropy (CoCaLoss).
 """
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 
 from megatron_clip_tpu.config import CLIPCfg, MultimodalCfg
-from megatron_clip_tpu.models.vit import (
-    init_vit, apply_vit, init_attentional_pooler, apply_attentional_pooler)
+from megatron_clip_tpu.models.vit import init_vit, apply_vit
 from megatron_clip_tpu.models.text import init_text, apply_text
 from megatron_clip_tpu.models.clip import LOGIT_SCALE_MAX, _l2_normalize
-from megatron_clip_tpu.nn.transformer import init_layer_norm, init_block, apply_norm
+from megatron_clip_tpu.nn.transformer import init_layer_norm
 from megatron_clip_tpu.ops import layer_norm, multi_head_attention
 from megatron_clip_tpu.ops.activations import bias_act
 

@@ -6,7 +6,6 @@ ViT backbone + MLP class head) and pretrain_vision_dino.py
 cross-entropy on projector outputs).
 """
 from dataclasses import dataclass
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

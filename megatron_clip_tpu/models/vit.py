@@ -123,11 +123,11 @@ def apply_vit(params, images, cfg: VisionCfg, embed_dim: int, *,
         x = layers_fn(params["blocks"], x, tcfg, causal=False)
 
     if "attn_pool" in params:
+        # the pooler already projects to embed_dim (its queries live there);
+        # no extra projection is applied (open_CLIP attentional-pool path)
         x = layer_norm(x, params["ln_post"]["scale"], params["ln_post"]["bias"])
         x = apply_attentional_pooler(params["attn_pool"], x, cfg.attn_pooler_heads)
         pooled, tokens = x[:, 0], x
-        pooled = pooled @ params["proj"].astype(pooled.dtype) \
-            if params["proj"].shape[0] == pooled.shape[-1] else pooled
     elif cfg.final_ln_after_pool:
         pooled, tokens = _global_pool(x, cfg.pool_type)
         pooled = layer_norm(pooled, params["ln_post"]["scale"], params["ln_post"]["bias"])

@@ -9,7 +9,7 @@ registry (entry points can register custom ops) and returns the init/apply
 pair consumed by the stack.
 """
 from dataclasses import dataclass, field
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Callable, Dict
 
 _REGISTRY: Dict[str, Callable] = {}
 

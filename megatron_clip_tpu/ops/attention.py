@@ -12,7 +12,6 @@ Both mask regimes of the reference are supported:
   - full / no mask (ViT)
   - additive bias masks (padding) for generality
 """
-from functools import partial
 from typing import Optional
 
 import jax

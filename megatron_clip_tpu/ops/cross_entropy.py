@@ -11,8 +11,6 @@ Replaces megatron's `_VocabParallelCrossEntropy`
     and sum-exp are psum/pmax'd, and the gold logit is recovered with a
     range-masked gather — the same algorithm as the reference, in 20 lines.
 """
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 

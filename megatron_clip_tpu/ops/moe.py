@@ -14,7 +14,7 @@ Routing: softmax top-1 with either an auxiliary load-balance loss (Switch
 Transformer) or sinkhorn balancing (megatron's choice, switch_mlp.py
 sinkhorn routine).
 """
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from megatron_clip_tpu.ops.activations import get_act
 
 
-def sinkhorn(cost, tol: float = 1e-4, iters: int = 8):
+def sinkhorn(cost, iters: int = 8):
     """Sinkhorn normalization over [N, E] routing scores (megatron
     switch_mlp.py:sinkhorn, fixed iteration count for static shapes)."""
     cost = jnp.exp(cost.astype(jnp.float32))
@@ -111,7 +111,7 @@ def moe_param_specs(num_experts: int, stacked: bool = True):
     EP group), hidden dims tensor-parallel — together the
     tensor_and_expert_parallel layout (parallel_state.py:699)."""
     from jax.sharding import PartitionSpec as P
-    lead = ("stage",) if False else ()  # stage-sharding of MoE blocks: later
+
     def spec(*dims):
         return P(*( (None,) if stacked else () ), *dims)
     return {

@@ -14,7 +14,6 @@ Layout: q,k,v [B, H, S, D]; the kernels run on [B*H, S, D] with a
 padded key columns are masked to -inf, padded query rows are sliced off.
 """
 import functools
-import math
 
 import jax
 import jax.numpy as jnp

@@ -5,7 +5,6 @@ Replaces megatron's RotaryEmbedding / apply_rotary_pos_emb
 rotate-half convention. Frequencies are computed once per (seq, head_dim)
 and broadcast; everything stays static-shaped for XLA.
 """
-from functools import lru_cache
 from typing import Tuple
 
 import jax

@@ -23,7 +23,6 @@ the JAX way:
     interrupted-backward trick.
 """
 from dataclasses import dataclass
-from functools import partial
 from typing import Any, Callable, NamedTuple, Optional
 
 import jax

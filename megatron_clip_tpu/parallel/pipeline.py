@@ -22,7 +22,7 @@ optimization; the reference's 1F1B has the same bubble as GPipe and differs
 only in activation liveness, which `jax.checkpoint` already bounds here.
 """
 from functools import partial
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

@@ -26,7 +26,7 @@ from typing import Any, Optional
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from megatron_clip_tpu.parallel.mesh import DATA, FSDP, TENSOR, STAGE
+from megatron_clip_tpu.parallel.mesh import FSDP, TENSOR
 
 
 def _path_str(path) -> str:

@@ -10,8 +10,6 @@ The merges file (`bpe_simple_vocab_16e6.txt.gz`) is a data asset with its own
 provenance (OpenAI CLIP); it is *discovered*, not vendored: set $MCT_BPE_PATH,
 drop it next to this file, or rely on a known local checkout.
 """
-from __future__ import annotations
-
 import functools
 import gzip
 import html

@@ -7,13 +7,9 @@ train.py:338-525), reduced to what TPU actually needs: no DDP wrapping, no
 loss scaling, no rank guards.
 """
 import dataclasses
-import json
-import math
 import os
 import signal
-import sys
 import time
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

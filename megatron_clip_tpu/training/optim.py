@@ -10,7 +10,6 @@ Replaces the reference's two optimizer stacks:
     and the distributed-optimizer ZeRO-1 sharding (distrib_optimizer.py:995LoC)
     is simply the optimizer state inheriting the params' fsdp sharding.
 """
-import math
 from typing import Callable, Optional
 
 import jax

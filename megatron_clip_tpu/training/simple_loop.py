@@ -6,7 +6,6 @@ import time
 from typing import Callable
 
 import jax
-import jax.numpy as jnp
 import optax
 
 from megatron_clip_tpu.training.optim import make_optimizer, cosine_lr

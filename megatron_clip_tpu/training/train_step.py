@@ -20,7 +20,7 @@ import optax
 
 from megatron_clip_tpu.losses import ClipLoss
 from megatron_clip_tpu.models.clip import LOGIT_SCALE_MAX
-from megatron_clip_tpu.parallel.mesh import DATA, FSDP, TENSOR
+from megatron_clip_tpu.parallel.mesh import DATA, FSDP
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
@@ -119,13 +119,6 @@ def shard_train_state(state: TrainState, mesh: Mesh, param_specs) -> TrainState:
 
     pshard = make_sharding_tree(mesh, param_specs)
     params = jax.device_put(state.params, pshard)
-
-    def opt_shard(leaf):
-        # moments have param shapes; scalars replicate
-        return None
-
-    def place_opt(x):
-        return x
 
     # optax state is a pytree mixing param-shaped moments and scalars; map
     # param-shaped leaves to the matching param sharding by structure.

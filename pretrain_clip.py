@@ -22,8 +22,6 @@ Examples:
       --pipeline-model-parallel-size 4 --num-microbatches 8 \\
       --xtensor-model-parallel-size 2 --xpipeline-model-parallel-size 2
 """
-import sys
-
 from megatron_clip_tpu.training.params import parse_args
 from megatron_clip_tpu.training.loop import run_training
 

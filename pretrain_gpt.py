@@ -59,7 +59,7 @@ def run(args):
     from megatron_clip_tpu.models.gpt import (
         GPTCfg, init_gpt, gpt_loss, gpt_param_specs)
     from megatron_clip_tpu.parallel import build_mesh
-    from megatron_clip_tpu.parallel.mesh import DATA, FSDP, STAGE
+    from megatron_clip_tpu.parallel.mesh import STAGE
     from megatron_clip_tpu.parallel.sharding import make_sharding_tree
     from megatron_clip_tpu.training.optim import make_optimizer, cosine_lr
 
