@@ -200,6 +200,7 @@ class ParallelCfg:
     fsdp: int = 1          # optimizer/param shard axis (ZeRO-1/3 analogue)
     tp: int = 1            # tensor-parallel axis size
     pp: int = 1            # pipeline-parallel stage count
+    vpp: int = 1           # virtual pipeline chunks per stage (interleaved)
     microbatches: int = 1  # pipeline microbatches per step
     sequence_parallel: bool = False  # shard activations on seq within tp group
     ep: int = 1            # expert-parallel axis size (MoE)

@@ -101,11 +101,13 @@ class BranchParallelCLIP:
         cfg = self.cfg
         from megatron_clip_tpu.parallel.pipeline import make_pipelined_layers_fn
         v_layers_fn = (make_pipelined_layers_fn(self.vision_mesh,
-                                                self.bp.vision.microbatches)
+                                                self.bp.vision.microbatches,
+                                                self.bp.vision.vpp)
                        if self.bp.vision.pp > 1 else None)
         t_pp = self.bp.text.pp if self.bp.text is not None else 1
         t_layers_fn = (make_pipelined_layers_fn(self.text_mesh,
-                                                self.bp.text.microbatches)
+                                                self.bp.text.microbatches,
+                                                self.bp.text.vpp)
                        if t_pp > 1 else None)
 
         def vision_fwd(vparams, images):

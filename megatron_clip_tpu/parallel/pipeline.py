@@ -16,10 +16,12 @@ p2p_communication.py:22-571) with the XLA-native construction:
     `deallocate_output_tensor`/`custom_backward` memory hacks
     (schedules.py:104-147) are needed in a functional program.
 
-Schedule: GPipe-style fill/drain (M microbatches over S stages, bubble
-fraction (S-1)/(M+S-1)). An interleaved/circular schedule is a planned
-optimization; the reference's 1F1B has the same bubble as GPipe and differs
-only in activation liveness, which `jax.checkpoint` already bounds here.
+Two schedules:
+  - `pipeline_transformer`: GPipe-style fill/drain (bubble (S-1)/(M+S-1));
+    the reference's 1F1B has the same bubble and differs only in activation
+    liveness, which `jax.checkpoint` already bounds here;
+  - `pipeline_transformer_interleaved`: the circular virtual-pipeline
+    schedule (megatron VPP), bubble cut by the chunk count V.
 """
 from functools import partial
 from typing import Callable
@@ -83,12 +85,113 @@ def pipeline_transformer(blocks, x, cfg: TransformerCfg, *, mesh: Mesh,
     return out.reshape(b, *x.shape[1:])
 
 
-def make_pipelined_layers_fn(mesh: Mesh, num_microbatches: int) -> Callable:
+def make_pipelined_layers_fn(mesh: Mesh, num_microbatches: int,
+                             num_chunks: int = 1) -> Callable:
     """Adapter for towers: returns layers_fn(blocks, x, cfg, causal) that the
-    model applies in place of apply_transformer when pp > 1."""
+    model applies in place of apply_transformer when pp > 1. num_chunks > 1
+    selects the interleaved (virtual-pipeline) schedule."""
     def layers_fn(blocks, x, cfg, *, causal=False, bias=None):
         assert bias is None, "additive masks not yet supported in the pipeline"
+        if num_chunks > 1:
+            return pipeline_transformer_interleaved(
+                blocks, x, cfg, mesh=mesh, num_microbatches=num_microbatches,
+                num_chunks=num_chunks, causal=causal)
         return pipeline_transformer(blocks, x, cfg, mesh=mesh,
                                     num_microbatches=num_microbatches,
                                     causal=causal)
     return layers_fn
+
+
+def pipeline_transformer_interleaved(blocks, x, cfg: TransformerCfg, *,
+                                     mesh: Mesh, num_microbatches: int,
+                                     num_chunks: int, causal: bool = False):
+    """Interleaved (virtual-pipeline) schedule — megatron's
+    `forward_backward_pipelining_with_interleaving` (schedules.py:370-935)
+    done as a circular ring.
+
+    Each stage holds `num_chunks` non-contiguous layer chunks (global chunk v
+    lives on stage v % S — the VPP layer assignment, training.py:227-242);
+    activations circulate the ring num_chunks times, so the pipeline bubble
+    shrinks from (S-1)/(M+S-1) to ~(S-1)/(M*V+S-1) per unit work.
+
+    Schedule law: at tick t, stage s advances the activation whose chunk is
+    ((t-s)//S) mod V; stage 0 injects microbatch (t//(S*V))*S + t%S whenever
+    (t//S) % V == 0; the final activation exits stage S-1 on chunk V-1.
+    Requires M % S == 0 and layers % (S*V) == 0.
+    """
+    n_stages = mesh.shape[STAGE]
+    v = num_chunks
+    if n_stages == 1 or v == 1:
+        return pipeline_transformer(blocks, x, cfg, mesh=mesh,
+                                    num_microbatches=num_microbatches,
+                                    causal=causal)
+    m = num_microbatches
+    if m % n_stages:
+        raise ValueError(f"microbatches {m} must be divisible by "
+                         f"stages {n_stages} for the interleaved schedule")
+    n_layers = jax.tree.leaves(blocks)[0].shape[0]
+    if n_layers % (n_stages * v):
+        raise ValueError(f"{n_layers} layers not divisible by "
+                         f"stages*chunks {n_stages * v}")
+    lc = n_layers // (n_stages * v)
+    b = x.shape[0]
+    if b % m:
+        raise ValueError(f"batch {b} not divisible by {m} microbatches")
+    xm = x.reshape(m, b // m, *x.shape[1:])
+
+    # rearrange stacked layers [L,...] -> [S, V, Lc, ...] with global chunk
+    # k*S + s at [s, k] (round-robin chunk placement)
+    def arrange(leaf):
+        chunks = leaf.reshape(n_stages * v, lc, *leaf.shape[1:])
+        idx = jnp.asarray([[k * n_stages + s for k in range(v)]
+                           for s in range(n_stages)])
+        return chunks[idx]                   # [S, V, Lc, ...]
+
+    stage_major = jax.tree.map(arrange, blocks)
+    sv = n_stages * v
+    ticks = m * v + n_stages - 1
+
+    def staged(stage_blocks, xm):
+        # shard_map divides the leading S axis to size 1; squeeze it
+        stage_blocks = jax.tree.map(lambda l: l[0], stage_blocks)  # [V, Lc,...]
+        stage = jax.lax.axis_index(STAGE)
+        shift = [(i, (i + 1) % n_stages) for i in range(n_stages)]
+
+        def tick(state, t):
+            rel = t - stage
+            chunk = jnp.where(rel >= 0, (rel // n_stages) % v, 0)
+            inject = (stage == 0) & ((t // n_stages) % v == 0)
+            m_in = jnp.clip((t // sv) * n_stages + t % n_stages, 0, m - 1)
+            inp = jax.lax.dynamic_index_in_dim(xm, m_in, 0, keepdims=False)
+            cur = jnp.where(inject, inp, state)
+            chunk_blocks = jax.tree.map(
+                lambda l: jax.lax.dynamic_index_in_dim(l, chunk, 0,
+                                                       keepdims=False),
+                stage_blocks)
+            y = apply_transformer(chunk_blocks, cur, cfg, causal=causal)
+            state = jax.lax.ppermute(y, STAGE, shift)
+            return state, y
+
+        init = jax.lax.pcast(jnp.zeros_like(xm[0]), (STAGE,), to="varying")
+        _, ys = jax.lax.scan(tick, init, jnp.arange(ticks))
+
+        # final outputs leave the last stage on chunk V-1: ticks where
+        # ((t - (S-1))//S) % V == V-1, in microbatch order — static indices
+        out_ticks = []
+        for t in range(ticks):
+            rel = t - (n_stages - 1)
+            if rel >= 0 and (rel // n_stages) % v == v - 1 \
+                    and rel // sv < m // n_stages:
+                out_ticks.append(t)
+        assert len(out_ticks) == m, (out_ticks, m)
+        outs = ys[jnp.asarray(out_ticks)]
+        mask = (stage == n_stages - 1).astype(outs.dtype)
+        return jax.lax.psum(outs * mask, STAGE)
+
+    out = jax.shard_map(
+        staged, mesh=mesh,
+        in_specs=(P(STAGE), P()),
+        out_specs=P(),
+        axis_names={STAGE},
+    )(stage_major, xm)
+    return out.reshape(b, *x.shape[1:])

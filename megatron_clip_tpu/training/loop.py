@@ -276,6 +276,7 @@ class _BranchRunner:
         tdp = max(1, extra // (xtp * xpp))
         bp = BranchParallelCfg(
             vision=ParallelCfg(dp=vdp, tp=tp, pp=pp,
+                               vpp=args.virtual_pipeline_parallel_size,
                                microbatches=args.num_microbatches),
             text=ParallelCfg(dp=tdp, tp=xtp, pp=xpp,
                              microbatches=args.num_microbatches))

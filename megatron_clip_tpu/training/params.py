@@ -71,6 +71,9 @@ def parse_args(args=None):
     # --- parallelism (megatron names) ----------------------------------------
     p.add_argument("--tensor-model-parallel-size", type=int, default=1)
     p.add_argument("--pipeline-model-parallel-size", type=int, default=1)
+    p.add_argument("--virtual-pipeline-parallel-size", type=int, default=1,
+                   help="layer chunks per stage (interleaved schedule; "
+                        "megatron --num-layers-per-virtual-pipeline-stage)")
     p.add_argument("--fsdp-parallel-size", type=int, default=1,
                    help="param/optimizer shard axis (ZeRO / distributed "
                         "optimizer analogue, --use-distributed-optimizer)")

@@ -46,6 +46,7 @@ def parse_args(argv=None):
     p.add_argument("--fsdp-parallel-size", type=int, default=1)
     p.add_argument("--pipeline-model-parallel-size", type=int, default=1)
     p.add_argument("--num-microbatches", type=int, default=1)
+    p.add_argument("--virtual-pipeline-parallel-size", type=int, default=1)
     p.add_argument("--data-path", type=str, default=None,
                    help="indexed dataset prefix (.bin/.idx); synthetic if unset")
     p.add_argument("--log-interval", type=int, default=5)
@@ -94,7 +95,9 @@ def run(args):
         params = jax.device_put(params, make_sharding_tree(mesh, specs))
         if pp > 1:
             from megatron_clip_tpu.parallel.pipeline import make_pipelined_layers_fn
-            layers_fn = make_pipelined_layers_fn(mesh, args.num_microbatches)
+            layers_fn = make_pipelined_layers_fn(
+                mesh, args.num_microbatches,
+                args.virtual_pipeline_parallel_size)
 
     schedule = cosine_lr(args.lr, args.warmup, args.train_steps)
     tx = make_optimizer(params, schedule, weight_decay=args.weight_decay,

@@ -97,3 +97,33 @@ def test_branch_parallel_with_pipeline(devices8):
         ref_state, rm = ref_step(ref_state, images, texts)
         np.testing.assert_allclose(float(m["loss"]), float(rm["loss"]),
                                    rtol=3e-4)
+
+
+@pytest.mark.parametrize("pp,v,mb", [(2, 2, 4), (4, 2, 4), (2, 3, 6)])
+def test_interleaved_matches_sequential(devices8, pp, v, mb):
+    """Virtual-pipeline (interleaved) schedule == sequential numerics."""
+    from megatron_clip_tpu.parallel.pipeline import pipeline_transformer_interleaved
+    cfg = TransformerCfg(layers=pp * v * 2, width=64, heads=2)
+    mesh = build_mesh(ParallelCfg(dp=8 // pp, tp=1, pp=pp))
+    blocks = init_transformer(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (12, 8, 64))
+    want = apply_transformer(blocks, x, cfg)
+    got = pipeline_transformer_interleaved(
+        blocks, x, cfg, mesh=mesh, num_microbatches=mb, num_chunks=v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=3e-5, atol=3e-5)
+
+
+def test_interleaved_gradients_match(devices8):
+    from megatron_clip_tpu.parallel.pipeline import pipeline_transformer_interleaved
+    cfg = TransformerCfg(layers=8, width=64, heads=2)
+    mesh = build_mesh(ParallelCfg(dp=4, tp=1, pp=2))
+    blocks = init_transformer(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 8, 64))
+
+    g_seq = jax.grad(lambda b: jnp.sum(apply_transformer(b, x, cfg) ** 2))(blocks)
+    g_int = jax.grad(lambda b: jnp.sum(pipeline_transformer_interleaved(
+        b, x, cfg, mesh=mesh, num_microbatches=4, num_chunks=2) ** 2))(blocks)
+    for a, b_ in zip(jax.tree.leaves(g_seq), jax.tree.leaves(g_int)):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   rtol=5e-4, atol=5e-5)
