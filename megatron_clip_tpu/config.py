@@ -8,7 +8,7 @@ model-config registry format is preserved (see factory.py).
 """
 import dataclasses
 from dataclasses import dataclass, field
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax.numpy as jnp
 
@@ -160,6 +160,8 @@ class CLIPCfg:
     vision: VisionCfg = field(default_factory=VisionCfg)
     text: TextCfg = field(default_factory=TextCfg)
     quick_gelu: bool = False  # OpenAI checkpoints use x*sigmoid(1.702x)
+    resnet_layers: Optional[Tuple[int, ...]] = None  # ModifiedResNet when set
+    resnet_width: int = 64
     init_logit_scale: float = 2.659260036932778  # ln(1/0.07)
     init_logit_bias: Optional[float] = None  # SigLIP uses a learned bias
     # multimodal decoder (CoCa) — None for plain CLIP

@@ -63,6 +63,29 @@ _BUILTIN: Dict[str, dict] = {
     "ViT-e-14": _vit(1280, 56, 1792, 14, 1280, 20, 36, head_width=112,
                      mlp_ratio=8.5715),
 }
+def _rn(embed_dim, layers, width, image_size, t_width, t_heads,
+        t_layers=12):
+    return {
+        "embed_dim": embed_dim,
+        "vision_cfg": {"image_size": image_size, "layers": list(layers),
+                       "width": width},
+        "text_cfg": {"context_length": 77, "vocab_size": 49408,
+                     "width": t_width, "heads": t_heads, "layers": t_layers},
+    }
+
+
+_BUILTIN.update({
+    "RN50": _rn(1024, (3, 4, 6, 3), 64, 224, 512, 8),
+    "RN101": _rn(512, (3, 4, 23, 3), 64, 224, 512, 8),
+    "RN50x4": _rn(640, (4, 6, 10, 6), 80, 288, 640, 10),
+    "RN50x16": _rn(768, (6, 8, 18, 8), 96, 384, 768, 12),
+    "RN50x64": _rn(1024, (3, 15, 36, 10), 128, 448, 1024, 16),
+})
+for _name in ("RN50", "RN101"):
+    _c = dict(_BUILTIN[_name])
+    _c["quick_gelu"] = True
+    _BUILTIN[_name + "-quickgelu"] = _c
+
 # quickgelu variants (OpenAI-trained checkpoints use QuickGELU)
 for _name in ["ViT-B-32", "ViT-B-16", "ViT-L-14"]:
     _c = dict(_BUILTIN[_name])
@@ -92,7 +115,7 @@ _BUILTIN["coca_ViT-L-14"] = {
     "custom_text": True,
 }
 
-_UNSUPPORTED_PREFIXES = ("RN", "convnext", "swin", "vit_", "mt5", "roberta",
+_UNSUPPORTED_PREFIXES = ("convnext", "swin", "vit_", "mt5", "roberta",
                          "xlm-roberta", "nllb")
 
 # extra JSON config dirs (open_CLIP compatibility)
@@ -128,7 +151,14 @@ def _filter_fields(d: dict, cls) -> dict:
 
 
 def parse_model_cfg(cfg_dict: dict) -> CLIPCfg:
-    v = _filter_fields(cfg_dict.get("vision_cfg", {}), VisionCfg)
+    vcfg_in = dict(cfg_dict.get("vision_cfg", {}))
+    resnet_layers = None
+    resnet_width = 64
+    if isinstance(vcfg_in.get("layers"), (list, tuple)):
+        # open_CLIP marks ResNet towers with a list-typed layers field
+        resnet_layers = tuple(vcfg_in.pop("layers"))
+        resnet_width = vcfg_in.pop("width", 64)
+    v = _filter_fields(vcfg_in, VisionCfg)
     t = _filter_fields(cfg_dict.get("text_cfg", {}), TextCfg)
     mm = None
     if cfg_dict.get("multimodal_cfg"):
@@ -138,6 +168,8 @@ def parse_model_cfg(cfg_dict: dict) -> CLIPCfg:
         vision=VisionCfg(**v),
         text=TextCfg(**t),
         quick_gelu=bool(cfg_dict.get("quick_gelu", False)),
+        resnet_layers=resnet_layers,
+        resnet_width=resnet_width,
         init_logit_bias=cfg_dict.get("init_logit_bias"),
         multimodal=mm,
     )

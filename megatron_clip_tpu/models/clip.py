@@ -18,10 +18,24 @@ from megatron_clip_tpu.models.text import init_text, apply_text
 LOGIT_SCALE_MAX = math.log(100.0)
 
 
+def _resnet_cfg(cfg: CLIPCfg):
+    from megatron_clip_tpu.models.resnet import ResNetCfg
+    return ResNetCfg(layers=tuple(cfg.resnet_layers),
+                     width=cfg.resnet_width,
+                     image_size=cfg.vision.image_size,
+                     heads=cfg.resnet_width * 32 // 64)
+
+
 def init_clip(key, cfg: CLIPCfg, dtype=jnp.float32):
     kv, kt = jax.random.split(key)
+    if cfg.resnet_layers is not None:
+        from megatron_clip_tpu.models.resnet import init_modified_resnet
+        visual = init_modified_resnet(kv, _resnet_cfg(cfg), cfg.embed_dim)
+    else:
+        visual = init_vit(kv, cfg.vision, cfg.embed_dim, act=cfg.act,
+                          dtype=dtype)
     params = {
-        "visual": init_vit(kv, cfg.vision, cfg.embed_dim, act=cfg.act, dtype=dtype),
+        "visual": visual,
         "text": init_text(kt, cfg.text, cfg.embed_dim, act=cfg.act, dtype=dtype),
         "logit_scale": jnp.asarray(cfg.init_logit_scale, dtype=jnp.float32),
     }
@@ -41,6 +55,14 @@ def encode_image(params, images, cfg: CLIPCfg, *, normalize: bool = True,
                  compute_dtype=jnp.bfloat16, patch_dropout_rng=None,
                  remat: str = "none", sequence_parallel: bool = False,
                  scan_layers: bool = True):
+    if cfg.resnet_layers is not None:
+        # ModifiedResNet tower. NOTE: through this generic path BatchNorm
+        # runs on stored running stats (frozen-BN training regime); full
+        # batch-stat training uses models/resnet.py's train=True API.
+        from megatron_clip_tpu.models.resnet import apply_modified_resnet
+        f = apply_modified_resnet(params["visual"], images, _resnet_cfg(cfg),
+                                  compute_dtype=compute_dtype)
+        return _l2_normalize(f) if normalize else f.astype(jnp.float32)
     f = apply_vit(params["visual"], images, cfg.vision, cfg.embed_dim,
                   act=cfg.act, compute_dtype=compute_dtype,
                   tcfg=cfg.vision.transformer(act=cfg.act, remat=remat,

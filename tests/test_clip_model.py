@@ -107,7 +107,7 @@ def test_factory_registry():
     model, params = create_model("ViT-B-32", init_params=False)
     assert model.image_size == 224 and model.context_length == 77
     with pytest.raises(NotImplementedError):
-        create_model("RN50")
+        create_model("convnext_base")
 
 
 def test_quick_gelu_variant_differs():
