@@ -22,5 +22,6 @@ from megatron_clip_tpu.factory import (  # noqa: F401
     list_models,
     get_model_config,
 )
-from megatron_clip_tpu.losses import ClipLoss, SigLipLoss, CoCaLoss  # noqa: F401
+from megatron_clip_tpu.losses import (  # noqa: F401
+    ClipLoss, SigLipLoss, CoCaLoss, DistillClipLoss)
 from megatron_clip_tpu.tokenizer import get_tokenizer, tokenize  # noqa: F401

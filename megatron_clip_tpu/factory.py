@@ -21,7 +21,7 @@ import jax
 from megatron_clip_tpu.config import (
     CLIPCfg, VisionCfg, TextCfg, MultimodalCfg, Precision, BF16)
 from megatron_clip_tpu.models.clip import init_clip, apply_clip, encode_image, encode_text
-from megatron_clip_tpu.losses import ClipLoss, CoCaLoss, SigLipLoss
+from megatron_clip_tpu.losses import ClipLoss, CoCaLoss, SigLipLoss, DistillClipLoss
 
 
 def _vit(embed_dim, v_layers, v_width, patch, t_width, t_heads, t_layers,
@@ -282,6 +282,10 @@ def create_loss(args):
             gather_with_grad=get("gather_with_grad", True), axis_name=axis)
     if get("siglip"):
         return SigLipLoss(axis_name=axis)
+    if get("distill_model") or get("distill"):
+        return DistillClipLoss(local_loss=get("local_loss", True),
+                               gather_with_grad=get("gather_with_grad", True),
+                               axis_name=axis)
     return ClipLoss(local_loss=get("local_loss", True),
                     gather_with_grad=get("gather_with_grad", True),
                     axis_name=axis)

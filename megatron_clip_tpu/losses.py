@@ -165,3 +165,35 @@ class CoCaLoss(ClipLoss):
         if output_dict:
             return {"contrastive_loss": clip_l, "caption_loss": cap_l}
         return clip_l, cap_l
+
+
+class DistillClipLoss(ClipLoss):
+    """Contrastive loss + distillation from a teacher CLIP
+    (open_CLIP/src/open_clip/loss.py:185-221): soft cross-entropy between
+    the student's and teacher's logit distributions, both directions."""
+
+    @staticmethod
+    def _soft_xent(student_logits, teacher_logits):
+        pt = jax.nn.softmax(teacher_logits.astype(jnp.float32), axis=-1)
+        logps = jax.nn.log_softmax(student_logits.astype(jnp.float32), axis=-1)
+        return -(pt * logps).sum(-1).mean()
+
+    def __call__(self, image_features, text_features, logit_scale,
+                 dist_image_features=None, dist_text_features=None,
+                 dist_logit_scale=None, output_dict: bool = False):
+        contrastive = super().__call__(image_features, text_features,
+                                       logit_scale)
+        if dist_image_features is None:
+            return ({"contrastive_loss": contrastive} if output_dict
+                    else contrastive)
+        s_lpi, s_lpt = self.get_logits(image_features, text_features,
+                                       logit_scale)
+        t_lpi, t_lpt = self.get_logits(dist_image_features,
+                                       dist_text_features, dist_logit_scale)
+        t_lpi = jax.lax.stop_gradient(t_lpi)
+        t_lpt = jax.lax.stop_gradient(t_lpt)
+        distill = 0.5 * (self._soft_xent(s_lpi, t_lpi)
+                         + self._soft_xent(s_lpt, t_lpt))
+        if output_dict:
+            return {"contrastive_loss": contrastive, "distill_loss": distill}
+        return contrastive, distill

@@ -93,3 +93,25 @@ def test_siglip_ring_matches_global(devices8):
     got = sharded(img, txt)[0]
     # per-shard: (row-block sum)/local_b; pmean over W shards == global sum/N
     np.testing.assert_allclose(float(got), float(global_loss), rtol=1e-4)
+
+
+def test_distill_clip_loss():
+    """DistillClipLoss: KL term is zero when teacher == student, positive
+    otherwise; teacher receives no gradient."""
+    from megatron_clip_tpu.losses import DistillClipLoss
+    img, txt = _features(jax.random.PRNGKey(5), n=8, d=16)
+    scale = jnp.asarray(10.0)
+    loss_obj = DistillClipLoss()
+    d = loss_obj(img, txt, scale, img, txt, scale, output_dict=True)
+    base = loss_obj(img, txt, scale, output_dict=True)["contrastive_loss"]
+    np.testing.assert_allclose(float(d["contrastive_loss"]), float(base),
+                               rtol=1e-6)
+    # identical teacher: distill loss == teacher distribution entropy-matched
+    # minimum; perturbed teacher raises it
+    t_img, t_txt = _features(jax.random.PRNGKey(6), n=8, d=16)
+    d2 = loss_obj(img, txt, scale, t_img, t_txt, scale, output_dict=True)
+    assert float(d2["distill_loss"]) > float(d["distill_loss"])
+    # no gradient into the teacher features
+    g = jax.grad(lambda t: loss_obj(img, txt, scale, t, t_txt, scale,
+                                    output_dict=True)["distill_loss"])(t_img)
+    np.testing.assert_allclose(np.asarray(g), 0.0, atol=1e-12)
