@@ -46,6 +46,32 @@ def sdpa(q, k, v, *, causal: bool = False, bias: Optional[jax.Array] = None,
     return out.astype(dtype)
 
 
+def sdpa_bshd(q, k, v, *, causal: bool = False,
+              bias: Optional[jax.Array] = None,
+              scale: Optional[float] = None):
+    """Attention with [B, S, H, D] operands — no head transposes: the
+    post-attention head merge is a free reshape (profiling showed the BHSD
+    path's transpose copies cost ~15% of the CLIP step on v5e)."""
+    dtype = q.dtype
+    head_dim = q.shape[-1]
+    if scale is None:
+        scale = head_dim ** -0.5
+    prec = jax.lax.Precision.HIGHEST if q.dtype == jnp.float32 else None
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, precision=prec,
+                        preferred_element_type=jnp.float32) * scale
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
+    if causal:
+        sq, sk = logits.shape[-2], logits.shape[-1]
+        row = jax.lax.broadcasted_iota(jnp.int32, (sq, sk), 0)
+        col = jax.lax.broadcasted_iota(jnp.int32, (sq, sk), 1)
+        logits = jnp.where(row + (sk - sq) >= col, logits, jnp.float32(-1e30))
+    probs = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(dtype), v,
+                     precision=prec, preferred_element_type=jnp.float32)
+    return out.astype(dtype)
+
+
 # below this sequence length XLA's fused attention beats the Pallas kernel's
 # padding/tiling overhead (measured on v5e: s2048 comparable, s<256 XLA wins,
 # s8192 XLA cannot even materialize the logits)
@@ -94,24 +120,49 @@ def multi_head_attention(x, params, heads: int, *, causal: bool = False,
             kvp = kvp + params["bkv"].astype(kv.dtype)
         k, v = jnp.split(kvp, 2, axis=-1)
 
-    def split_heads(t, h):
-        return t.reshape(b, t.shape[1], h, -1).transpose(0, 2, 1, 3)
+    head_dim_q = q.shape[-1] // heads
+    flash_path = (use_flash and bias is None and kv is None
+                  and q.shape[1] >= MIN_FLASH_SEQ and head_dim_q <= 128)
+    if flash_path:
+        from megatron_clip_tpu.ops import use_pallas
+        flash_path = use_pallas()
 
-    qh = split_heads(q, heads)
-    kh = split_heads(k, hkv if kv is None else heads)
-    vh = split_heads(v, hkv if kv is None else heads)
-    if rope is not None:
-        from megatron_clip_tpu.ops.rope import apply_rope
-        cos, sin = rope
-        qh = apply_rope(qh, cos, sin)
-        kh = apply_rope(kh, cos, sin)
-    if kv is None and hkv != heads:
-        rep = heads // hkv
-        kh = jnp.repeat(kh, rep, axis=1)
-        vh = jnp.repeat(vh, rep, axis=1)
-    out = _attention(qh, kh, vh,
-                     causal=causal, bias=bias, scale=None, use_flash=use_flash)
-    out = out.transpose(0, 2, 1, 3).reshape(b, s, w)
+    if not flash_path:
+        # BSHD layout: no [B,S,H,D]->[B,H,S,D] transposes; head merge after
+        # attention is a free reshape
+        qh = q.reshape(b, q.shape[1], heads, -1)
+        kh = k.reshape(b, k.shape[1], hkv if kv is None else heads, -1)
+        vh = v.reshape(b, v.shape[1], hkv if kv is None else heads, -1)
+        if rope is not None:
+            from megatron_clip_tpu.ops.rope import apply_rope_bshd
+            cos, sin = rope
+            qh = apply_rope_bshd(qh, cos, sin)
+            kh = apply_rope_bshd(kh, cos, sin)
+        if kv is None and hkv != heads:
+            rep = heads // hkv
+            kh = jnp.repeat(kh, rep, axis=2)
+            vh = jnp.repeat(vh, rep, axis=2)
+        out = sdpa_bshd(qh, kh, vh, causal=causal, bias=bias)
+        out = out.reshape(b, s, w)
+    else:
+        def split_heads(t, h):
+            return t.reshape(b, t.shape[1], h, -1).transpose(0, 2, 1, 3)
+
+        qh = split_heads(q, heads)
+        kh = split_heads(k, hkv)
+        vh = split_heads(v, hkv)
+        if rope is not None:
+            from megatron_clip_tpu.ops.rope import apply_rope
+            cos, sin = rope
+            qh = apply_rope(qh, cos, sin)
+            kh = apply_rope(kh, cos, sin)
+        if hkv != heads:
+            rep = heads // hkv
+            kh = jnp.repeat(kh, rep, axis=1)
+            vh = jnp.repeat(vh, rep, axis=1)
+        from megatron_clip_tpu.ops.pallas.flash_attention import flash_attention
+        out = flash_attention(qh, kh, vh, causal=causal)
+        out = out.transpose(0, 2, 1, 3).reshape(b, s, w)
     out = jnp.einsum("bsw,wd->bsd", out, params["wo"].astype(x.dtype))
     if params.get("bo") is not None:
         out = out + params["bo"].astype(x.dtype)

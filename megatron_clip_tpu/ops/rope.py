@@ -32,3 +32,10 @@ def apply_rope(x, cos, sin):
     cos = cos.astype(x.dtype)[None, None]
     sin = sin.astype(x.dtype)[None, None]
     return x * cos + rotate_half(x) * sin
+
+
+def apply_rope_bshd(x, cos, sin):
+    """x: [B, S, H, D]; cos/sin: [S, D]."""
+    cos = cos.astype(x.dtype)[None, :, None, :]
+    sin = sin.astype(x.dtype)[None, :, None, :]
+    return x * cos + rotate_half(x) * sin
