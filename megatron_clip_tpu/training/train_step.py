@@ -65,21 +65,53 @@ def make_train_step(model, tx, *, loss_obj: Optional[Callable] = None,
             texts = jax.lax.with_sharding_constraint(texts, bspec)
 
         if microbatches > 1:
-            def mb(carry, xs):
-                im, tx_ = xs
-                (l, s), g = grad_fn(state.params, im, tx_)
-                acc_g, acc_l = carry
-                return (jax.tree.map(jnp.add, acc_g, g), acc_l + l), s
-
+            # open_CLIP --accum-freq semantics (train.py:405-443): a first
+            # no-grad pass caches all microbatch features, then each
+            # microbatch recomputes its own features WITH grad inside the
+            # full global-batch loss (cached features substituted for the
+            # other blocks). Summing those per-block gradients reconstructs
+            # the exact gradient of the full-batch contrastive loss — unlike
+            # naive grad accumulation, the negative pool is never shrunk.
             def split(x):
                 return x.reshape(microbatches, x.shape[0] // microbatches,
                                  *x.shape[1:])
+            ims, txs = split(images), split(texts)
+
+            def collect(_, xs):
+                im, tx_ = xs
+                out = model(state.params, im, tx_)
+                return None, (out["image_features"], out["text_features"])
+
+            _, (all_fi, all_ft) = jax.lax.scan(collect, None, (ims, txs))
+            all_fi = jax.lax.stop_gradient(all_fi)   # [M, mb, D]
+            all_ft = jax.lax.stop_gradient(all_ft)
+            d = all_fi.shape[-1]
+
+            def block_loss(params, im, tx_, i):
+                out = model(params, im, tx_)
+                fi = jax.lax.dynamic_update_index_in_dim(
+                    all_fi, out["image_features"], i, 0)
+                ft = jax.lax.dynamic_update_index_in_dim(
+                    all_ft, out["text_features"], i, 0)
+                loss = loss_obj(fi.reshape(-1, d), ft.reshape(-1, d),
+                                out["logit_scale"])
+                if isinstance(loss, dict):
+                    loss = sum(loss.values())
+                return loss, out["logit_scale"]
+
+            block_grad = jax.value_and_grad(block_loss, has_aux=True)
+
+            def mb(carry, xs):
+                i, im, tx_ = xs
+                (l, s), g = block_grad(state.params, im, tx_, i)
+                acc_g, _ = carry
+                return (jax.tree.map(jnp.add, acc_g, g), l), s
+
             zeros = jax.tree.map(jnp.zeros_like, state.params)
-            (grads, loss_sum), scales = jax.lax.scan(
+            (grads, loss), scales = jax.lax.scan(
                 mb, (zeros, jnp.zeros((), jnp.float32)),
-                (split(images), split(texts)))
-            grads = jax.tree.map(lambda g: g / microbatches, grads)
-            loss, scale = loss_sum / microbatches, scales[-1]
+                (jnp.arange(microbatches), ims, txs))
+            scale = scales[-1]
         else:
             (loss, scale), grads = grad_fn(state.params, images, texts)
 

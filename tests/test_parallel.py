@@ -122,3 +122,29 @@ def test_sequence_parallel_matches(devices8):
     np.testing.assert_allclose(np.asarray(got["image_features"]),
                                np.asarray(want["image_features"]),
                                rtol=2e-4, atol=2e-5)
+
+
+def test_accum_freq_matches_full_batch():
+    """Feature-cached gradient accumulation (open_CLIP --accum-freq) must
+    produce the EXACT full-global-batch gradient — losses and updated params
+    equal between microbatches=2 and microbatches=1."""
+    from megatron_clip_tpu.training import make_train_step
+    model = _model()
+    params = init_clip(jax.random.PRNGKey(0), TINY)
+    images, texts = _data(b=8)
+
+    results = {}
+    for m in (1, 2, 4):
+        p = jax.tree.map(jnp.copy, params)  # step donates its input state
+        tx = make_optimizer(p, cosine_lr(1e-3, 2, 100))
+        state = TrainState.create(p, tx)
+        step = make_train_step(model, tx, microbatches=m)
+        state, metrics = step(state, images, texts)
+        results[m] = (float(metrics["loss"]), state.params)
+
+    np.testing.assert_allclose(results[2][0], results[1][0], rtol=1e-5)
+    np.testing.assert_allclose(results[4][0], results[1][0], rtol=1e-5)
+    for a, b_ in zip(jax.tree.leaves(results[1][1]),
+                     jax.tree.leaves(results[2][1])):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   rtol=5e-4, atol=1e-6)
