@@ -137,7 +137,8 @@ def get_data(args, preprocess_train, preprocess_val, tokenizer,
         ds = WdsData(args.train_data, args.batch_size, preprocess_train,
                      tokenizer, num_samples=args.train_num_samples,
                      seed=args.seed, context_length=context_length,
-                     workers=args.workers)
+                     workers=args.workers,
+                     resampled=getattr(args, "dataset_resampled", False))
         out["train"] = DataInfo(ds, ds.num_batches, ds.num_samples)
     else:
         raise ValueError(args.dataset_type)

@@ -113,7 +113,8 @@ class WdsData:
     def __init__(self, urls, batch_size: int, preprocess: Callable,
                  tokenizer: Callable, *, num_samples: Optional[int] = None,
                  seed: int = 0, context_length: int = 77, workers: int = 2,
-                 shuffle: bool = True, shuffle_buffer: int = SHUFFLE_BUFFER):
+                 shuffle: bool = True, shuffle_buffer: int = SHUFFLE_BUFFER,
+                 resampled: bool = False):
         self.shards = expand_urls(urls)
         if not self.shards:
             raise ValueError(f"no shards from {urls!r}")
@@ -133,6 +134,7 @@ class WdsData:
         self.shuffle = shuffle
         self.shuffle_buffer = shuffle_buffer
         self.workers = max(1, workers)
+        self.resampled = resampled
 
     def _sample_stream(self, shards: List[str], rng: random.Random):
         buf = []
@@ -155,12 +157,17 @@ class WdsData:
         yield from buf
 
     def __iter__(self):
-        # detshuffle2 semantics: shard order = f(seed, epoch), same on every
-        # host (data.py:242-273)
-        shards = list(self.shards)
         rng = random.Random(self.seed + self.epoch)
-        if self.shuffle:
-            rng.shuffle(shards)
+        if self.resampled:
+            # ResampledShards2 semantics (data.py:274-326): shards drawn WITH
+            # replacement each epoch — statistically balanced across workers
+            shards = [rng.choice(self.shards) for _ in self.shards]
+        else:
+            # detshuffle2 semantics: shard order = f(seed, epoch), same on
+            # every host (data.py:242-273)
+            shards = list(self.shards)
+            if self.shuffle:
+                rng.shuffle(shards)
         self.epoch += 1
 
         q: "queue.Queue" = queue.Queue(maxsize=8)

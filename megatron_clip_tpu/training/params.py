@@ -30,6 +30,8 @@ def parse_args(args=None):
     p.add_argument("--csv-img-key", type=str, default="filepath")
     p.add_argument("--csv-caption-key", type=str, default="title")
     p.add_argument("--workers", type=int, default=4)
+    p.add_argument("--dataset-resampled", action="store_true",
+                   help="sample wds shards with replacement (ResampledShards2)")
 
     # --- model --------------------------------------------------------------
     p.add_argument("--model", type=str, default="ViT-B-32")

@@ -172,3 +172,37 @@ def test_val_and_zeroshot_eval(tmp_path):
     assert "val_clip_val_loss" in m
     assert "imagenet-zeroshot-val-top1" in m
     assert 0.0 <= m["imagenet-zeroshot-val-top1"] <= 1.0
+
+
+def test_wds_resampled(tmp_path):
+    from megatron_clip_tpu.data.webdataset import WdsData
+    from megatron_clip_tpu.tokenizer import find_bpe_vocab, get_tokenizer
+    from megatron_clip_tpu.data.transforms import image_transform
+    if find_bpe_vocab() is None:
+        pytest.skip("no BPE vocab")
+    spec = _make_shards(tmp_path)
+    ds = WdsData(spec, batch_size=4, preprocess=image_transform(32, False),
+                 tokenizer=get_tokenizer(), num_samples=16, workers=1,
+                 resampled=True)
+    batches = list(ds)
+    assert len(batches) == 4  # with-replacement still honors num_batches
+
+
+def test_remote_sync(tmp_path):
+    from megatron_clip_tpu.utils.remote_sync import RemoteSync, _sync_dir
+    src = tmp_path / "ckpt"
+    dst = tmp_path / "mirror"
+    (src / "iter_0000001").mkdir(parents=True)
+    (src / "iter_0000001" / "state").write_text("payload")
+    (src / "latest_checkpointed_iteration.txt").write_text("1")
+    n = _sync_dir(str(src), str(dst))
+    assert n == 2
+    assert (dst / "iter_0000001" / "state").read_text() == "payload"
+    # incremental: nothing new -> nothing copied
+    assert _sync_dir(str(src), str(dst)) == 0
+    # background thread + final()
+    rs = RemoteSync(str(src), str(dst), frequency=999).start()
+    (src / "latest_checkpointed_iteration.txt").write_text("2")
+    import time; time.sleep(1.1)
+    assert rs.final() >= 1
+    assert (dst / "latest_checkpointed_iteration.txt").read_text() == "2"
