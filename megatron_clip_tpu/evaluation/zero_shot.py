@@ -4,10 +4,11 @@ Replaces open_CLIP's zero_shot.py:12-93: build a text classifier by encoding
 prompt-template ensembles per class (mean of normalized embeddings), then
 classify image features by cosine similarity; report top-1/top-5.
 
-Class names / the full 80-prompt OpenAI template ensemble are *data* supplied
-by the caller (a JSON file via `load_imagenet_metadata`, or the reference's
-`imagenet_zeroshot_data.py` importing at runtime). A small built-in template
-set is provided for smoke tests.
+The 1000 ImageNet class names and the full 80-prompt OpenAI template ensemble
+are vendored as JSON under `evaluation/assets/imagenet_zeroshot.json`
+(open_CLIP/src/training/imagenet_zeroshot_data.py as data, not code).
+$MCT_IMAGENET_METADATA overrides with a custom JSON or python data module.
+A small built-in template set is provided for smoke tests.
 """
 import importlib.util
 import json
@@ -40,9 +41,8 @@ def load_imagenet_metadata(path: Optional[str] = None):
     """
     path = path or os.environ.get("MCT_IMAGENET_METADATA", "")
     if not path:
-        candidates = [
-            "/root/reference/open_CLIP/src/training/imagenet_zeroshot_data.py"]
-        path = next((c for c in candidates if os.path.isfile(c)), "")
+        path = os.path.join(os.path.dirname(__file__), "assets",
+                            "imagenet_zeroshot.json")
     if not path or not os.path.isfile(path):
         return None, None
     if path.endswith(".json"):

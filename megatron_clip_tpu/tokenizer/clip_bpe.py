@@ -7,8 +7,8 @@ BPE over the 49,152-merge OpenAI CLIP vocabulary, with <|startoftext|>=49406,
 <|endoftext|>=49407, context length 77, lowercasing, and whitespace cleanup.
 
 The merges file (`bpe_simple_vocab_16e6.txt.gz`) is a data asset with its own
-provenance (OpenAI CLIP); it is *discovered*, not vendored: set $MCT_BPE_PATH,
-drop it next to this file, or rely on a known local checkout.
+provenance (OpenAI CLIP); it is vendored under `tokenizer/assets/` so the
+framework is self-contained. $MCT_BPE_PATH overrides.
 """
 import functools
 import gzip
@@ -27,8 +27,8 @@ CONTEXT_LENGTH = 77
 
 _VOCAB_CANDIDATES = [
     os.environ.get("MCT_BPE_PATH", ""),
+    str(Path(__file__).parent / "assets" / "bpe_simple_vocab_16e6.txt.gz"),
     str(Path(__file__).parent / "bpe_simple_vocab_16e6.txt.gz"),
-    "/root/reference/open_CLIP/src/open_clip/bpe_simple_vocab_16e6.txt.gz",
 ]
 
 
