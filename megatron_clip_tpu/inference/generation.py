@@ -39,7 +39,11 @@ class KVCache(NamedTuple):
 
 def _block_decode(block, x, cache_k, cache_v, pos, cfg: TransformerCfg, rope):
     """One block, one (or P prompt) tokens, reading/writing the cache.
-    x: [B, T, W]; cache_[kv]: [B, Hkv, S_max, D]; pos: scalar write offset."""
+    x: [B, T, W]; cache_[kv]: [B, Hkv, S_max, D]; pos: scalar write offset
+    shared by all rows, or a [B] int32 vector of per-row offsets (ragged
+    prompts: each row in-fills at its own length, megatron
+    text_generation/generation.py semantics)."""
+    per_row = getattr(pos, "ndim", 0) == 1
     b, t, w = x.shape
     hkv = cfg.kv_heads or cfg.heads
     hd = cfg.head_dim
@@ -55,16 +59,27 @@ def _block_decode(block, x, cache_k, cache_v, pos, cfg: TransformerCfg, rope):
         cos, sin = rope  # already sliced for these positions: [T, D]
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
-    cache_k = jax.lax.dynamic_update_slice(cache_k, k.astype(cache_k.dtype),
-                                           (0, 0, pos, 0))
-    cache_v = jax.lax.dynamic_update_slice(cache_v, v.astype(cache_v.dtype),
-                                           (0, 0, pos, 0))
+    if per_row:
+        upd = lambda c, u, p_: jax.lax.dynamic_update_slice(c, u, (0, p_, 0))
+        cache_k = jax.vmap(upd)(cache_k, k.astype(cache_k.dtype), pos)
+        cache_v = jax.vmap(upd)(cache_v, v.astype(cache_v.dtype), pos)
+    else:
+        cache_k = jax.lax.dynamic_update_slice(
+            cache_k, k.astype(cache_k.dtype), (0, 0, pos, 0))
+        cache_v = jax.lax.dynamic_update_slice(
+            cache_v, v.astype(cache_v.dtype), (0, 0, pos, 0))
     s_max = cache_k.shape[2]
-    # valid keys: col <= pos + t - 1, plus causality within the new tokens
+    # valid keys: col <= pos + t - 1, plus causality within the new tokens.
+    # With per-row pos this also excludes the stale pad-prompt cache entries
+    # in [prompt_len, padded_len): they sit beyond each row's frontier.
     col = jax.lax.broadcasted_iota(jnp.int32, (t, s_max), 1)
     row = jax.lax.broadcasted_iota(jnp.int32, (t, s_max), 0)
-    mask = col <= (pos + row)
-    bias = jnp.where(mask, 0.0, -1e30)[None, None]
+    if per_row:
+        mask = col[None] <= (pos[:, None, None] + row[None])   # [B, T, S]
+        bias = jnp.where(mask, 0.0, -1e30)[:, None]
+    else:
+        mask = col <= (pos + row)
+        bias = jnp.where(mask, 0.0, -1e30)[None, None]
     kh, vh = cache_k.astype(x.dtype), cache_v.astype(x.dtype)
     if hkv != cfg.heads:
         kh = jnp.repeat(kh, cfg.heads // hkv, axis=1)
@@ -94,18 +109,26 @@ def _forward_cached(params, tokens, pos, cache: KVCache, cfg: GPTCfg,
     """Run tokens [B, T] starting at position `pos` through all blocks with
     cache update. Returns (logits [B, T, V], cache)."""
     tcfg = cfg.transformer()
+    per_row = getattr(pos, "ndim", 0) == 1
+    t = tokens.shape[1]
     x = params["tok_embed"][tokens].astype(compute_dtype)
     if "pos_embed" in params:
-        t = tokens.shape[1]
-        pe = jax.lax.dynamic_slice_in_dim(params["pos_embed"], pos, t, 0)
-        x = x + pe.astype(compute_dtype)[None]
+        if per_row:
+            positions = pos[:, None] + jnp.arange(t)[None]      # [B, T]
+            x = x + params["pos_embed"][positions].astype(compute_dtype)
+        else:
+            pe = jax.lax.dynamic_slice_in_dim(params["pos_embed"], pos, t, 0)
+            x = x + pe.astype(compute_dtype)[None]
     rope = None
     if tcfg.rope:
         cos_full, sin_full = rope_cos_sin(cache.k.shape[3], tcfg.head_dim,
                                           tcfg.rope_theta)
-        t = tokens.shape[1]
-        rope = (jax.lax.dynamic_slice_in_dim(cos_full, pos, t, 0),
-                jax.lax.dynamic_slice_in_dim(sin_full, pos, t, 0))
+        if per_row:
+            positions = pos[:, None] + jnp.arange(t)[None]
+            rope = (cos_full[positions], sin_full[positions])   # [B, T, D]
+        else:
+            rope = (jax.lax.dynamic_slice_in_dim(cos_full, pos, t, 0),
+                    jax.lax.dynamic_slice_in_dim(sin_full, pos, t, 0))
 
     def layer(carry, xs):
         x = carry
@@ -143,20 +166,29 @@ def _sample(logits, rng, temperature, top_k, top_p):
 
 
 @partial(jax.jit, static_argnames=("cfg", "max_new_tokens", "temperature",
-                                   "top_k", "top_p", "eos_id"))
+                                   "top_k", "top_p", "eos_id",
+                                   "return_lengths"))
 def generate(params, prompt, prompt_len, cfg: GPTCfg, *,
              max_new_tokens: int = 32, temperature: float = 1.0,
              top_k: int = 0, top_p: float = 0.0, eos_id: int = -1,
-             seed: int = 0):
+             seed: int = 0, return_lengths: bool = False):
     """prompt: [B, P] right-padded; prompt_len: [B] actual lengths.
-    Returns tokens [B, P + max_new_tokens] with generations appended at each
-    row's prompt_len. One compiled computation: prefill + scan of decode steps.
+    Returns tokens [B, P + max_new_tokens] with generations in-filled at each
+    row's own prompt_len (megatron text_generation/generation.py semantics:
+    a short row's first generated token lands at position prompt_len, with
+    per-row rope/pos-embed indices, never attending to the pad region of the
+    cache). With return_lengths=True also returns [B] counts of generated
+    tokens (including the EOS, when one was produced).
+    One compiled computation: prefill + scan of decode steps.
     """
     b, p = prompt.shape
     max_len = p + max_new_tokens
     cache = KVCache.create(cfg, b, max_len)
     compute = jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
 
+    # Prefill the padded prompt at shared positions 0..P-1: correct for every
+    # row's real tokens; the pad region's cache entries are masked out during
+    # decode (per-row frontier) and overwritten as generation in-fills them.
     logits, cache = _forward_cached(params, prompt, 0, cache, cfg, compute)
     # next-token logits come from each row's last real prompt token
     last = jnp.take_along_axis(logits, (prompt_len - 1)[:, None, None], axis=1)[:, 0]
@@ -164,27 +196,29 @@ def generate(params, prompt, prompt_len, cfg: GPTCfg, *,
     out = jnp.zeros((b, max_len), jnp.int32)
     out = jax.lax.dynamic_update_slice(out, prompt, (0, 0))
     rng = jax.random.PRNGKey(seed)
+    row_write = jax.vmap(
+        lambda o, t_, p_: jax.lax.dynamic_update_slice(o, t_, (p_,)))
 
-    # prompts are padded to a common length; per-row shorter prompts rely on
-    # argmax/EOT-independent causal masking (the reference pads to the max
-    # prompt length too, text_generation/tokenization.py)
     def step_fixed(carry, i):
-        out, cache, last_logits, rng, done = carry
+        out, cache, last_logits, rng, done, n_gen = carry
         rng, sub = jax.random.split(rng)
         tok = _sample(last_logits, sub, temperature, top_k, top_p).astype(jnp.int32)
         tok = jnp.where(done, jnp.zeros_like(tok), tok)
-        out = jax.lax.dynamic_update_slice(out, tok[:, None], (0, p + i))
+        wpos = prompt_len + i                       # per-row write position
+        out = row_write(out, tok[:, None], wpos)
+        n_gen = n_gen + (~done).astype(jnp.int32)
         done = done | (tok == eos_id)
 
-        def fwd(_):
-            return _forward_cached(params, tok[:, None], p + i, cache, cfg,
-                                   compute)
-        logits, cache2 = fwd(None)
-        return (out, cache2, logits[:, 0], rng, done), None
+        logits, cache2 = _forward_cached(params, tok[:, None], wpos, cache,
+                                         cfg, compute)
+        return (out, cache2, logits[:, 0], rng, done, n_gen), None
 
-    init = (out, cache, last, rng, jnp.zeros((b,), bool))
-    (out, _, _, _, _), _ = jax.lax.scan(step_fixed, init,
-                                        jnp.arange(max_new_tokens))
+    init = (out, cache, last, rng, jnp.zeros((b,), bool),
+            jnp.zeros((b,), jnp.int32))
+    (out, _, _, _, _, n_gen), _ = jax.lax.scan(step_fixed, init,
+                                               jnp.arange(max_new_tokens))
+    if return_lengths:
+        return out, n_gen
     return out
 
 

@@ -38,9 +38,13 @@ class GenerationService:
         self.eos_id = eos_id if eos_id is not None else -1
         self._lock = threading.Lock()
 
+    MAX_TOKENS_TO_GENERATE = 1024
+
     def __call__(self, prompts, tokens_to_generate=32, temperature=1.0,
                  top_k=0, top_p=0.0, seed=0):
         from megatron_clip_tpu.inference.generation import generate
+        tokens_to_generate = max(1, min(int(tokens_to_generate),
+                                        self.MAX_TOKENS_TO_GENERATE))
         ids = [self.tokenizer.encode(p) for p in prompts]
         max_len = _bucket(max(len(i) for i in ids))
         batch = np.zeros((len(ids), max_len), np.int32)
@@ -49,16 +53,19 @@ class GenerationService:
             batch[r, :len(seq)] = seq
             lens[r] = len(seq)
         with self._lock:  # one compiled computation at a time on the chip
-            out = generate(self.params, jnp.asarray(batch), jnp.asarray(lens),
-                           self.cfg, max_new_tokens=int(tokens_to_generate),
-                           temperature=float(temperature), top_k=int(top_k),
-                           top_p=float(top_p), eos_id=self.eos_id, seed=seed)
-        out = np.asarray(out)
+            out, n_gen = generate(
+                self.params, jnp.asarray(batch), jnp.asarray(lens),
+                self.cfg, max_new_tokens=tokens_to_generate,
+                temperature=float(temperature), top_k=int(top_k),
+                top_p=float(top_p), eos_id=self.eos_id, seed=seed,
+                return_lengths=True)
+        out, n_gen = np.asarray(out), np.asarray(n_gen)
         texts = []
         for r in range(len(ids)):
-            toks = [int(t) for t in out[r, lens[r]:] if t != 0
-                    and t != self.eos_id]
-            texts.append(self.tokenizer.decode(toks))
+            toks = list(out[r, lens[r]:lens[r] + n_gen[r]])
+            if toks and toks[-1] == self.eos_id:
+                toks = toks[:-1]   # n_gen counts the EOS; don't render it
+            texts.append(self.tokenizer.decode([int(t) for t in toks]))
         return texts
 
 
@@ -103,7 +110,7 @@ def make_handler(service: GenerationService):
     return Handler
 
 
-def run_server(service: GenerationService, host: str = "0.0.0.0",
+def run_server(service: GenerationService, host: str = "127.0.0.1",
                port: int = 5000) -> ThreadingHTTPServer:
     server = ThreadingHTTPServer((host, port), make_handler(service))
     t = threading.Thread(target=server.serve_forever, daemon=True)

@@ -28,9 +28,14 @@ def rotate_half(x):
 
 
 def apply_rope(x, cos, sin):
-    """x: [B, H, S, D]; cos/sin: [S, D] (fp32, cast to x dtype)."""
-    cos = cos.astype(x.dtype)[None, None]
-    sin = sin.astype(x.dtype)[None, None]
+    """x: [B, H, S, D]; cos/sin: [S, D] shared, or [B, S, D] per-row
+    positions (ragged-prompt decode)."""
+    if cos.ndim == 3:
+        cos = cos.astype(x.dtype)[:, None]
+        sin = sin.astype(x.dtype)[:, None]
+    else:
+        cos = cos.astype(x.dtype)[None, None]
+        sin = sin.astype(x.dtype)[None, None]
     return x * cos + rotate_half(x) * sin
 
 

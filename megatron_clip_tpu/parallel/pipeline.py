@@ -91,6 +91,12 @@ def make_pipelined_layers_fn(mesh: Mesh, num_microbatches: int,
     model applies in place of apply_transformer when pp > 1. num_chunks > 1
     selects the interleaved (virtual-pipeline) schedule."""
     def layers_fn(blocks, x, cfg, *, causal=False, bias=None):
+        if getattr(cfg, "num_experts", 0):
+            raise ValueError(
+                "pipeline parallelism (pp>1) does not support MoE layers yet: "
+                "the SwitchMLP aux loss cannot be threaded through the "
+                "pipeline schedule. Use tp/fsdp/sp with --num-experts, or "
+                "pp without experts.")
         assert bias is None, "additive masks not yet supported in the pipeline"
         if num_chunks > 1:
             return pipeline_transformer_interleaved(

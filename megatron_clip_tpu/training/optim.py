@@ -18,14 +18,15 @@ import optax
 
 
 def _no_decay_mask(params):
-    """True = apply weight decay. Excludes 1-D params (gains/biases/layernorm/
-    logit_scale/positional embeddings are n-dim<2 or named), matching
-    open_CLIP's `exclude = p.ndim < 2 or 'bn'/'ln'/'bias'/'logit_scale' in name`."""
+    """True = apply weight decay. Matches open_CLIP main.py's param grouping
+    exactly: `exclude = p.ndim < 2 or 'bn'/'ln'/'bias'/'logit_scale' in name`.
+    Note 2-D positional embeddings therefore DO get weight decay (they are
+    ndim>=2 and not name-excluded in open_CLIP)."""
     def rule(path, leaf):
         name = "/".join(str(getattr(p, "key", getattr(p, "idx", ""))) for p in path)
         if leaf.ndim < 2:
             return False
-        if "logit_scale" in name or "pos_embed" in name:
+        if "logit_scale" in name:
             return False
         return True
     return jax.tree_util.tree_map_with_path(rule, params)

@@ -85,6 +85,10 @@ def run(args):
     devices = jax.devices()
     tp, pp, fsdp = (args.tensor_model_parallel_size,
                     args.pipeline_model_parallel_size, args.fsdp_parallel_size)
+    if pp > 1 and args.num_experts:
+        raise SystemExit("--pipeline-model-parallel-size > 1 is incompatible "
+                         "with --num-experts (MoE aux loss is not threaded "
+                         "through the pipeline schedule)")
     dp = max(1, len(devices) // (tp * pp * fsdp))
     mesh = None
     layers_fn = None

@@ -44,6 +44,33 @@ def test_greedy_matches_unrolled_argmax():
     np.testing.assert_array_equal(np.asarray(out), np.asarray(toks))
 
 
+@pytest.mark.parametrize("variant", ["learned", "rope"])
+def test_ragged_prompts_match_unpadded(variant):
+    """A short row in a padded batch must generate exactly what it would
+    generate alone, unpadded: in-fill at prompt_len, per-row positions, no
+    attention into the pad region of the cache (megatron in-fill semantics)."""
+    cfg = dataclasses.replace(TINY, position_embedding=variant)
+    params = init_gpt(jax.random.PRNGKey(0), cfg)
+    long_p = jax.random.randint(jax.random.PRNGKey(1), (1, 12), 1, 128)
+    short_p = jax.random.randint(jax.random.PRNGKey(2), (1, 5), 1, 128)
+
+    batch = jnp.zeros((2, 12), jnp.int32)
+    batch = batch.at[0].set(long_p[0])
+    batch = batch.at[1, :5].set(short_p[0])
+    plen = jnp.array([12, 5], jnp.int32)
+    out, n_gen = generate(params, batch, plen, cfg, max_new_tokens=6,
+                          temperature=0.0, return_lengths=True)
+    out = np.asarray(out)
+    assert list(np.asarray(n_gen)) == [6, 6]
+
+    solo = generate(params, short_p, jnp.array([5], jnp.int32), cfg,
+                    max_new_tokens=6, temperature=0.0)
+    np.testing.assert_array_equal(out[1, 5:11], np.asarray(solo)[0, 5:11])
+    solo_long = generate(params, long_p, jnp.array([12], jnp.int32), cfg,
+                         max_new_tokens=6, temperature=0.0)
+    np.testing.assert_array_equal(out[0], np.asarray(solo_long)[0])
+
+
 def test_sampling_modes_run():
     params = init_gpt(jax.random.PRNGKey(0), TINY)
     prompt = jnp.ones((2, 4), jnp.int32)
