@@ -140,10 +140,9 @@ def openclip_state_dict_from_params(params: dict, cfg: CLIPCfg) -> Dict[str, np.
 
 
 def load_openclip_checkpoint(path: str, cfg: CLIPCfg, params=None) -> dict:
-    """Load an open_CLIP .pt file (torch serialized)."""
-    import torch
-    ckpt = torch.load(path, map_location="cpu", weights_only=False)
-    sd = ckpt.get("state_dict", ckpt) if isinstance(ckpt, dict) else ckpt
-    sd = {k[len("module."):] if k.startswith("module.") else k: v
-          for k, v in sd.items()}
+    """Load an open_CLIP .pt file. Torch-free: uses the restricted zip-format
+    reader (checkpoints/pt_reader.py), so `pretrained=` works on hosts
+    without torch installed."""
+    from megatron_clip_tpu.checkpoints.pt_reader import load_state_dict
+    sd = load_state_dict(path)
     return params_from_openclip_state_dict(sd, cfg)
