@@ -66,6 +66,11 @@ class TransformerCfg:
     moe_capacity_factor: float = 1.25
     moe_router: str = "sinkhorn"  # sinkhorn (megatron) | top1 (switch)
     sequence_parallel: bool = False  # shard activations on seq over tensor axis
+    # dropout (megatron --attention-dropout / --hidden-dropout, default 0.1
+    # there; 0 here because CLIP trains without dropout). Active only when an
+    # rng key is threaded into apply_transformer (training), never in eval.
+    attention_dropout: float = 0.0
+    hidden_dropout: float = 0.0
     # execution knobs
     remat: str = "none"  # none | full | selective  (megatron --recompute-granularity)
     use_flash: bool = True  # Pallas flash attention when on TPU

@@ -68,16 +68,26 @@ def init_gpt(key, cfg: GPTCfg, dtype=jnp.float32):
 
 def apply_gpt(params, tokens, cfg: GPTCfg, *, compute_dtype=jnp.bfloat16,
               tcfg: Optional[TransformerCfg] = None, layers_fn=None,
-              return_hidden: bool = False):
-    """tokens [B, S] int32 -> logits [B, S, V] (fp32)."""
+              return_hidden: bool = False, rng=None):
+    """tokens [B, S] int32 -> logits [B, S, V] (fp32).
+
+    `rng` enables dropout (training): embedding dropout at hidden_dropout
+    rate (megatron language_model.py Embedding) plus the per-block
+    attention/hidden dropout threaded through apply_transformer."""
     tcfg = tcfg or cfg.transformer()
     s = tokens.shape[1]
     x = params["tok_embed"][tokens].astype(compute_dtype)
     if "pos_embed" in params:
         x = x + params["pos_embed"][:s].astype(compute_dtype)[None]
+    k_embed = k_blocks = None
+    if rng is not None:
+        k_embed, k_blocks = jax.random.split(rng)
+        from megatron_clip_tpu.nn.transformer import dropout
+        x = dropout(x, tcfg.hidden_dropout, k_embed)
     aux = None
     if layers_fn is None:
-        x = apply_transformer(params["blocks"], x, tcfg, causal=True)
+        x = apply_transformer(params["blocks"], x, tcfg, causal=True,
+                              rng=k_blocks)
     else:
         x = layers_fn(params["blocks"], x, tcfg, causal=True)
     if cfg.num_experts:
@@ -98,12 +108,13 @@ def apply_gpt(params, tokens, cfg: GPTCfg, *, compute_dtype=jnp.bfloat16,
 
 
 def gpt_loss(params, tokens, cfg: GPTCfg, *, loss_mask=None,
-             compute_dtype=jnp.bfloat16, tcfg=None, layers_fn=None):
+             compute_dtype=jnp.bfloat16, tcfg=None, layers_fn=None,
+             rng=None):
     """Next-token LM loss: predict tokens[:, 1:] from tokens[:, :-1]
     (pretrain_gpt.py loss_func semantics, with loss-mask averaging)."""
     out = apply_gpt(params, tokens[:, :-1], cfg,
                     compute_dtype=compute_dtype, tcfg=tcfg,
-                    layers_fn=layers_fn)
+                    layers_fn=layers_fn, rng=rng)
     aux = jnp.zeros((), jnp.float32)
     if cfg.num_experts:
         logits, aux = out

@@ -110,16 +110,37 @@ def _sp_constraint(x, cfg):
     return jax.lax.with_sharding_constraint(x, P((DATA, FSDP), TENSOR, None))
 
 
+def dropout(x, rate: float, key):
+    """Inverted dropout. Under jit with sharded activations each device
+    draws its shard of one global mask, so the reference's per-TP-rank RNG
+    fork (megatron/core/tensor_parallel/random.py:69-258) has no analogue to
+    port — SPMD gives consistent masks by construction. Deterministic under
+    remat: the key is an input, recompute replays the same bits."""
+    if rate == 0.0 or key is None:
+        return x
+    keep = jax.random.bernoulli(key, 1.0 - rate, x.shape)
+    return jnp.where(keep, x / (1.0 - rate), jnp.zeros((), x.dtype))
+
+
 def apply_block(block, x, cfg: TransformerCfg, *, causal: bool = False,
-                bias: Optional[jax.Array] = None, rope=None):
-    """x: [B, S, W] in compute dtype."""
+                bias: Optional[jax.Array] = None, rope=None, rng=None):
+    """x: [B, S, W] in compute dtype. `rng`: per-layer PRNG key enabling
+    dropout (training); None = eval / dropout-free. Sites match megatron:
+    attention-prob dropout (CoreAttention) and hidden dropout before each
+    residual add (bias_dropout_add, model/transformer.py:813-841)."""
+    k_attn = k_h1 = k_h2 = None
+    if rng is not None and (cfg.attention_dropout > 0 or cfg.hidden_dropout > 0):
+        k_attn, k_h1, k_h2 = jax.random.split(rng, 3)
     x = _sp_constraint(x, cfg)
     h = apply_norm(block["ln_1"], x, cfg.norm)
     h = multi_head_attention(h, block["attn"], cfg.heads, causal=causal,
                              bias=bias, use_flash=cfg.use_flash, rope=rope,
-                             kv_heads=cfg.kv_heads)
+                             kv_heads=cfg.kv_heads,
+                             dropout_rate=cfg.attention_dropout,
+                             dropout_rng=k_attn)
     if "ls_1" in block:
         h = h * block["ls_1"].astype(h.dtype)
+    h = dropout(h, cfg.hidden_dropout, k_h1)
     x = x + h
     h = apply_norm(block["ln_2"], x, cfg.norm)
     aux = jnp.zeros((), jnp.float32)
@@ -141,13 +162,14 @@ def apply_block(block, x, cfg: TransformerCfg, *, causal: bool = False,
             h = h + block["mlp"]["b2"].astype(h.dtype)
     if "ls_2" in block:
         h = h * block["ls_2"].astype(h.dtype)
+    h = dropout(h, cfg.hidden_dropout, k_h2)
     if cfg.num_experts:
         return x + h, aux
     return x + h
 
 
 def apply_transformer(blocks, x, cfg: TransformerCfg, *, causal: bool = False,
-                      bias: Optional[jax.Array] = None, rope=None):
+                      bias: Optional[jax.Array] = None, rope=None, rng=None):
     """Run the stacked blocks. `blocks` leaves have leading layer axis.
 
     Activation recompute: cfg.remat
@@ -160,32 +182,41 @@ def apply_transformer(blocks, x, cfg: TransformerCfg, *, causal: bool = False,
     if rope is None and cfg.rope:
         from megatron_clip_tpu.ops.rope import rope_cos_sin
         rope = rope_cos_sin(x.shape[1], cfg.head_dim, cfg.rope_theta)
-    block_fn = partial(apply_block, cfg=cfg, causal=causal, bias=bias, rope=rope)
+    has_rng = rng is not None and (cfg.attention_dropout > 0
+                                   or cfg.hidden_dropout > 0)
+
+    def block_fn(block, x, key):
+        return apply_block(block, x, cfg=cfg, causal=causal, bias=bias,
+                           rope=rope, rng=key if has_rng else None)
+
     if cfg.remat == "full":
         block_fn = jax.checkpoint(block_fn)
     elif cfg.remat == "selective":
         block_fn = jax.checkpoint(
             block_fn, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
 
+    n = jax.tree.leaves(blocks)[0].shape[0]
+    keys = (jax.random.split(rng, n) if has_rng
+            else jnp.zeros((n, 2), jnp.uint32))
     moe = cfg.num_experts > 0
     if cfg.scan_layers:
-        def body(carry, block):
+        def body(carry, xs):
+            block, key = xs
             if moe:
                 x, aux = carry
-                x, a = block_fn(block, x)
+                x, a = block_fn(block, x, key)
                 return (x, aux + a), None
-            return block_fn(block, carry), None
+            return block_fn(block, carry, key), None
         if moe:
             (x, aux), _ = jax.lax.scan(
-                body, (x, jnp.zeros((), jnp.float32)), blocks)
+                body, (x, jnp.zeros((), jnp.float32)), (blocks, keys))
             return x, aux
-        x, _ = jax.lax.scan(body, x, blocks)
+        x, _ = jax.lax.scan(body, x, (blocks, keys))
         return x
     else:
-        n = jax.tree.leaves(blocks)[0].shape[0]
         aux = jnp.zeros((), jnp.float32)
         for i in range(n):
-            out = block_fn(jax.tree.map(lambda t: t[i], blocks), x)
+            out = block_fn(jax.tree.map(lambda t: t[i], blocks), x, keys[i])
             if moe:
                 x, a = out
                 aux = aux + a

@@ -18,8 +18,18 @@ import jax
 import jax.numpy as jnp
 
 
+def _drop_probs(probs, rate, rng):
+    """Attention-probability dropout (megatron CoreAttention's
+    attention_dropout, model/transformer.py:282-417)."""
+    if rate == 0.0 or rng is None:
+        return probs
+    keep = jax.random.bernoulli(rng, 1.0 - rate, probs.shape)
+    return jnp.where(keep, probs / (1.0 - rate), jnp.zeros((), probs.dtype))
+
+
 def sdpa(q, k, v, *, causal: bool = False, bias: Optional[jax.Array] = None,
-         scale: Optional[float] = None):
+         scale: Optional[float] = None, dropout_rate: float = 0.0,
+         dropout_rng=None):
     """Scaled dot-product attention, softmax in fp32.
 
     q: [B, H, Sq, D], k/v: [B, H, Sk, D], bias broadcastable to [B, H, Sq, Sk].
@@ -40,7 +50,8 @@ def sdpa(q, k, v, *, causal: bool = False, bias: Optional[jax.Array] = None,
         # offset handles sq != sk (KV-cache decode)
         causal_mask = row + (sk - sq) >= col
         logits = jnp.where(causal_mask, logits, jnp.float32(-1e30))
-    probs = jax.nn.softmax(logits, axis=-1)
+    probs = _drop_probs(jax.nn.softmax(logits, axis=-1), dropout_rate,
+                        dropout_rng)
     out = jnp.einsum("bhqk,bhkd->bhqd", probs.astype(dtype), v,
                      precision=prec, preferred_element_type=jnp.float32)
     return out.astype(dtype)
@@ -48,7 +59,8 @@ def sdpa(q, k, v, *, causal: bool = False, bias: Optional[jax.Array] = None,
 
 def sdpa_bshd(q, k, v, *, causal: bool = False,
               bias: Optional[jax.Array] = None,
-              scale: Optional[float] = None):
+              scale: Optional[float] = None, dropout_rate: float = 0.0,
+              dropout_rng=None):
     """Attention with [B, S, H, D] operands — no head transposes: the
     post-attention head merge is a free reshape (profiling showed the BHSD
     path's transpose copies cost ~15% of the CLIP step on v5e)."""
@@ -66,7 +78,8 @@ def sdpa_bshd(q, k, v, *, causal: bool = False,
         row = jax.lax.broadcasted_iota(jnp.int32, (sq, sk), 0)
         col = jax.lax.broadcasted_iota(jnp.int32, (sq, sk), 1)
         logits = jnp.where(row + (sk - sq) >= col, logits, jnp.float32(-1e30))
-    probs = jax.nn.softmax(logits, axis=-1)
+    probs = _drop_probs(jax.nn.softmax(logits, axis=-1), dropout_rate,
+                        dropout_rng)
     out = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(dtype), v,
                      precision=prec, preferred_element_type=jnp.float32)
     return out.astype(dtype)
@@ -91,7 +104,8 @@ def _attention(q, k, v, *, causal, bias, scale, use_flash):
 def multi_head_attention(x, params, heads: int, *, causal: bool = False,
                          bias: Optional[jax.Array] = None, use_flash: bool = True,
                          kv: Optional[jax.Array] = None, rope=None,
-                         kv_heads: Optional[int] = None):
+                         kv_heads: Optional[int] = None,
+                         dropout_rate: float = 0.0, dropout_rng=None):
     """Full MHA block: fused qkv projection -> attention -> output projection.
 
     x: [B, S, W]. params: {'wqkv': [W, (H+2Hkv)*hd], 'bqkv', 'wo', 'bo'}.
@@ -108,6 +122,25 @@ def multi_head_attention(x, params, heads: int, *, causal: bool = False,
         qkv = jnp.einsum("bsw,wd->bsd", x, params["wqkv"].astype(x.dtype))
         if params.get("bqkv") is not None:
             qkv = qkv + params["bqkv"].astype(x.dtype)
+
+        # Short-seq fused path: consume the packed GEMM output directly in a
+        # single Pallas kernel (no q/k/v split or head-transpose copies —
+        # they cost ~12% of the CLIP step, see ops/pallas/fused_mha.py).
+        from megatron_clip_tpu.ops.pallas.fused_mha import MAX_FUSED_SEQ
+        if (use_flash and bias is None and rope is None and hkv == heads
+                and s <= MAX_FUSED_SEQ and head_dim <= 128
+                and (dropout_rate == 0.0 or dropout_rng is None)):
+            from megatron_clip_tpu.ops import use_pallas
+            if use_pallas():
+                from megatron_clip_tpu.ops.pallas.fused_mha import (
+                    fused_attention_from_qkv)
+                out = fused_attention_from_qkv(qkv, heads, causal=causal)
+                out = jnp.einsum("bsw,wd->bsd", out,
+                                 params["wo"].astype(x.dtype))
+                if params.get("bo") is not None:
+                    out = out + params["bo"].astype(x.dtype)
+                return out
+
         q = qkv[..., :heads * head_dim]
         k = qkv[..., heads * head_dim:(heads + hkv) * head_dim]
         v = qkv[..., (heads + hkv) * head_dim:]
@@ -122,7 +155,8 @@ def multi_head_attention(x, params, heads: int, *, causal: bool = False,
 
     head_dim_q = q.shape[-1] // heads
     flash_path = (use_flash and bias is None and kv is None
-                  and q.shape[1] >= MIN_FLASH_SEQ and head_dim_q <= 128)
+                  and q.shape[1] >= MIN_FLASH_SEQ and head_dim_q <= 128
+                  and (dropout_rate == 0.0 or dropout_rng is None))
     if flash_path:
         from megatron_clip_tpu.ops import use_pallas
         flash_path = use_pallas()
@@ -142,7 +176,8 @@ def multi_head_attention(x, params, heads: int, *, causal: bool = False,
             rep = heads // hkv
             kh = jnp.repeat(kh, rep, axis=2)
             vh = jnp.repeat(vh, rep, axis=2)
-        out = sdpa_bshd(qh, kh, vh, causal=causal, bias=bias)
+        out = sdpa_bshd(qh, kh, vh, causal=causal, bias=bias,
+                        dropout_rate=dropout_rate, dropout_rng=dropout_rng)
         out = out.reshape(b, s, w)
     else:
         def split_heads(t, h):

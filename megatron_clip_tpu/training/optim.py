@@ -71,13 +71,20 @@ def const_lr_cooldown(base_lr: float, warmup: int, total_steps: int,
 def make_optimizer(params, lr: Callable, *, beta1: float = 0.9,
                    beta2: float = 0.98, eps: float = 1e-6,
                    weight_decay: float = 0.2,
-                   grad_clip_norm: Optional[float] = None) -> optax.GradientTransformation:
+                   grad_clip_norm: Optional[float] = None,
+                   moment_dtype=None) -> optax.GradientTransformation:
     """AdamW with the CLIP training recipe defaults (open_CLIP params.py:
-    beta2=0.98, eps=1e-6, wd=0.2) and megatron-style global-norm clipping."""
+    beta2=0.98, eps=1e-6, wd=0.2) and megatron-style global-norm clipping.
+
+    moment_dtype: storage dtype for the first moment (optax mu_dtype).
+    bfloat16 halves the mu read/write stream in the fused update — the
+    update math still runs in fp32 (megatron's Float16Optimizer keeps fp32
+    master state; here only mu storage is reduced, variance stays fp32)."""
     chain = []
     if grad_clip_norm:
         chain.append(optax.clip_by_global_norm(grad_clip_norm))
     chain.append(optax.adamw(learning_rate=lr, b1=beta1, b2=beta2, eps=eps,
                              weight_decay=weight_decay,
+                             mu_dtype=moment_dtype,
                              mask=_no_decay_mask(params)))
     return optax.chain(*chain)

@@ -51,6 +51,10 @@ def parse_args(argv=None):
                    help="indexed dataset prefix (.bin/.idx); synthetic if unset")
     p.add_argument("--log-interval", type=int, default=5)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--attention-dropout", type=float, default=0.0,
+                   help="attention-prob dropout (megatron default 0.1)")
+    p.add_argument("--hidden-dropout", type=float, default=0.0,
+                   help="hidden/embedding dropout (megatron default 0.1)")
     return p.parse_args(argv)
 
 
@@ -76,7 +80,13 @@ def run(args):
     compute_dtype = jnp.bfloat16 if args.precision in ("bf16", "amp_bf16") \
         else jnp.float32
     tcfg = cfg.transformer(remat=args.recompute_granularity,
-                           sequence_parallel=args.sequence_parallel)
+                           sequence_parallel=args.sequence_parallel,
+                           attention_dropout=args.attention_dropout,
+                           hidden_dropout=args.hidden_dropout)
+    use_dropout = args.attention_dropout > 0 or args.hidden_dropout > 0
+    if use_dropout and args.pipeline_model_parallel_size > 1:
+        raise SystemExit("dropout is not yet threaded through the pipeline "
+                         "schedule; use pp=1 with dropout")
 
     params = init_gpt(jax.random.PRNGKey(args.seed), cfg)
     n = sum(x.size for x in jax.tree.leaves(params))
@@ -122,11 +132,16 @@ def run(args):
                                   ).astype(np.int32)
         batches = synthetic()
 
+    base_rng = jax.random.PRNGKey(args.seed + 1)
+
     @jax.jit
-    def step(params, opt_state, tokens):
+    def step(params, opt_state, tokens, step_idx):
+        rng = (jax.random.fold_in(base_rng, step_idx) if use_dropout
+               else None)
         loss, grads = jax.value_and_grad(
             lambda p: gpt_loss(p, tokens, cfg, compute_dtype=compute_dtype,
-                               tcfg=tcfg, layers_fn=layers_fn))(params)
+                               tcfg=tcfg, layers_fn=layers_fn,
+                               rng=rng))(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
@@ -138,7 +153,8 @@ def run(args):
     with mesh_ctx:
         for i in range(1, args.train_steps + 1):
             tokens = jnp.asarray(next(batches))
-            params, opt_state, loss = step(params, opt_state, tokens)
+            params, opt_state, loss = step(params, opt_state, tokens,
+                                           jnp.int32(i))
             if i % args.log_interval == 0 or i == args.train_steps:
                 l = float(loss)
                 dt = time.perf_counter() - t0
