@@ -83,4 +83,156 @@ void build_blending_indices(int16_t* dataset_index,
   delete[] counts;
 }
 
+// ---------------------------------------------------------------------------
+// BERT / ICT sentence-range mappings (reference: helpers.cpp build_mapping /
+// build_blocks_mapping). Behavioural parity, not bit parity: the reference
+// draws from std::mt19937; here both the C++ and the NumPy fallback use the
+// same splitmix64 stream so the two implementations agree exactly with each
+// other (testable) while keeping the reference's sampling *distribution*:
+// short target lengths with prob ~short_seq_prob in [2, max_seq_length],
+// documents with <min sentences or any sentence >512 tokens skipped, samples
+// cut when the accumulated length reaches the target, Fisher-Yates shuffle
+// of the final map with an independent stream.
+
+static const int32_t kLongSentenceLen = 512;
+
+static inline uint64_t splitmix64(uint64_t* state) {
+  uint64_t z = (*state += 0x9E3779B97F4A7C15ULL);
+  z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9ULL;
+  z = (z ^ (z >> 27)) * 0x94D049BB133111EBULL;
+  return z ^ (z >> 31);
+}
+
+static inline int32_t target_len(uint64_t* rng, int32_t short_ratio,
+                                 int32_t max_len) {
+  if (short_ratio == 0) return max_len;
+  const uint64_t r = splitmix64(rng);
+  if (r % static_cast<uint64_t>(short_ratio) == 0) {
+    return 2 + static_cast<int32_t>(r % static_cast<uint64_t>(max_len - 1));
+  }
+  return max_len;
+}
+
+static void shuffle_rows(int32_t* out, long long n, int width, uint64_t seed) {
+  uint64_t rng = seed;
+  for (long long i = n - 1; i > 0; --i) {
+    const long long j =
+        static_cast<long long>(splitmix64(&rng) % static_cast<uint64_t>(i + 1));
+    for (int c = 0; c < width; ++c) {
+      const int32_t t = out[i * width + c];
+      out[i * width + c] = out[j * width + c];
+      out[j * width + c] = t;
+    }
+  }
+}
+
+// Sentence-pair mapping for BERT: rows of (start_sentence, end_sentence,
+// target_seq_len). Pass out=NULL to count; call again with the buffer.
+long long build_mapping(const int64_t* docs, long long n_docs,
+                        const int32_t* sizes,
+                        int32_t num_epochs, long long max_num_samples,
+                        int32_t max_seq_length, double short_seq_prob,
+                        uint64_t seed, int32_t min_num_sent,
+                        int32_t* out, long long max_out) {
+  int32_t short_ratio = 0;
+  if (short_seq_prob > 0.0) {
+    short_ratio = static_cast<int32_t>(std::lround(1.0 / short_seq_prob));
+  }
+  uint64_t rng = seed;
+  long long count = 0;
+  for (int32_t epoch = 0; epoch < num_epochs; ++epoch) {
+    if (count >= max_num_samples) break;
+    for (long long doc = 0; doc < n_docs; ++doc) {
+      const int64_t first = docs[doc];
+      const int64_t last = docs[doc + 1];
+      long long remain = last - first;
+      if (remain < min_num_sent) continue;
+      bool has_long = false;
+      for (int64_t s = first; s < last; ++s) {
+        if (sizes[s] > kLongSentenceLen) { has_long = true; break; }
+      }
+      if (has_long) continue;
+
+      int64_t prev_start = first;
+      int32_t seq_len = 0, num_sent = 0;
+      int32_t tgt = target_len(&rng, short_ratio, max_seq_length);
+      for (int64_t s = first; s < last; ++s) {
+        seq_len += sizes[s];
+        ++num_sent;
+        --remain;
+        if ((seq_len >= tgt && remain > 1 && num_sent >= min_num_sent) ||
+            remain == 0) {
+          if (out != NULL) {
+            if (count >= max_out) return -1;
+            out[count * 3] = static_cast<int32_t>(prev_start);
+            out[count * 3 + 1] = static_cast<int32_t>(s + 1);
+            out[count * 3 + 2] = tgt;
+          }
+          ++count;
+          prev_start = s + 1;
+          tgt = target_len(&rng, short_ratio, max_seq_length);
+          seq_len = 0;
+          num_sent = 0;
+        }
+      }
+    }
+  }
+  if (out != NULL) shuffle_rows(out, count, 3, seed + 1);
+  return count;
+}
+
+// Block mapping for ICT/REALM: rows of (start_sentence, end_sentence, doc,
+// block_id); per-doc target length = max_seq_length - title_size[doc].
+long long build_blocks_mapping(const int64_t* docs, long long n_docs,
+                               const int32_t* sizes,
+                               const int32_t* title_sizes,
+                               int32_t num_epochs, long long max_num_samples,
+                               int32_t max_seq_length, uint64_t seed,
+                               int32_t use_one_sent_blocks,
+                               int32_t* out, long long max_out) {
+  const int32_t min_num_sent = use_one_sent_blocks ? 1 : 2;
+  long long count = 0;
+  for (int32_t epoch = 0; epoch < num_epochs; ++epoch) {
+    if (count >= max_num_samples) break;
+    int32_t block_id = 0;
+    for (long long doc = 0; doc < n_docs; ++doc) {
+      const int64_t first = docs[doc];
+      const int64_t last = docs[doc + 1];
+      const int32_t tgt = max_seq_length - title_sizes[doc];
+      long long remain = last - first;
+      if (remain < min_num_sent) continue;
+      bool has_long = false;
+      for (int64_t s = first; s < last; ++s) {
+        if (sizes[s] > kLongSentenceLen) { has_long = true; break; }
+      }
+      if (has_long) continue;
+
+      int64_t prev_start = first;
+      int32_t seq_len = 0, num_sent = 0;
+      for (int64_t s = first; s < last; ++s) {
+        seq_len += sizes[s];
+        ++num_sent;
+        --remain;
+        if ((seq_len >= tgt && remain >= min_num_sent &&
+             num_sent >= min_num_sent) || remain == 0) {
+          if (out != NULL) {
+            if (count >= max_out) return -1;
+            out[count * 4] = static_cast<int32_t>(prev_start);
+            out[count * 4 + 1] = static_cast<int32_t>(s + 1);
+            out[count * 4 + 2] = static_cast<int32_t>(doc);
+            out[count * 4 + 3] = block_id;
+          }
+          ++count;
+          ++block_id;
+          prev_start = s + 1;
+          seq_len = 0;
+          num_sent = 0;
+        }
+      }
+    }
+  }
+  if (out != NULL) shuffle_rows(out, count, 4, seed + 1);
+  return count;
+}
+
 }  // extern "C"

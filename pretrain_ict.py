@@ -1,0 +1,93 @@
+#!/usr/bin/env python
+"""ICT (inverse cloze task) biencoder pretraining.
+
+Reference: pretrain_ict.py + megatron/model/biencoder_model.py — a query
+encoder and a context encoder trained with the in-batch retrieval objective
+over (sentence, block) pairs produced by build_blocks_mapping
+(data/bert_dataset.ICTDataset). Synthetic fallback pairs queries with their
+own noisy copies so the objective is learnable without a corpus.
+"""
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser("ICT biencoder pretraining")
+    p.add_argument("--num-layers", type=int, default=4)
+    p.add_argument("--hidden-size", type=int, default=128)
+    p.add_argument("--num-heads", type=int, default=4)
+    p.add_argument("--seq-length", type=int, default=64)
+    p.add_argument("--vocab-size", type=int, default=30592)
+    p.add_argument("--projection-dim", type=int, default=128)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--train-steps", type=int, default=20)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--warmup", type=int, default=10)
+    p.add_argument("--precision", default="bf16")
+    p.add_argument("--data-path", type=str, default=None,
+                   help="sentence-level indexed corpus prefix")
+    p.add_argument("--titles-data-path", type=str, default=None)
+    p.add_argument("--log-interval", type=int, default=5)
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args(argv)
+
+
+def run(args):
+    from megatron_clip_tpu.models.bert import BertCfg
+    from megatron_clip_tpu.models.biencoder import (
+        BiencoderCfg, init_biencoder, ict_loss)
+    from megatron_clip_tpu.training.simple_loop import simple_train
+
+    cfg = BiencoderCfg(
+        bert=BertCfg(num_layers=args.num_layers,
+                     hidden_size=args.hidden_size, num_heads=args.num_heads,
+                     vocab_size=args.vocab_size, seq_length=args.seq_length,
+                     add_binary_head=False),
+        projection_dim=args.projection_dim)
+    compute = jnp.bfloat16 if args.precision.startswith("bf") else jnp.float32
+    params = init_biencoder(jax.random.PRNGKey(args.seed), cfg)
+    n = sum(x.size for x in jax.tree.leaves(params))
+    print(f"ICT biencoder {n/1e6:.1f}M params", flush=True)
+
+    rng = np.random.RandomState(args.seed)
+
+    def batches():
+        if args.data_path:
+            from megatron_clip_tpu.data.bert_dataset import ICTDataset
+            ds = ICTDataset(args.data_path,
+                            args.titles_data_path or args.data_path,
+                            max_seq_length=args.seq_length,
+                            num_epochs=1000, use_one_sent_blocks=True,
+                            seed=args.seed,
+                            max_num_samples=args.train_steps * args.batch_size)
+            i = 0
+            while True:
+                rows = [ds[(i + j) % len(ds)] for j in range(args.batch_size)]
+                i += args.batch_size
+                yield (jnp.asarray(np.stack([r["query"] for r in rows])),
+                       jnp.asarray(np.stack([r["block"] for r in rows])))
+        else:
+            while True:
+                q = rng.randint(4, args.vocab_size,
+                                (args.batch_size, args.seq_length))
+                blk = q.copy()
+                noise = rng.rand(*blk.shape) < 0.1
+                blk[noise] = rng.randint(4, args.vocab_size, noise.sum())
+                yield jnp.asarray(q, jnp.int32), jnp.asarray(blk, jnp.int32)
+
+    def loss_fn(p, batch):
+        q, blk = batch
+        loss, _acc = ict_loss(p, q, blk, cfg, compute_dtype=compute)
+        return loss
+
+    out = simple_train(params, loss_fn, batches(), args.train_steps,
+                       lr=args.lr, warmup=args.warmup,
+                       log_interval=args.log_interval, name="ict")
+    return {"loss": out["loss"]}
+
+
+if __name__ == "__main__":
+    run(parse_args())
