@@ -73,7 +73,10 @@ def main():
         batch = int(os.environ.get("BENCH_BATCH", "256"))
         iters, warmup = 20, 3
 
-    tx = make_optimizer(params, cosine_lr(1e-3, 100, 10000), grad_clip_norm=1.0)
+    mu = {"bf16": jnp.bfloat16, "fp32": None}[
+        os.environ.get("BENCH_MU_DTYPE", "bf16" if not on_cpu else "fp32")]
+    tx = make_optimizer(params, cosine_lr(1e-3, 100, 10000), grad_clip_norm=1.0,
+                        moment_dtype=mu)
     state = TrainState.create(params, tx)
     step = make_train_step(model, tx)
 

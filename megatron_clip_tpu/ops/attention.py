@@ -119,9 +119,6 @@ def multi_head_attention(x, params, heads: int, *, causal: bool = False,
     hkv = kv_heads or heads
     if kv is None:
         head_dim = params["wqkv"].shape[1] // (heads + 2 * hkv)
-        qkv = jnp.einsum("bsw,wd->bsd", x, params["wqkv"].astype(x.dtype))
-        if params.get("bqkv") is not None:
-            qkv = qkv + params["bqkv"].astype(x.dtype)
 
         # Short-seq fused path: consume the packed GEMM output directly in a
         # single Pallas kernel (no q/k/v split or head-transpose copies —
@@ -134,6 +131,10 @@ def multi_head_attention(x, params, heads: int, *, causal: bool = False,
             if use_pallas():
                 from megatron_clip_tpu.ops.pallas.fused_mha import (
                     fused_attention_from_qkv)
+                qkv = jnp.einsum("bsw,wd->bsd", x,
+                                 params["wqkv"].astype(x.dtype))
+                if params.get("bqkv") is not None:
+                    qkv = qkv + params["bqkv"].astype(x.dtype)
                 out = fused_attention_from_qkv(qkv, heads, causal=causal)
                 out = jnp.einsum("bsw,wd->bsd", out,
                                  params["wo"].astype(x.dtype))
@@ -141,6 +142,9 @@ def multi_head_attention(x, params, heads: int, *, causal: bool = False,
                     out = out + params["bo"].astype(x.dtype)
                 return out
 
+        qkv = jnp.einsum("bsw,wd->bsd", x, params["wqkv"].astype(x.dtype))
+        if params.get("bqkv") is not None:
+            qkv = qkv + params["bqkv"].astype(x.dtype)
         q = qkv[..., :heads * head_dim]
         k = qkv[..., heads * head_dim:(heads + hkv) * head_dim]
         v = qkv[..., (heads + hkv) * head_dim:]

@@ -38,17 +38,18 @@ from jax.experimental import pallas as pl
 MAX_FUSED_SEQ = 1024
 
 
-def _pick_batch_tile(b: int, s: int, w3: int, heads: int) -> int:
+def _pick_batch_tile(b: int, s: int, w3: int, heads: int,
+                     budget: int = 4 * 1024 * 1024) -> int:
     """Largest power-of-two batch tile keeping the cell's VMEM footprint
-    (qkv+o rows bf16 + fp32 per-head scratch) under ~4MB so Mosaic can
-    double-buffer the DMA."""
+    (qkv+o rows bf16 + fp32 per-head scratch) under `budget` so Mosaic can
+    double-buffer the DMA and the kernel stack fits scoped vmem."""
     bt = 1
     while bt < b:
         nxt = bt * 2
         if b % nxt != 0:
             break
         foot = nxt * (s * w3 * 2 + s * (w3 // 3) * 2 + 2 * s * s * 4)
-        if foot > 4 * 1024 * 1024:
+        if foot > budget:
             break
         bt = nxt
     return bt
@@ -73,9 +74,13 @@ def _causal_mask(s):
     return jnp.where((row >= col)[None], s, -1e30)
 
 
-def _fwd_kernel(qkv_ref, o_ref, *, heads, scale, causal, prec):
-    # qkv_ref: [BT, S, 3*H*D]; o_ref: [BT, S, H*D]
+def _fwd_kernel(qkv_ref, o_ref, p_ref, *, heads, scale, causal, prec):
+    # qkv_ref: [BT, S, 3*H*D]; o_ref: [BT, S, H*D]; p_ref: [BT, S, H*S]
+    # (softmax probabilities in the compute dtype, saved for the backward
+    # pass — recomputing them costs ~30% of the bwd kernel; at CLIP seq
+    # lengths the extra HBM is tiny).
     hd = o_ref.shape[-1] // heads
+    sk = p_ref.shape[-1] // heads
     for h in range(heads):
         q = qkv_ref[:, :, h * hd:(h + 1) * hd]
         k = qkv_ref[:, :, (heads + h) * hd:(heads + h + 1) * hd]
@@ -84,34 +89,182 @@ def _fwd_kernel(qkv_ref, o_ref, *, heads, scale, causal, prec):
         if causal:
             s = _causal_mask(s)
         p = _softmax_rows(s)
-        o = _batched_dot(p.astype(v.dtype), v, ((2,), (1,)), prec)
+        pc = p.astype(v.dtype)
+        o = _batched_dot(pc, v, ((2,), (1,)), prec)
         o_ref[:, :, h * hd:(h + 1) * hd] = o.astype(o_ref.dtype)
+        p_ref[:, :, h * sk:(h + 1) * sk] = pc.astype(p_ref.dtype)
 
 
-def _bwd_kernel(qkv_ref, do_ref, dqkv_ref, *, heads, scale, causal, prec):
+def _bwd_head(q, k, v, do, p, dqkv_ref, h, heads, hd, scale, prec):
+    pc = p.astype(v.dtype)
+    pf = p.astype(jnp.float32)
+    # dv = p^T @ do (contract query dim); dp = do @ v^T
+    dv = _batched_dot(pc, do, ((1,), (1,)), prec)
+    dp = _batched_dot(do, v, ((2,), (2,)), prec)
+    ds = pf * (dp - jnp.sum(dp * pf, axis=-1, keepdims=True)) * scale
+    ds = ds.astype(q.dtype)
+    dq = _batched_dot(ds, k, ((2,), (1,)), prec)
+    dk = _batched_dot(ds, q, ((1,), (1,)), prec)
+    dqkv_ref[:, :, h * hd:(h + 1) * hd] = dq.astype(dqkv_ref.dtype)
+    dqkv_ref[:, :, (heads + h) * hd:(heads + h + 1) * hd] = \
+        dk.astype(dqkv_ref.dtype)
+    dqkv_ref[:, :, (2 * heads + h) * hd:(2 * heads + h + 1) * hd] = \
+        dv.astype(dqkv_ref.dtype)
+
+
+def _bwd_kernel(qkv_ref, do_ref, p_ref, dqkv_ref, *, heads, scale, causal,
+                prec):
+    hd = do_ref.shape[-1] // heads
+    sk = p_ref.shape[-1] // heads
+    for h in range(heads):
+        q = qkv_ref[:, :, h * hd:(h + 1) * hd]
+        k = qkv_ref[:, :, (heads + h) * hd:(heads + h + 1) * hd]
+        v = qkv_ref[:, :, (2 * heads + h) * hd:(2 * heads + h + 1) * hd]
+        do = do_ref[:, :, h * hd:(h + 1) * hd]
+        p = p_ref[:, :, h * sk:(h + 1) * sk]         # [BT, Sq, Sk] saved
+        _bwd_head(q, k, v, do, p, dqkv_ref, h, heads, hd, scale, prec)
+
+
+def _bwd_kernel_recompute(qkv_ref, do_ref, dqkv_ref, *, heads, scale,
+                          causal, prec):
+    """Memory-light variant: recompute scores+softmax from qkv instead of
+    reading saved probabilities (MCT_MHA_SAVE_PROBS=0 — preferable when HBM
+    is the binding constraint, e.g. max-batch runs)."""
     hd = do_ref.shape[-1] // heads
     for h in range(heads):
         q = qkv_ref[:, :, h * hd:(h + 1) * hd]
         k = qkv_ref[:, :, (heads + h) * hd:(heads + h + 1) * hd]
         v = qkv_ref[:, :, (2 * heads + h) * hd:(2 * heads + h + 1) * hd]
         do = do_ref[:, :, h * hd:(h + 1) * hd]
-        s = _batched_dot(q, k, ((2,), (2,)), prec) * scale
+        sc = _batched_dot(q, k, ((2,), (2,)), prec) * scale
+        if causal:
+            sc = _causal_mask(sc)
+        p = _softmax_rows(sc)
+        _bwd_head(q, k, v, do, p, dqkv_ref, h, heads, hd, scale, prec)
+
+
+def _fwd_kernel_sm(q_ref, k_ref, v_ref, o_ref, *, scale, causal, prec):
+    # S-major variant: refs are [S, BT, 2*D] — a 128-lane block holding TWO
+    # heads of the [S, B, 3*H*D] packed array (the layout XLA already uses
+    # for 3-D GEMM activations: {2,0,1} on [B,S,W] == [S,B,W] row-major, so
+    # the host-side transposes are free bitcasts and no layout copies appear
+    # at the custom-call boundary). Two heads per cell keeps the kernel
+    # stack small; Mosaic needs dot batch dims at position 0, so slices are
+    # transposed to [BT, S, D] in VMEM (major-dim permute).
+    d = q_ref.shape[-1] // 2
+    for hh in range(2):
+        q = q_ref[:, :, hh * d:(hh + 1) * d].transpose(1, 0, 2)
+        k = k_ref[:, :, hh * d:(hh + 1) * d].transpose(1, 0, 2)
+        v = v_ref[:, :, hh * d:(hh + 1) * d].transpose(1, 0, 2)
+        s = _batched_dot(q, k, ((2,), (2,)), prec) * scale       # [BT, S, S]
         if causal:
             s = _causal_mask(s)
-        p = _softmax_rows(s)                         # [BT, Sq, Sk] fp32
+        p = _softmax_rows(s).astype(v.dtype)
+        o = _batched_dot(p, v, ((2,), (1,)), prec)               # [BT, S, D]
+        o_ref[:, :, hh * d:(hh + 1) * d] = \
+            o.transpose(1, 0, 2).astype(o_ref.dtype)
+
+
+def _bwd_kernel_sm(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, *,
+                   scale, causal, prec):
+    d = q_ref.shape[-1] // 2
+    for hh in range(2):
+        q = q_ref[:, :, hh * d:(hh + 1) * d].transpose(1, 0, 2)
+        k = k_ref[:, :, hh * d:(hh + 1) * d].transpose(1, 0, 2)
+        v = v_ref[:, :, hh * d:(hh + 1) * d].transpose(1, 0, 2)
+        do = do_ref[:, :, hh * d:(hh + 1) * d].transpose(1, 0, 2)
+        s = _batched_dot(q, k, ((2,), (2,)), prec) * scale       # [BT,Sq,Sk]
+        if causal:
+            s = _causal_mask(s)
+        p = _softmax_rows(s)
         pc = p.astype(v.dtype)
-        # dv = p^T @ do (contract query dim); dp = do @ v^T
-        dv = _batched_dot(pc, do, ((1,), (1,)), prec)
-        dp = _batched_dot(do, v, ((2,), (2,)), prec)
-        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True)) * scale
-        ds = ds.astype(q.dtype)
-        dq = _batched_dot(ds, k, ((2,), (1,)), prec)
-        dk = _batched_dot(ds, q, ((1,), (1,)), prec)
-        dqkv_ref[:, :, h * hd:(h + 1) * hd] = dq.astype(dqkv_ref.dtype)
-        dqkv_ref[:, :, (heads + h) * hd:(heads + h + 1) * hd] = \
-            dk.astype(dqkv_ref.dtype)
-        dqkv_ref[:, :, (2 * heads + h) * hd:(2 * heads + h + 1) * hd] = \
-            dv.astype(dqkv_ref.dtype)
+        dv = _batched_dot(pc, do, ((1,), (1,)), prec)            # [BT,Sk,D]
+        dp = _batched_dot(do, v, ((2,), (2,)), prec)             # [BT,Sq,Sk]
+        ds = (p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+              * scale).astype(q.dtype)
+        dq = _batched_dot(ds, k, ((2,), (1,)), prec)             # [BT,Sq,D]
+        dk = _batched_dot(ds, q, ((1,), (1,)), prec)             # [BT,Sk,D]
+        dq_ref[:, :, hh * d:(hh + 1) * d] = \
+            dq.transpose(1, 0, 2).astype(dq_ref.dtype)
+        dk_ref[:, :, hh * d:(hh + 1) * d] = \
+            dk.transpose(1, 0, 2).astype(dk_ref.dtype)
+        dv_ref[:, :, hh * d:(hh + 1) * d] = \
+            dv.transpose(1, 0, 2).astype(dv_ref.dtype)
+
+
+def _sm_tile(b, s, w3):
+    bt = _pick_batch_tile(b, s, w3, 0, budget=2 * 1024 * 1024)
+    return max(bt, 8)
+
+
+def _sm_specs(s, bt, heads, d, grid_w):
+    """Input views selecting the q/k/v lane blocks of [S, B, 3*H*D] for
+    grid cell (i, j): j-th pair of heads, i-th batch tile. Index maps are in
+    units of the (s, bt, 2*d) block."""
+    def spec(plane):
+        return pl.BlockSpec(
+            (s, bt, 2 * d),
+            lambda i, j, plane=plane: (0, i, plane * (heads // 2) + j))
+    return [spec(0), spec(1), spec(2)]
+
+
+def _fwd_sm(qkv_t, heads, scale, causal, interpret):
+    s, b, w3 = qkv_t.shape
+    w = w3 // 3
+    d = w // heads
+    bt = _sm_tile(b, s, w3)
+    grid = (b // bt, heads // 2)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel_sm, scale=scale, causal=causal,
+                          prec=_precision_for(qkv_t.dtype)),
+        grid=grid,
+        in_specs=_sm_specs(s, bt, heads, d, grid[1]),
+        out_specs=pl.BlockSpec((s, bt, 2 * d), lambda i, j: (0, i, j)),
+        out_shape=jax.ShapeDtypeStruct((s, b, w), qkv_t.dtype),
+        interpret=interpret,
+    )(qkv_t, qkv_t, qkv_t)
+
+
+def _bwd_sm(qkv_t, do_t, heads, scale, causal, interpret):
+    s, b, w3 = qkv_t.shape
+    w = w3 // 3
+    d = w // heads
+    bt = _sm_tile(b, s, w3)
+    grid = (b // bt, heads // 2)
+    io_spec = pl.BlockSpec((s, bt, 2 * d), lambda i, j: (0, i, j))
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel_sm, scale=scale, causal=causal,
+                          prec=_precision_for(qkv_t.dtype)),
+        grid=grid,
+        in_specs=_sm_specs(s, bt, heads, d, grid[1]) + [io_spec],
+        out_specs=[io_spec, io_spec, io_spec],
+        out_shape=[jax.ShapeDtypeStruct((s, b, w), qkv_t.dtype)] * 3,
+        interpret=interpret,
+    )(qkv_t, qkv_t, qkv_t, do_t)
+    return jnp.concatenate([dq, dk, dv], axis=-1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2, 3, 4))
+def fused_mha_packed_sm(qkv, heads: int, scale: float, causal: bool = False,
+                        interpret: bool = False):
+    """S-major twin of fused_mha_packed: same [B,S,3W]->[B,S,W] contract,
+    but the kernel operates on [S,B,*] views so the transposes on either
+    side cancel against XLA's {2,0,1} activation layout (bitcasts)."""
+    return _fwd_sm(qkv.transpose(1, 0, 2), heads, scale, causal,
+                   interpret).transpose(1, 0, 2)
+
+
+def _fused_sm_fwd(qkv, heads, scale, causal, interpret):
+    return fused_mha_packed_sm(qkv, heads, scale, causal, interpret), qkv
+
+
+def _fused_sm_bwd(heads, scale, causal, interpret, qkv, do):
+    dqkv_t = _bwd_sm(qkv.transpose(1, 0, 2), do.transpose(1, 0, 2),
+                     heads, scale, causal, interpret)
+    return (dqkv_t.transpose(1, 0, 2),)
+
+
+fused_mha_packed_sm.defvjp(_fused_sm_fwd, _fused_sm_bwd)
 
 
 def _precision_for(dtype):
@@ -120,36 +273,52 @@ def _precision_for(dtype):
     return (jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None)
 
 
+def _save_probs_default() -> bool:
+    import os
+    return os.environ.get("MCT_MHA_SAVE_PROBS", "1") == "1"
+
+
 def _fwd(qkv, heads, scale, causal, interpret):
+    """Returns (o [B,S,W], p [B,S,H*S] saved softmax probabilities)."""
     b, s, w3 = qkv.shape
     w = w3 // 3
     bt = _pick_batch_tile(b, s, w3, heads)
-    out = pl.pallas_call(
+    out, p = pl.pallas_call(
         functools.partial(_fwd_kernel, heads=heads, scale=scale,
                           causal=causal, prec=_precision_for(qkv.dtype)),
         grid=(b // bt,),
         in_specs=[pl.BlockSpec((bt, s, w3), lambda i: (i, 0, 0))],
-        out_specs=pl.BlockSpec((bt, s, w), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, s, w), qkv.dtype),
+        out_specs=[pl.BlockSpec((bt, s, w), lambda i: (i, 0, 0)),
+                   pl.BlockSpec((bt, s, heads * s), lambda i: (i, 0, 0))],
+        out_shape=[jax.ShapeDtypeStruct((b, s, w), qkv.dtype),
+                   jax.ShapeDtypeStruct((b, s, heads * s), qkv.dtype)],
         interpret=interpret,
     )(qkv)
-    return out
+    return out, p
 
 
-def _bwd(qkv, do, heads, scale, causal, interpret):
+def _bwd(qkv, do, p, heads, scale, causal, interpret):
     b, s, w3 = qkv.shape
     w = w3 // 3
     bt = _pick_batch_tile(b, s, w3, heads)
+    in_specs = [pl.BlockSpec((bt, s, w3), lambda i: (i, 0, 0)),
+                pl.BlockSpec((bt, s, w), lambda i: (i, 0, 0))]
+    operands = [qkv, do]
+    if p is not None:
+        kern = _bwd_kernel
+        in_specs.append(pl.BlockSpec((bt, s, heads * s), lambda i: (i, 0, 0)))
+        operands.append(p)
+    else:
+        kern = _bwd_kernel_recompute
     dqkv = pl.pallas_call(
-        functools.partial(_bwd_kernel, heads=heads, scale=scale,
+        functools.partial(kern, heads=heads, scale=scale,
                           causal=causal, prec=_precision_for(qkv.dtype)),
         grid=(b // bt,),
-        in_specs=[pl.BlockSpec((bt, s, w3), lambda i: (i, 0, 0)),
-                  pl.BlockSpec((bt, s, w), lambda i: (i, 0, 0))],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((bt, s, w3), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((b, s, w3), qkv.dtype),
         interpret=interpret,
-    )(qkv, do)
+    )(*operands)
     return dqkv
 
 
@@ -159,17 +328,21 @@ def fused_mha_packed(qkv, heads: int, scale: float, causal: bool = False,
     """qkv: [B, S, 3*H*D] raw QKV GEMM output (q|k|v each H*D wide).
     Returns attention output [B, S, H*D].
 
-    Softmax in fp32; matmuls accumulate fp32. The backward pass recomputes
-    the score matrix from qkv (no softmax residuals are stored)."""
-    return _fwd(qkv, heads, scale, causal, interpret)
+    Softmax in fp32; matmuls accumulate fp32. The softmax probabilities are
+    saved (bf16) for the backward pass."""
+    return _fwd(qkv, heads, scale, causal, interpret)[0]
 
 
 def _fused_fwd(qkv, heads, scale, causal, interpret):
-    return _fwd(qkv, heads, scale, causal, interpret), qkv
+    out, p = _fwd(qkv, heads, scale, causal, interpret)
+    if not _save_probs_default():
+        p = None
+    return out, (qkv, p)
 
 
-def _fused_bwd(heads, scale, causal, interpret, qkv, do):
-    return (_bwd(qkv, do, heads, scale, causal, interpret),)
+def _fused_bwd(heads, scale, causal, interpret, res, do):
+    qkv, p = res
+    return (_bwd(qkv, do, p, heads, scale, causal, interpret),)
 
 
 fused_mha_packed.defvjp(_fused_fwd, _fused_bwd)
@@ -178,8 +351,18 @@ fused_mha_packed.defvjp(_fused_fwd, _fused_bwd)
 def fused_attention_from_qkv(qkv_flat, heads: int, *, causal: bool = False,
                              scale: Optional[float] = None,
                              interpret: bool = False):
-    """Dispatch wrapper with the default 1/sqrt(D) scale."""
+    """Dispatch wrapper with the default 1/sqrt(D) scale. Layout variant:
+    batch-major by default. MCT_MHA_LAYOUT=sm selects the S-major kernel,
+    which matches XLA's {2,0,1} GEMM activation layout in principle but
+    measured *slower* on v5e (153ms vs 118ms CLIP step: the in-kernel VMEM
+    transposes and dq/dk/dv lane concat outweigh the saved boundary
+    copies) — kept for future Mosaic versions with batch-dim!=0 dots."""
+    import os
     d = qkv_flat.shape[-1] // (3 * heads)
     if scale is None:
         scale = d ** -0.5
+    b = qkv_flat.shape[0]
+    if (os.environ.get("MCT_MHA_LAYOUT", "bm") == "sm"
+            and heads % 2 == 0 and b % 8 == 0):
+        return fused_mha_packed_sm(qkv_flat, heads, scale, causal, interpret)
     return fused_mha_packed(qkv_flat, heads, scale, causal, interpret)
