@@ -138,7 +138,9 @@ def get_data(args, preprocess_train, preprocess_val, tokenizer,
                      tokenizer, num_samples=args.train_num_samples,
                      seed=args.seed, context_length=context_length,
                      workers=args.workers,
-                     resampled=getattr(args, "dataset_resampled", False))
+                     resampled=getattr(args, "dataset_resampled", False),
+                     rank=getattr(args, "rank", 0),
+                     world_size=getattr(args, "world_size", 1))
         out["train"] = DataInfo(ds, ds.num_batches, ds.num_samples)
     else:
         raise ValueError(args.dataset_type)

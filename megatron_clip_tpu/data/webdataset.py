@@ -4,14 +4,18 @@ Re-implements the behaviors of open_CLIP's wds pipeline
 (open_CLIP/src/training/data.py:327-431) that matter for training:
   - brace-expanded shard url lists ("{00000..00099}.tar", "{a,b}.tar");
   - deterministic epoch-seeded shard shuffle (detshuffle2, data.py:242-273);
+  - per-host and per-worker shard splitting (split_by_node/split_by_worker);
   - sample grouping by key inside each tar (basename before first dot),
     image decode (jpg/png/webp via PIL) + caption (txt/json);
   - sample shuffle buffer (_SAMPLE_SHUFFLE_SIZE analogue);
   - `with_epoch`-style num_batches/num_samples bookkeeping for resume;
-  - background thread prefetch (the "workers" of the torch DataLoader).
+  - a multi-process decode pool (the torch DataLoader `num_workers`
+    equivalent): each worker owns a shard slice and ships ready batches
+    over an mp queue; `device_prefetch` overlaps host->device transfer.
 """
 import io
 import json
+import multiprocessing as mp
 import os
 import queue
 import random
@@ -107,17 +111,105 @@ def decode_sample(sample: dict):
     return img, txt
 
 
+def split_by_node(shards: List[str], rank: int, world_size: int) -> List[str]:
+    """Per-host shard slice (open_CLIP data.py split_by_node semantics:
+    node r takes shards[r::world_size])."""
+    if world_size <= 1:
+        return list(shards)
+    return list(shards[rank::world_size])
+
+
+def split_by_worker(shards: List[str], worker_id: int,
+                    num_workers: int) -> List[str]:
+    """Per-dataloader-worker shard slice within a host."""
+    if num_workers <= 1:
+        return list(shards)
+    return list(shards[worker_id::num_workers])
+
+
+def _worker_loop(shards, seed, shuffle, shuffle_buffer, preprocess,
+                 tokenizer, context_length, batch_size, out_q):
+    """Decode worker: stream its shard slice, emit ready (images, texts)
+    batches. Runs in a separate process (real decode parallelism — PIL is
+    CPU-bound) or inline."""
+    rng = random.Random(seed)
+    imgs, caps = [], []
+    try:
+        buf = []
+        for shard in shards:
+            for raw in iterate_tar_samples(shard):
+                decoded = decode_sample(raw)
+                if decoded is None:
+                    continue
+                if shuffle:
+                    buf.append(decoded)
+                    if len(buf) < shuffle_buffer:
+                        continue
+                    i = rng.randrange(len(buf))
+                    buf[i], item = buf[-1], buf[i]
+                    buf.pop()
+                else:
+                    item = decoded
+                img, cap = item
+                imgs.append(preprocess(img))
+                caps.append(cap)
+                if len(imgs) == batch_size:
+                    out_q.put((np.stack(imgs),
+                               np.asarray(tokenizer(caps, context_length),
+                                          np.int32)))
+                    imgs, caps = [], []
+        if shuffle:
+            rng.shuffle(buf)
+        for img, cap in buf:
+            imgs.append(preprocess(img))
+            caps.append(cap)
+            if len(imgs) == batch_size:
+                out_q.put((np.stack(imgs),
+                           np.asarray(tokenizer(caps, context_length),
+                                      np.int32)))
+                imgs, caps = [], []
+    finally:
+        out_q.put(None)
+
+
+def device_prefetch(iterator, size: int = 2):
+    """Stage host batches onto the device `size` steps ahead so the H2D
+    copy overlaps compute (the open_CLIP pipeline gets this from the torch
+    DataLoader's pin_memory+non_blocking; here it's explicit)."""
+    import collections
+    import jax
+    buf = collections.deque()
+    it = iter(iterator)
+    try:
+        while len(buf) < size:
+            buf.append(jax.device_put(next(it)))
+    except StopIteration:
+        pass
+    while buf:
+        out = buf.popleft()
+        try:
+            buf.append(jax.device_put(next(it)))
+        except StopIteration:
+            pass
+        yield out
+
+
 class WdsData:
-    """Shard-streaming (image, caption) batch iterator."""
+    """Shard-streaming (image, caption) batch iterator.
+
+    rank/world_size split shards per host (split_by_node); `workers` > 1
+    spawns decode processes each owning a worker shard slice."""
 
     def __init__(self, urls, batch_size: int, preprocess: Callable,
                  tokenizer: Callable, *, num_samples: Optional[int] = None,
                  seed: int = 0, context_length: int = 77, workers: int = 2,
                  shuffle: bool = True, shuffle_buffer: int = SHUFFLE_BUFFER,
-                 resampled: bool = False):
-        self.shards = expand_urls(urls)
+                 resampled: bool = False, rank: int = 0, world_size: int = 1):
+        self.all_shards = expand_urls(urls)
+        self.shards = split_by_node(self.all_shards, rank, world_size)
         if not self.shards:
-            raise ValueError(f"no shards from {urls!r}")
+            raise ValueError(f"no shards from {urls!r} "
+                             f"(rank {rank}/{world_size})")
         if num_samples is None:
             # open_CLIP requires --train-num-samples when metadata is absent
             # (data.py:344-352); estimate by counting one shard.
@@ -125,7 +217,10 @@ class WdsData:
             num_samples = probe * len(self.shards)
         self.num_samples = num_samples
         self.batch_size = batch_size
-        self.num_batches = max(1, num_samples // batch_size)
+        # per-host batch count (open_CLIP data.py:386-398 round_fn over
+        # world_size; num_samples is the global count)
+        self.num_batches = max(1, num_samples // (batch_size
+                                                  * max(world_size, 1)))
         self.preprocess = preprocess
         self.tokenizer = tokenizer
         self.context_length = context_length
@@ -136,27 +231,7 @@ class WdsData:
         self.workers = max(1, workers)
         self.resampled = resampled
 
-    def _sample_stream(self, shards: List[str], rng: random.Random):
-        buf = []
-        for shard in shards:
-            for raw in iterate_tar_samples(shard):
-                decoded = decode_sample(raw)
-                if decoded is None:
-                    continue
-                if self.shuffle:
-                    buf.append(decoded)
-                    if len(buf) >= self.shuffle_buffer:
-                        i = rng.randrange(len(buf))
-                        buf[i], item = buf[-1], buf[i]
-                        buf.pop()
-                        yield item
-                else:
-                    yield decoded
-        if self.shuffle:
-            rng.shuffle(buf)
-        yield from buf
-
-    def __iter__(self):
+    def _epoch_shards(self) -> List[str]:
         rng = random.Random(self.seed + self.epoch)
         if self.resampled:
             # ResampledShards2 semantics (data.py:274-326): shards drawn WITH
@@ -169,30 +244,52 @@ class WdsData:
             if self.shuffle:
                 rng.shuffle(shards)
         self.epoch += 1
+        return shards
 
-        q: "queue.Queue" = queue.Queue(maxsize=8)
-        stop = object()
+    def __iter__(self):
+        shards = self._epoch_shards()
+        n_workers = min(self.workers, len(shards))
+        base_seed = self.seed * 100003 + self.epoch
 
-        def producer():
-            imgs, caps = [], []
-            try:
-                for img, cap in self._sample_stream(shards, rng):
-                    imgs.append(self.preprocess(img))
-                    caps.append(cap)
-                    if len(imgs) == self.batch_size:
-                        q.put((np.stack(imgs),
-                               np.asarray(self.tokenizer(caps, self.context_length),
-                                          np.int32)))
-                        imgs, caps = [], []
-            finally:
-                q.put(stop)
+        if n_workers <= 1:
+            # inline: one background thread keeps decode off the train loop
+            q: "queue.Queue" = queue.Queue(maxsize=8)
+            t = threading.Thread(
+                target=_worker_loop,
+                args=(shards, base_seed, self.shuffle, self.shuffle_buffer,
+                      self.preprocess, self.tokenizer, self.context_length,
+                      self.batch_size, q),
+                daemon=True)
+            t.start()
+            queues, live = [q], 1
+        else:
+            ctx = mp.get_context("fork" if os.name == "posix" else "spawn")
+            queues = []
+            for w in range(n_workers):
+                wq = ctx.Queue(maxsize=4)
+                slice_w = split_by_worker(shards, w, n_workers)
+                p = ctx.Process(
+                    target=_worker_loop,
+                    args=(slice_w, base_seed + w, self.shuffle,
+                          max(1, self.shuffle_buffer // n_workers),
+                          self.preprocess, self.tokenizer,
+                          self.context_length, self.batch_size, wq),
+                    daemon=True)
+                p.start()
+                queues.append(wq)
+            live = n_workers
 
-        t = threading.Thread(target=producer, daemon=True)
-        t.start()
-        produced = 0
-        while produced < self.num_batches:
-            item = q.get()
-            if item is stop:
-                break
-            produced += 1
-            yield item
+        produced, w = 0, 0
+        alive = [True] * len(queues)
+        while produced < self.num_batches and live > 0:
+            if not alive[w]:
+                w = (w + 1) % len(queues)
+                continue
+            item = queues[w].get()
+            if item is None:
+                alive[w] = False
+                live -= 1
+            else:
+                produced += 1
+                yield item
+            w = (w + 1) % len(queues)
