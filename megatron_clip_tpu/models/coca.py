@@ -109,6 +109,34 @@ def _apply_mm_block(block, x, img_tokens, heads):
     return x + h + block["mlp"]["b2"].astype(h.dtype)
 
 
+def _vision_context(params, images, cfg: CLIPCfg, compute_dtype):
+    """Run the vision tower once: (contrastive features, caption context)."""
+    import dataclasses
+    mm = cfg.multimodal
+    vcfg = dataclasses.replace(cfg.vision, attentional_pool=True,
+                               attn_pooler_queries=mm.attn_pooler_queries + 1)
+    img_queries, pool_tokens = apply_vit(
+        params["visual"], images, vcfg, cfg.embed_dim, act=cfg.act,
+        compute_dtype=compute_dtype, output_tokens=True)
+    img_ctx = pool_tokens[:, 1:]                      # [B, nq, E]
+    img_ctx = img_ctx @ params["img_proj"]["w"].astype(img_ctx.dtype)
+    return _l2_normalize(img_queries), img_ctx
+
+
+def _decode_logits(params, tok_out, img_ctx, mm):
+    """Multimodal decoder over unimodal token states -> vocab logits."""
+    x = tok_out @ params["mm_proj"]["w"].astype(tok_out.dtype)
+
+    def body(carry, block):
+        return _apply_mm_block(block, carry, img_ctx, mm.heads), None
+
+    x, _ = jax.lax.scan(body, x, params["mm_blocks"])
+    x = layer_norm(x, params["mm_ln"]["scale"], params["mm_ln"]["bias"])
+    logits = x @ params["lm_head"]["w"].astype(x.dtype) \
+        + params["lm_head"]["b"].astype(x.dtype)
+    return logits.astype(jnp.float32)
+
+
 def apply_coca(params, images, texts, cfg: CLIPCfg, *,
                compute_dtype=jnp.bfloat16):
     """Returns {image_features, text_features, logits, labels, logit_scale}.
@@ -116,17 +144,9 @@ def apply_coca(params, images, texts, cfg: CLIPCfg, *,
     logits predict texts[:, 1:] from texts[:, :-1] through the multimodal
     decoder (coca_model.py forward)."""
     mm = cfg.multimodal
-    import dataclasses
-    vcfg = dataclasses.replace(cfg.vision, attentional_pool=True,
-                               attn_pooler_queries=mm.attn_pooler_queries + 1)
     # vision attentional pool: query 0 -> contrastive, rest -> caption context
-    img_queries, pool_tokens = apply_vit(
-        params["visual"], images, vcfg, cfg.embed_dim, act=cfg.act,
-        compute_dtype=compute_dtype, output_tokens=True)
-    img_ctx = pool_tokens[:, 1:]                      # [B, nq, E]
-    img_ctx = img_ctx @ params["img_proj"]["w"].astype(img_ctx.dtype)
-
-    image_features = _l2_normalize(img_queries)
+    image_features, img_ctx = _vision_context(params, images, cfg,
+                                              compute_dtype)
 
     # text: tokens through the unimodal tower; CLS appended at the end
     pooled_txt, tok_out = apply_text(params["text"], texts, cfg.text,
@@ -136,22 +156,99 @@ def apply_coca(params, images, texts, cfg: CLIPCfg, *,
     text_features = _l2_normalize(pooled_txt)
 
     # decoder input: unimodal token states (teacher forcing, drop last)
-    x = tok_out[:, :-1] @ params["mm_proj"]["w"].astype(tok_out.dtype)
-    n_layers = jax.tree.leaves(params["mm_blocks"])[0].shape[0]
-
-    def body(carry, block):
-        return _apply_mm_block(block, carry, img_ctx, mm.heads), None
-
-    x, _ = jax.lax.scan(body, x, params["mm_blocks"])
-    x = layer_norm(x, params["mm_ln"]["scale"], params["mm_ln"]["bias"])
-    logits = x @ params["lm_head"]["w"].astype(x.dtype) \
-        + params["lm_head"]["b"].astype(x.dtype)
+    logits = _decode_logits(params, tok_out[:, :-1], img_ctx, mm)
 
     return {
         "image_features": image_features,
         "text_features": text_features,
-        "logits": logits.astype(jnp.float32),
+        "logits": logits,
         "labels": texts[:, 1:],
         "logit_scale": jnp.exp(jnp.minimum(params["logit_scale"],
                                            LOGIT_SCALE_MAX)),
     }
+
+
+def coca_generate(params, images, cfg: CLIPCfg, *, sot_id: int,
+                  eos_id: int, max_len: int = None, temperature: float = 0.0,
+                  top_k: int = 0, top_p: float = 0.0, seed: int = 0,
+                  num_beams: int = 1, compute_dtype=jnp.float32):
+    """Caption generation (open_CLIP coca_model.py:79-458 `generate`):
+    greedy / temperature / top-k / top-p when num_beams == 1, otherwise
+    length-normalized beam search. Like the reference, each step re-runs
+    the text tower + decoder on the growing (fixed-size, padded) sequence —
+    one compiled scan, no KV cache (captions are <=76 tokens).
+
+    Returns tokens [B, max_len] starting with sot_id; positions after the
+    first eos are 0."""
+    from megatron_clip_tpu.inference.generation import _sample
+    mm = cfg.multimodal
+    max_len = max_len or cfg.text.context_length
+    b = images.shape[0]
+    _, img_ctx = _vision_context(params, images, cfg, compute_dtype)
+
+    def step_logits(tokens, img_ctx_):
+        """tokens [N, L] -> next-token logits for every position [N, L-1, V]."""
+        _, tok_out = apply_text(params["text"], tokens, cfg.text,
+                                cfg.embed_dim, act=cfg.act,
+                                compute_dtype=compute_dtype,
+                                output_tokens=True)
+        return _decode_logits(params, tok_out[:, :-1], img_ctx_, mm)
+
+    if num_beams <= 1:
+        tokens = jnp.zeros((b, max_len), jnp.int32).at[:, 0].set(sot_id)
+        rng = jax.random.PRNGKey(seed)
+
+        def step(carry, i):
+            tokens, rng, done = carry
+            logits = step_logits(tokens, img_ctx)
+            nxt_logits = jnp.take_along_axis(
+                logits, i[None, None, None].repeat(b, 0), axis=1)[:, 0]
+            rng, sub = jax.random.split(rng)
+            tok = _sample(nxt_logits, sub, temperature, top_k,
+                          top_p).astype(jnp.int32)
+            tok = jnp.where(done, 0, tok)
+            tokens = jax.lax.dynamic_update_slice(
+                tokens, tok[:, None], (0, i + 1))
+            done = done | (tok == eos_id)
+            return (tokens, rng, done), None
+
+        (tokens, _, _), _ = jax.lax.scan(
+            step, (tokens, rng, jnp.zeros((b,), bool)),
+            jnp.arange(max_len - 1))
+        return tokens
+
+    # beam search: beams flattened into the batch dim; scores length-
+    # normalized at the end (HF/open_CLIP beam semantics, simplified: no
+    # early-stop groups)
+    k = num_beams
+    tokens = jnp.zeros((b, k, max_len), jnp.int32).at[:, :, 0].set(sot_id)
+    scores = jnp.full((b, k), -1e30).at[:, 0].set(0.0)   # only beam 0 live
+    done = jnp.zeros((b, k), bool)
+    img_ctx_k = jnp.repeat(img_ctx, k, axis=0)
+
+    def bstep(carry, i):
+        tokens, scores, done = carry
+        logits = step_logits(tokens.reshape(b * k, max_len), img_ctx_k)
+        nxt = jax.nn.log_softmax(
+            logits.reshape(b, k, max_len - 1, -1)[:, :, i], axis=-1)
+        v = nxt.shape[-1]
+        # finished beams only extend with pad (id 0) at no cost
+        pad_only = jnp.full((b, k, v), -1e30).at[:, :, 0].set(0.0)
+        nxt = jnp.where(done[:, :, None], pad_only, nxt)
+        cand = scores[:, :, None] + nxt                   # [B, K, V]
+        flat = cand.reshape(b, k * v)
+        top_scores, top_idx = jax.lax.top_k(flat, k)
+        beam_idx = top_idx // v
+        tok = (top_idx % v).astype(jnp.int32)
+        tokens = jnp.take_along_axis(tokens, beam_idx[:, :, None], axis=1)
+        done = jnp.take_along_axis(done, beam_idx, axis=1)
+        tokens = jax.lax.dynamic_update_slice(
+            tokens, tok[:, :, None], (0, 0, i + 1))
+        done = done | (tok == eos_id)
+        return (tokens, top_scores, done), None
+
+    (tokens, scores, done), _ = jax.lax.scan(
+        bstep, (tokens, scores, done), jnp.arange(max_len - 1))
+    lengths = jnp.maximum((tokens != 0).sum(-1), 1)
+    best = jnp.argmax(scores / lengths, axis=-1)
+    return jnp.take_along_axis(tokens, best[:, None, None], axis=1)[:, 0]

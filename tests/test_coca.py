@@ -39,6 +39,40 @@ def test_forward_shapes():
         rtol=1e-5)
 
 
+def test_coca_generate_sampling_modes():
+    from megatron_clip_tpu.models.coca import coca_generate
+    params = init_coca(jax.random.PRNGKey(0), TINY)
+    images, _ = _batch(2)
+    for kw in ({"temperature": 0.0}, {"temperature": 1.0, "top_k": 8},
+               {"temperature": 0.9, "top_p": 0.9}):
+        out = coca_generate(params, images, TINY, sot_id=509, eos_id=511,
+                            max_len=10, **kw)
+        arr = np.asarray(out)
+        assert arr.shape == (2, 10)
+        assert (arr[:, 0] == 509).all()
+        assert (arr >= 0).all() and (arr < 512).all()
+        # after the first eos everything is pad
+        for row in arr:
+            hits = np.where(row == 511)[0]
+            if len(hits):
+                assert (row[hits[0] + 1:] == 0).all()
+
+
+def test_coca_generate_beam():
+    from megatron_clip_tpu.models.coca import coca_generate
+    params = init_coca(jax.random.PRNGKey(0), TINY)
+    images, _ = _batch(2)
+    out = coca_generate(params, images, TINY, sot_id=509, eos_id=511,
+                        max_len=10, num_beams=3)
+    arr = np.asarray(out)
+    assert arr.shape == (2, 10)
+    assert (arr[:, 0] == 509).all()
+    # beam must match greedy's first token (both maximize the first step)
+    greedy = np.asarray(coca_generate(params, images, TINY, sot_id=509,
+                                      eos_id=511, max_len=10))
+    np.testing.assert_array_equal(arr[:, 1], greedy[:, 1])
+
+
 def test_coca_loss_trains():
     params = init_coca(jax.random.PRNGKey(0), TINY)
     images, texts = _batch()
