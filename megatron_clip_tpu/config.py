@@ -210,14 +210,16 @@ class ParallelCfg:
     vpp: int = 1           # virtual pipeline chunks per stage (interleaved)
     microbatches: int = 1  # pipeline microbatches per step
     sequence_parallel: bool = False  # shard activations on seq within tp group
-    ep: int = 1            # expert-parallel axis size (MoE)
+    # NOTE: there is intentionally no separate expert-parallel axis — MoE
+    # expert weights shard over the fsdp axis (ops/moe.py expert specs),
+    # which is megatron's data-modulo-expert grouping done as sharding.
 
     @property
     def num_devices(self) -> int:
         return self.dp * self.fsdp * self.tp * self.pp
 
     def validate(self) -> None:
-        for k in ("dp", "fsdp", "tp", "pp", "microbatches", "ep"):
+        for k in ("dp", "fsdp", "tp", "pp", "microbatches"):
             v = getattr(self, k)
             if v < 1:
                 raise ValueError(f"ParallelCfg.{k} must be >= 1, got {v}")

@@ -59,7 +59,7 @@ def init_attentional_pooler(key, d_model: int, context_dim: int,
                             n_queries: int, dtype=jnp.float32):
     """open_CLIP AttentionalPooler (transformer.py): learned queries cross-attend
     to the token sequence."""
-    k1, k2, k3 = jax.random.split(key, 3)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
     std = d_model ** -0.5
     return {
         "query": (std * jax.random.normal(k1, (n_queries, d_model))).astype(dtype),
@@ -68,7 +68,7 @@ def init_attentional_pooler(key, d_model: int, context_dim: int,
             "bq": jnp.zeros((d_model,), dtype=dtype),
             "wkv": (std * jax.random.normal(k3, (context_dim, 2 * d_model))).astype(dtype),
             "bkv": jnp.zeros((2 * d_model,), dtype=dtype),
-            "wo": (std * jax.random.normal(k2, (d_model, d_model))).astype(dtype),
+            "wo": (std * jax.random.normal(k4, (d_model, d_model))).astype(dtype),
             "bo": jnp.zeros((d_model,), dtype=dtype),
         },
         "ln_q": init_layer_norm(d_model, dtype),

@@ -125,6 +125,32 @@ def run_training(args) -> dict:
             writer = SummaryWriter(os.path.join(save_root, "tensorboard"))
         except ImportError:
             _log("tensorboardX unavailable; skipping TB logging")
+    # wandb mirror (megatron global_vars.py:144-187 / open_CLIP --report-to
+    # wandb); a clean no-op when the package is absent from the image
+    wandb_run = None
+    if "wandb" in (args.report_to or ""):
+        try:
+            import wandb
+            wandb_run = wandb.init(project=args.wandb_project_name,
+                                   name=args.name or None, config=vars(args))
+        except Exception as e:  # noqa: BLE001 — logging must not kill training
+            _log(f"wandb unavailable ({type(e).__name__}); skipping")
+    # background checkpoint mirroring (open_CLIP --remote-sync,
+    # main.py:176-196)
+    syncer = None
+    if getattr(args, "remote_sync", None) and save_root:
+        from megatron_clip_tpu.utils.remote_sync import RemoteSync
+        syncer = RemoteSync(save_root, args.remote_sync,
+                            frequency=args.remote_sync_frequency).start()
+        _log(f"remote-sync: {save_root} -> {args.remote_sync} "
+             f"every {args.remote_sync_frequency}s")
+
+    def _finish():
+        if syncer is not None:
+            n = syncer.final()
+            _log(f"remote-sync final: {n} files")
+        if wandb_run is not None:
+            wandb_run.finish()
     # SIGTERM -> save-and-exit (megatron DistributedSignalHandler semantics,
     # megatron/dist_signal_handler.py + training.py:815-821)
     term = {"flag": False}
@@ -174,6 +200,10 @@ def run_training(args) -> dict:
                     writer.add_scalar("train/lr", lr_now, step)
                     writer.add_scalar("train/logit_scale", scale, step)
                     writer.add_scalar("train/samples_per_s", ips, step)
+                if wandb_run is not None:
+                    wandb_run.log({"train/loss": loss, "train/lr": lr_now,
+                                   "train/logit_scale": scale,
+                                   "train/samples_per_s": ips}, step=step)
                 final_metrics = {"loss": loss, "samples_per_s": ips,
                                  "step": step}
                 t_window = time.perf_counter()
@@ -186,6 +216,7 @@ def run_training(args) -> dict:
                     _log(f"SIGTERM: saved checkpoint @ step {step}, exiting")
                 if prev_handler is not None:
                     signal.signal(signal.SIGTERM, prev_handler)
+                _finish()
                 return final_metrics
         if save_root and ((epoch + 1) % args.save_frequency == 0):
             runner.save(save_root, step, consumed)
@@ -201,6 +232,16 @@ def run_training(args) -> dict:
                 _log("val: " + " ".join(f"{k}={v:.4f}" for k, v in em.items()
                                         if isinstance(v, float)))
                 final_metrics.update({f"val_{k}": v for k, v in em.items()})
+                if save_root:
+                    import json as _json
+                    with open(os.path.join(save_root, "results.jsonl"),
+                              "a") as rf:
+                        rf.write(_json.dumps({"epoch": epoch, **{
+                            k: v for k, v in em.items()
+                            if isinstance(v, (int, float))}}) + "\n")
+                if wandb_run is not None:
+                    wandb_run.log({f"val/{k}": v for k, v in em.items()
+                                   if isinstance(v, (int, float))}, step=step)
             if args.imagenet_val and tokenizer is not None and \
                     (epoch + 1) % max(args.zeroshot_frequency, 1) == 0:
                 from megatron_clip_tpu.evaluation import (
@@ -224,6 +265,7 @@ def run_training(args) -> dict:
         _log(f"total non-finite loss iterations: {nan_iters}")
     if prev_handler is not None:
         signal.signal(signal.SIGTERM, prev_handler)
+    _finish()
     return final_metrics
 
 

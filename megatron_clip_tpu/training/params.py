@@ -46,8 +46,12 @@ def parse_args(args=None):
                    choices=["none", "selective", "full"], default="none")
     p.add_argument("--siglip", action="store_true",
                    help="use SigLIP sigmoid pairwise loss")
-    p.add_argument("--local-loss", action="store_true", default=True)
-    p.add_argument("--gather-with-grad", action="store_true", default=True)
+    # open_CLIP defaults these to False; True here is the better TPU default
+    # (per-shard logits + grad-flowing all-gather). --no-* turns them off.
+    p.add_argument("--local-loss", action=argparse.BooleanOptionalAction,
+                   default=True)
+    p.add_argument("--gather-with-grad", action=argparse.BooleanOptionalAction,
+                   default=True)
 
     # --- optimization (open_CLIP defaults) -----------------------------------
     p.add_argument("--batch-size", type=int, default=64,
@@ -107,7 +111,14 @@ def parse_args(args=None):
                    help="console/TB metrics every N steps (megatron "
                         "--log-interval)")
     p.add_argument("--report-to", type=str, default="",
-                   help="comma list: tensorboard")
+                   help="comma list: tensorboard,wandb (wandb is a no-op "
+                        "with a warning if the package is absent)")
+    p.add_argument("--wandb-project-name", type=str, default="megatron-clip-tpu")
+    p.add_argument("--remote-sync", type=str, default=None,
+                   help="rsync/copy the checkpoint dir to this target in a "
+                        "background thread (open_CLIP --remote-sync)")
+    p.add_argument("--remote-sync-frequency", type=int, default=300,
+                   help="seconds between background syncs")
     p.add_argument("--exit-interval", type=int, default=None,
                    help="stop after N steps total (megatron --exit-interval)")
 
