@@ -127,3 +127,63 @@ def test_interleaved_gradients_match(devices8):
     for a, b_ in zip(jax.tree.leaves(g_seq), jax.tree.leaves(g_int)):
         np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
                                    rtol=5e-4, atol=5e-5)
+
+
+@pytest.mark.parametrize("vpp", [1, 2])
+def test_pipeline_with_additive_bias_matches_sequential(devices8, vpp):
+    """Padding masks travel with their microbatch through the ring —
+    pipelined-BERT-with-padding parity (reference schedules carry
+    attention_mask per microbatch, schedules.py forward_step)."""
+    from megatron_clip_tpu.parallel.pipeline import make_pipelined_layers_fn
+    mesh = build_mesh(ParallelCfg(dp=2, tp=1, pp=4, microbatches=4))
+    cfg = TransformerCfg(layers=4 * vpp, width=64, heads=2)
+    blocks = init_transformer(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 8, 64))
+    # per-row padding: rows attend only to their first k positions
+    lens = jnp.asarray([8, 5, 6, 8, 3, 8, 7, 4])
+    pad = (jnp.arange(8)[None, :] < lens[:, None])
+    bias = jnp.where(pad[:, None, None, :], 0.0, -1e30)
+
+    want = apply_transformer(blocks, x, cfg, bias=bias)
+    layers_fn = make_pipelined_layers_fn(mesh, 4, vpp)
+    got = layers_fn(blocks, x, cfg, causal=False, bias=bias)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+    def loss_seq(b):
+        return jnp.sum(apply_transformer(b, x, cfg, bias=bias) ** 2)
+
+    def loss_pipe(b):
+        return jnp.sum(layers_fn(b, x, cfg, causal=False, bias=bias) ** 2)
+
+    g1 = jax.grad(loss_seq)(blocks)
+    g2 = jax.grad(loss_pipe)(blocks)
+    for a, c in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(c),
+                                   rtol=5e-4, atol=5e-4)
+
+
+def test_pipeline_memory_flat_in_microbatches(devices8):
+    """Compile-time memory analysis: with the global batch fixed, per-device
+    temp memory must not grow with the microbatch count (GPipe storage is
+    ~B block-inputs + (S-1)/M fill slack; M=16 should not exceed M=4 by more
+    than the slack). This is the measurable form of the liveness claim."""
+    cfg = TransformerCfg(layers=4, width=64, heads=2, remat="full")
+    blocks = init_transformer(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (32, 8, 64))
+
+    def temp_bytes(mb):
+        mesh = build_mesh(ParallelCfg(dp=1, tp=2, pp=4, microbatches=mb))
+
+        def loss(b):
+            return jnp.sum(pipeline_transformer(
+                b, x, cfg, mesh=mesh, num_microbatches=mb) ** 2)
+
+        compiled = jax.jit(jax.grad(loss)).lower(blocks).compile()
+        ma = compiled.memory_analysis()
+        return ma.temp_size_in_bytes
+
+    t4, t16 = temp_bytes(4), temp_bytes(16)
+    # more microbatches => smaller per-tick tensors; allow 25% headroom for
+    # scheduling noise but forbid superlinear growth
+    assert t16 <= t4 * 1.25, (t4, t16)
