@@ -8,6 +8,11 @@ The reference's tasks/main.py dispatches finetune/eval jobs by --task
   --task retrieval         : image<->text recall@K over a CSV dataset
   --task linear-probe      : logistic-regression probe of frozen CLIP
                              features on an ImageFolder dir
+  --task glue              : BERT sentence(-pair) classification finetune
+                             from TSV (label\tsent1[\tsent2]) — the
+                             MNLI/QQP-style jobs of the reference harness
+  --task race              : BERT multiple-choice finetune from JSONL
+                             ({context, question, options[4], label})
 
   python tasks/main.py --task zeroshot-imagenet --model ViT-B-32 \
       --load-torch epoch_32.pt --data-dir /data/imagenet/val
@@ -22,7 +27,8 @@ sys.path.insert(0, str(Path(__file__).parent.parent))
 def parse_args(argv=None):
     p = argparse.ArgumentParser("downstream tasks")
     p.add_argument("--task", required=True,
-                   choices=["zeroshot-imagenet", "retrieval", "linear-probe"])
+                   choices=["zeroshot-imagenet", "retrieval", "linear-probe",
+                            "glue", "race"])
     p.add_argument("--model", default="ViT-B-32")
     p.add_argument("--pretrained", default="", help="open_CLIP .pt file")
     p.add_argument("--load", default="", help="orbax checkpoint root")
@@ -30,6 +36,17 @@ def parse_args(argv=None):
     p.add_argument("--csv", help="csv with filepath/title (retrieval)")
     p.add_argument("--batch-size", type=int, default=64)
     p.add_argument("--probe-epochs", type=int, default=10)
+    # --- glue/race finetune ---------------------------------------------
+    p.add_argument("--train-file", help="TSV (glue) / JSONL (race)")
+    p.add_argument("--dev-file")
+    p.add_argument("--vocab-file", help="BERT wordpiece vocab.txt")
+    p.add_argument("--num-classes", type=int, default=2)
+    p.add_argument("--seq-len", type=int, default=128)
+    p.add_argument("--epochs", type=int, default=3)
+    p.add_argument("--lr", type=float, default=3e-5)
+    p.add_argument("--num-layers", type=int, default=12)
+    p.add_argument("--hidden-size", type=int, default=768)
+    p.add_argument("--num-heads", type=int, default=12)
     p.add_argument("--probe-lr", type=float, default=1e-2)
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args(argv)
@@ -53,6 +70,28 @@ def run(args):
     import jax
     import jax.numpy as jnp
     import numpy as np
+
+    if args.task in ("glue", "race"):
+        from megatron_clip_tpu.models.bert import BertCfg
+        from megatron_clip_tpu.tokenizer.megatron_tokenizers import (
+            BertWordPieceTokenizer)
+        from tasks.finetune import run_glue, run_race
+        tok = BertWordPieceTokenizer(args.vocab_file)
+        cfg = BertCfg(num_layers=args.num_layers,
+                      hidden_size=args.hidden_size, num_heads=args.num_heads,
+                      vocab_size=max(tok.vocab_size, 32),
+                      seq_length=args.seq_len, add_binary_head=False)
+        fn = run_glue if args.task == "glue" else run_race
+        kw = dict(seq_len=args.seq_len, epochs=args.epochs,
+                  batch_size=args.batch_size, lr=args.lr, seed=args.seed)
+        if args.task == "glue":
+            kw["num_classes"] = args.num_classes
+        res, _ = fn(tok, cfg, args.train_file, args.dev_file, **kw)
+        out = {"train_loss": round(res.train_loss, 4),
+               "dev_accuracy": round(res.dev_accuracy, 4)}
+        print(out)
+        return out
+
     model, params = _load_model(args)
     from megatron_clip_tpu.tokenizer import get_tokenizer
 
