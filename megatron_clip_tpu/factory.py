@@ -261,7 +261,9 @@ def create_model_and_transforms(model_name: str, pretrained: str = "",
     model, params = create_model(model_name, precision, seed=seed, **kw)
     if pretrained:
         from megatron_clip_tpu.checkpoints.torch_interop import load_openclip_checkpoint
-        params = load_openclip_checkpoint(pretrained, model.cfg, params)
+        from megatron_clip_tpu.pretrained import resolve_pretrained
+        path = resolve_pretrained(model_name.replace("/", "-"), pretrained)
+        params = load_openclip_checkpoint(path, model.cfg, params)
     pp_train = image_transform(model.image_size, is_train=True,
                                mean=image_mean, std=image_std)
     pp_val = image_transform(model.image_size, is_train=False,
