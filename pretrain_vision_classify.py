@@ -1,5 +1,7 @@
 #!/usr/bin/env python
-"""ViT image classification pretraining (reference: pretrain_vision_classify.py)."""
+"""Vision classification pretraining (reference: pretrain_vision_classify.py)
+with selectable backbone: vit (default), swin, or mit (the reference's
+swin_backbone/mit_backbone families)."""
 import argparse
 
 import jax
@@ -14,6 +16,8 @@ def parse_args(argv=None):
     p.add_argument("--patch-size", type=int, default=16)
     p.add_argument("--img-size", type=int, default=224)
     p.add_argument("--num-classes", type=int, default=1000)
+    p.add_argument("--backbone", choices=["vit", "swin", "mit"],
+                   default="vit")
     p.add_argument("--batch-size", type=int, default=32)
     p.add_argument("--train-steps", type=int, default=20)
     p.add_argument("--lr", type=float, default=3e-4)
@@ -32,11 +36,31 @@ def run(args):
         init_vit_classifier, classification_loss)
     from megatron_clip_tpu.training.simple_loop import simple_train
 
-    cfg = VisionCfg(layers=args.num_layers, width=args.hidden_size,
-                    patch_size=args.patch_size, image_size=args.img_size)
     compute = jnp.bfloat16 if args.precision.startswith("bf") else jnp.float32
-    params = init_vit_classifier(jax.random.PRNGKey(args.seed), cfg,
-                                 args.num_classes)
+    if args.backbone == "swin":
+        from megatron_clip_tpu.models.swin import SwinCfg, init_swin, apply_swin
+        from megatron_clip_tpu.ops.cross_entropy import cross_entropy
+        cfg = SwinCfg(image_size=args.img_size)
+        params = init_swin(jax.random.PRNGKey(args.seed), cfg,
+                           num_classes=args.num_classes)
+        def _loss(p, images, labels):
+            logits = apply_swin(p, images, cfg, compute_dtype=compute)
+            return cross_entropy(logits[None], labels[None]).mean()
+    elif args.backbone == "mit":
+        from megatron_clip_tpu.models.mit import MiTCfg, init_mit, apply_mit
+        from megatron_clip_tpu.ops.cross_entropy import cross_entropy
+        cfg = MiTCfg(image_size=args.img_size)
+        params = init_mit(jax.random.PRNGKey(args.seed), cfg,
+                          num_classes=args.num_classes)
+        def _loss(p, images, labels):
+            logits = apply_mit(p, images, cfg, compute_dtype=compute)
+            return cross_entropy(logits[None], labels[None]).mean()
+    else:
+        cfg = VisionCfg(layers=args.num_layers, width=args.hidden_size,
+                        patch_size=args.patch_size, image_size=args.img_size)
+        params = init_vit_classifier(jax.random.PRNGKey(args.seed), cfg,
+                                     args.num_classes)
+        _loss = None
     rng = np.random.RandomState(args.seed)
 
     def batches():
@@ -52,6 +76,8 @@ def run(args):
 
     def loss_fn(p, batch):
         images, labels = batch
+        if _loss is not None:
+            return _loss(p, images, labels)
         return classification_loss(p, images, labels, cfg,
                                    compute_dtype=compute)
 

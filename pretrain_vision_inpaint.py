@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Vision inpainting pretraining (reference: pretrain_vision_inpaint.py +
+megatron/model/vision/inpainting.py): ViT reconstructs randomly masked
+patches; MSE on masked regions."""
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser("vision inpainting pretraining")
+    p.add_argument("--num-layers", type=int, default=12)
+    p.add_argument("--hidden-size", type=int, default=768)
+    p.add_argument("--head-width", type=int, default=64)
+    p.add_argument("--patch-size", type=int, default=16)
+    p.add_argument("--image-size", type=int, default=224)
+    p.add_argument("--mask-ratio", type=float, default=0.5)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--train-steps", type=int, default=20)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--warmup", type=int, default=10)
+    p.add_argument("--precision", default="bf16")
+    p.add_argument("--data-dir", type=str, default=None,
+                   help="ImageFolder dir; synthetic if unset")
+    p.add_argument("--log-interval", type=int, default=5)
+    p.add_argument("--seed", type=int, default=0)
+    return p.parse_args(argv)
+
+
+def run(args):
+    from megatron_clip_tpu.config import VisionCfg
+    from megatron_clip_tpu.models.inpaint import (
+        init_inpaint, inpaint_loss, random_patch_mask)
+    from megatron_clip_tpu.training.simple_loop import simple_train
+
+    cfg = VisionCfg(layers=args.num_layers, width=args.hidden_size,
+                    head_width=args.head_width, patch_size=args.patch_size,
+                    image_size=args.image_size)
+    compute = jnp.bfloat16 if args.precision.startswith("bf") else jnp.float32
+    params = init_inpaint(jax.random.PRNGKey(args.seed), cfg)
+    n = sum(x.size for x in jax.tree.leaves(params))
+    print(f"inpaint ViT {n/1e6:.1f}M params", flush=True)
+    n_patches = (args.image_size // args.patch_size) ** 2
+
+    def batches():
+        if args.data_dir:
+            from megatron_clip_tpu.data.image_folder import image_folder_batches
+            for images, _ in image_folder_batches(
+                    args.data_dir, args.batch_size, args.image_size,
+                    is_train=True, epochs=10 ** 6, seed=args.seed):
+                yield jnp.asarray(images)
+        else:
+            rng = np.random.RandomState(args.seed)
+            while True:
+                yield jnp.asarray(rng.rand(
+                    args.batch_size, args.image_size, args.image_size, 3
+                ).astype(np.float32))
+
+    mask_rng = jax.random.PRNGKey(args.seed + 1)
+
+    def masked_batches():
+        nonlocal mask_rng
+        for images in batches():
+            mask_rng, sub = jax.random.split(mask_rng)
+            mask = random_patch_mask(sub, images.shape[0], n_patches,
+                                     args.mask_ratio)
+            yield images, mask
+
+    def loss_fn(p, batch):
+        images, mask = batch
+        return inpaint_loss(p, images, mask, cfg, compute_dtype=compute)
+
+    out = simple_train(params, loss_fn, masked_batches(), args.train_steps,
+                       lr=args.lr, warmup=args.warmup,
+                       log_interval=args.log_interval, name="inpaint")
+    return {"loss": out["loss"]}
+
+
+if __name__ == "__main__":
+    run(parse_args())
