@@ -70,7 +70,8 @@ def main():
         model = dataclasses.replace(
             model, remat=os.environ.get("BENCH_REMAT", "none"),
             scan_layers=os.environ.get("BENCH_SCAN", "0") == "1")
-        batch = int(os.environ.get("BENCH_BATCH", "256"))
+        # bs384 measured best on v5e (50.4% MFU vs 49.6% @256, 49.9% @448)
+        batch = int(os.environ.get("BENCH_BATCH", "384"))
         iters, warmup = 20, 3
 
     mu = {"bf16": jnp.bfloat16, "fp32": None}[
