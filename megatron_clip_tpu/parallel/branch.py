@@ -47,21 +47,37 @@ class BranchState(NamedTuple):
 
 
 class _Branch:
-    """One tower on one mesh: compiled fwd, bwd (via vjp), and update."""
+    """One tower on one mesh: two compiled dispatches per step.
+
+    fwd(params, batch) -> features is one jit; bwd_update(params, opt,
+    batch, cotangent) -> (params', opt') is a second jit that recomputes
+    the forward inside the vjp and applies the optimizer in the same
+    computation. The recompute (one extra tower forward) replaces the
+    previous eager `jax.vjp` orchestration, which executed the whole
+    tower op-by-op from the host — hundreds of dispatches per step. At
+    scale the recompute is the same contract as megatron's activation
+    recompute (the reference trains branch-parallel CLIP with
+    --recompute-granularity anyway); with cfg remat enabled the cost is
+    already paid."""
 
     def __init__(self, mesh: Mesh, fwd: Callable, tx):
         self.mesh = mesh
         self.tx = tx
-        self._fwd = jax.jit(fwd)
+        self._fwd_fn = fwd
+        self.fwd = jax.jit(fwd)
         self._update = jax.jit(self._update_impl, donate_argnums=(0, 1))
+        self.bwd_update = jax.jit(self._bwd_update_impl,
+                                  donate_argnums=(0, 1))
 
     def _update_impl(self, params, opt_state, grads):
         updates, opt_state = self.tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state
 
-    def fwd_vjp(self, params, batch):
-        feats, vjp = jax.vjp(self._fwd, params, batch)
-        return feats, vjp
+    def _bwd_update_impl(self, params, opt_state, batch, cotangent):
+        _, vjp = jax.vjp(self._fwd_fn, params, batch)
+        grads = vjp(cotangent)[0]
+        updates, opt_state = self.tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state
 
     def batch_sharding(self):
         return NamedSharding(self.mesh, P((DATA, FSDP)))
@@ -71,11 +87,12 @@ class _Branch:
 class BranchParallelCLIP:
     """Orchestrates the two-tower, two-mesh train step.
 
-    Per step, five compiled computations are dispatched:
-      vision_fwd | text_fwd  (concurrent, disjoint meshes)
+    Per step, six compiled computations are dispatched (all async):
+      vision_fwd | text_fwd          (concurrent, disjoint meshes)
       join (loss + feature grads, on the vision mesh)
-      vision_bwd | text_bwd  (concurrent)
-    plus three small optimizer updates.
+      vision_bwd+update | text_bwd+update  (concurrent, fwd recomputed
+                                            inside the vjp — see _Branch)
+      head update
     """
 
     cfg: CLIPCfg
@@ -190,13 +207,18 @@ class BranchParallelCLIP:
 
     # ---- the step ----------------------------------------------------------
     def train_step(self, state: BranchState, images, texts):
+        """Six compiled dispatches: vision_fwd | text_fwd (concurrent,
+        disjoint meshes) -> join -> vision_bwd+update | text_bwd+update
+        (concurrent) -> head update; the four feature/cotangent hops are
+        cross-mesh ICI reshards (device_put). Everything is dispatched
+        asynchronously — the host never blocks inside the step."""
         v, t = self._vision, self._text
         images = jax.device_put(images, v.batch_sharding())
         texts = jax.device_put(texts, t.batch_sharding())
 
         # concurrent tower forwards (disjoint devices, async dispatch)
-        img_feats, v_vjp = v.fwd_vjp(state.vision[0], images)
-        txt_feats, t_vjp = t.fwd_vjp(state.text[0], texts)
+        img_feats = v.fwd(state.vision[0], images)
+        txt_feats = t.fwd(state.text[0], texts)
 
         # features hop to the vision mesh for the join (ICI reshard)
         join_shard = NamedSharding(self.vision_mesh, P((DATA, FSDP)))
@@ -205,15 +227,13 @@ class BranchParallelCLIP:
 
         loss, d_head, d_img, d_txt = self._join(state.head[0], img_on_v, txt_on_v)
 
-        # route feature cotangents back into each tower's backward
+        # route feature cotangents back into each tower's backward+update
         d_img_v = jax.device_put(d_img, img_feats.sharding)
         d_txt_t = jax.device_put(d_txt, txt_feats.sharding)
-        v_grads = v_vjp(d_img_v)[0]
-        t_grads = t_vjp(d_txt_t)[0]
-
-        # per-branch optimizer updates (concurrent)
-        vparams, vopt = v._update(state.vision[0], state.vision[1], v_grads)
-        tparams, topt = t._update(state.text[0], state.text[1], t_grads)
+        vparams, vopt = v.bwd_update(state.vision[0], state.vision[1],
+                                     images, d_img_v)
+        tparams, topt = t.bwd_update(state.text[0], state.text[1],
+                                     texts, d_txt_t)
         hparams, hopt = self._head_update(state.head[0], state.head[1], d_head)
 
         new_state = BranchState(vision=(vparams, vopt), text=(tparams, topt),
