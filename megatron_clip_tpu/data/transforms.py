@@ -77,14 +77,24 @@ def image_transform(image_size: int, is_train: bool,
                     mean: Optional[Sequence[float]] = None,
                     std: Optional[Sequence[float]] = None,
                     resize_longest_max: bool = False,
-                    rng: Optional[random.Random] = None):
-    """Returns f(PIL/array) -> np.float32 [H, W, 3] normalized NHWC slice."""
+                    rng: Optional[random.Random] = None,
+                    autoaugment: bool = False):
+    """Returns f(PIL/array) -> np.float32 [H, W, 3] normalized NHWC slice.
+    autoaugment=True applies the ImageNet AutoAugment policy before the
+    crop (train only; megatron/data/autoaugment.py surface)."""
     mean = tuple(mean or OPENAI_DATASET_MEAN)
     std = tuple(std or OPENAI_DATASET_STD)
+    aa = None
+    if autoaugment and is_train:
+        from megatron_clip_tpu.data.autoaugment import ImageNetAutoAugment
+        aa = ImageNetAutoAugment(seed=getattr(rng, "random", None)
+                                 and rng.randint(0, 2 ** 31))
 
     def preprocess(img):
         img = _to_pil(img)
         if is_train:
+            if aa is not None:
+                img = aa(img)
             img = _random_resized_crop(img, image_size, rng=rng)
         else:
             img = _resize_center_crop(img, image_size)
