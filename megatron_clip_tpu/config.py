@@ -66,6 +66,10 @@ class TransformerCfg:
     moe_capacity_factor: float = 1.25
     moe_router: str = "sinkhorn"  # sinkhorn (megatron) | top1 (switch)
     sequence_parallel: bool = False  # shard activations on seq over tensor axis
+    context_parallel: bool = False   # shard seq over the `context` mesh axis;
+                                     # attention runs as a ppermute ring
+                                     # (ops/ring_attention.py)
+    context_parallel_layout: str = "contiguous"  # contiguous | zigzag
     # dropout (megatron --attention-dropout / --hidden-dropout, default 0.1
     # there; 0 here because CLIP trains without dropout). Active only when an
     # rng key is threaded into apply_transformer (training), never in eval.
@@ -167,6 +171,11 @@ class CLIPCfg:
     quick_gelu: bool = False  # OpenAI checkpoints use x*sigmoid(1.702x)
     resnet_layers: Optional[Tuple[int, ...]] = None  # ModifiedResNet when set
     resnet_width: int = 64
+    # ConvNeXt tower (open_CLIP convnext_* configs use timm; here native —
+    # models/convnext.py). Set to a timm model name, e.g. "convnext_base".
+    convnext: Optional[str] = None
+    convnext_proj: str = "linear"    # timm_proj: linear | mlp | none
+    convnext_drop_path: float = 0.0  # timm_drop_path
     init_logit_scale: float = 2.659260036932778  # ln(1/0.07)
     init_logit_bias: Optional[float] = None  # SigLIP uses a learned bias
     # multimodal decoder (CoCa) — None for plain CLIP
@@ -208,6 +217,9 @@ class ParallelCfg:
     tp: int = 1            # tensor-parallel axis size
     pp: int = 1            # pipeline-parallel stage count
     vpp: int = 1           # virtual pipeline chunks per stage (interleaved)
+    cp: int = 1            # context-parallel axis (ring attention over seq;
+                           # completes megatron's --context-parallel-size,
+                           # which is plumbing-only in the reference)
     microbatches: int = 1  # pipeline microbatches per step
     sequence_parallel: bool = False  # shard activations on seq within tp group
     # NOTE: there is intentionally no separate expert-parallel axis — MoE
@@ -216,10 +228,10 @@ class ParallelCfg:
 
     @property
     def num_devices(self) -> int:
-        return self.dp * self.fsdp * self.tp * self.pp
+        return self.dp * self.fsdp * self.tp * self.pp * self.cp
 
     def validate(self) -> None:
-        for k in ("dp", "fsdp", "tp", "pp", "microbatches"):
+        for k in ("dp", "fsdp", "tp", "pp", "cp", "microbatches"):
             v = getattr(self, k)
             if v < 1:
                 raise ValueError(f"ParallelCfg.{k} must be >= 1, got {v}")

@@ -97,17 +97,35 @@ def init_transformer(key, cfg: TransformerCfg, dtype=jnp.float32):
 # ------------------------------- apply -------------------------------------
 
 def _sp_constraint(x, cfg):
-    """Sequence parallelism (Korthikanti-style; megatron --sequence-parallel,
-    SURVEY §2.1): between blocks, activations are sharded along the sequence
-    dim over the `tensor` axis, so LN/dropout/residual work is 1/tp per
-    device; XLA inserts the all-gather before each TP matmul and the
-    reduce-scatter after the row-parallel one — exactly mappings.py:246-341.
-    Requires an active mesh (jax.sharding.use_mesh) at trace time."""
-    if not cfg.sequence_parallel:
+    """Sequence/context parallelism of between-block activations.
+
+    - Sequence parallelism (Korthikanti-style; megatron --sequence-parallel,
+      SURVEY §2.1): activations sharded along seq over the `tensor` axis, so
+      LN/dropout/residual work is 1/tp per device; XLA inserts the all-gather
+      before each TP matmul and the reduce-scatter after the row-parallel one
+      — exactly mappings.py:246-341.
+    - Context parallelism (megatron --context-parallel-size, plumbing-only in
+      the reference): activations sharded along seq over the `context` axis;
+      attention itself runs as a ppermute ring (ops/ring_attention.py).
+    Both compose: seq shards over (context, tensor). Requires an active mesh
+    (jax.sharding.set_mesh) at trace time."""
+    from megatron_clip_tpu.parallel.mesh import CONTEXT, DATA, FSDP, TENSOR
+    seq_axes = []
+    if cfg.context_parallel:
+        seq_axes.append(CONTEXT)
+    if cfg.sequence_parallel:
+        seq_axes.append(TENSOR)
+    if not seq_axes:
+        return x
+    amesh = jax.sharding.get_abstract_mesh()
+    names = set(amesh.axis_names) if amesh is not None else set()
+    seq_axes = [a for a in seq_axes if a in names]
+    batch_axes = tuple(a for a in (DATA, FSDP) if a in names)
+    if not seq_axes:
         return x
     from jax.sharding import PartitionSpec as P
-    from megatron_clip_tpu.parallel.mesh import DATA, FSDP, TENSOR
-    return jax.lax.with_sharding_constraint(x, P((DATA, FSDP), TENSOR, None))
+    return jax.lax.with_sharding_constraint(
+        x, P(batch_axes or None, tuple(seq_axes), None))
 
 
 def dropout(x, rate: float, key):
@@ -137,7 +155,9 @@ def apply_block(block, x, cfg: TransformerCfg, *, causal: bool = False,
                              bias=bias, use_flash=cfg.use_flash, rope=rope,
                              kv_heads=cfg.kv_heads,
                              dropout_rate=cfg.attention_dropout,
-                             dropout_rng=k_attn)
+                             dropout_rng=k_attn,
+                             context_parallel=cfg.context_parallel,
+                             cp_layout=cfg.context_parallel_layout)
     if "ls_1" in block:
         h = h * block["ls_1"].astype(h.dtype)
     h = dropout(h, cfg.hidden_dropout, k_h1)

@@ -105,7 +105,9 @@ def multi_head_attention(x, params, heads: int, *, causal: bool = False,
                          bias: Optional[jax.Array] = None, use_flash: bool = True,
                          kv: Optional[jax.Array] = None, rope=None,
                          kv_heads: Optional[int] = None,
-                         dropout_rate: float = 0.0, dropout_rng=None):
+                         dropout_rate: float = 0.0, dropout_rng=None,
+                         context_parallel: bool = False,
+                         cp_layout: str = "contiguous"):
     """Full MHA block: fused qkv projection -> attention -> output projection.
 
     x: [B, S, W]. params: {'wqkv': [W, (H+2Hkv)*hd], 'bqkv', 'wo', 'bo'}.
@@ -117,6 +119,14 @@ def multi_head_attention(x, params, heads: int, *, causal: bool = False,
     """
     b, s, w = x.shape
     hkv = kv_heads or heads
+    if context_parallel:
+        if bias is not None:
+            raise ValueError("context_parallel attention does not support "
+                             "additive bias masks (megatron CP has the same "
+                             "restriction: causal/full only)")
+        if dropout_rate > 0.0 and dropout_rng is not None:
+            raise ValueError("context_parallel attention does not support "
+                             "attention-prob dropout")
     if kv is None:
         head_dim = params["wqkv"].shape[1] // (heads + 2 * hkv)
 
@@ -124,7 +134,8 @@ def multi_head_attention(x, params, heads: int, *, causal: bool = False,
         # single Pallas kernel (no q/k/v split or head-transpose copies —
         # they cost ~12% of the CLIP step, see ops/pallas/fused_mha.py).
         from megatron_clip_tpu.ops.pallas.fused_mha import MAX_FUSED_SEQ
-        if (use_flash and bias is None and rope is None and hkv == heads
+        if (not context_parallel
+                and use_flash and bias is None and rope is None and hkv == heads
                 and s <= MAX_FUSED_SEQ and head_dim <= 128
                 and (dropout_rate == 0.0 or dropout_rng is None)):
             from megatron_clip_tpu.ops import use_pallas
@@ -158,14 +169,35 @@ def multi_head_attention(x, params, heads: int, *, causal: bool = False,
         k, v = jnp.split(kvp, 2, axis=-1)
 
     head_dim_q = q.shape[-1] // heads
-    flash_path = (use_flash and bias is None and kv is None
+    flash_path = (not context_parallel
+                  and use_flash and bias is None and kv is None
                   and q.shape[1] >= MIN_FLASH_SEQ and head_dim_q <= 128
                   and (dropout_rate == 0.0 or dropout_rng is None))
     if flash_path:
         from megatron_clip_tpu.ops import use_pallas
         flash_path = use_pallas()
 
-    if not flash_path:
+    if context_parallel:
+        # Context parallelism: seq is sharded over the `context` mesh axis;
+        # attention runs as a ppermute ring with online softmax so each
+        # device only ever holds an [S/cp, S/cp] logits tile
+        # (ops/ring_attention.py; completes megatron's plumbing-only CP).
+        from megatron_clip_tpu.ops.ring_attention import ring_attention
+        qh = q.reshape(b, q.shape[1], heads, -1)
+        kh = k.reshape(b, k.shape[1], hkv, -1)
+        vh = v.reshape(b, v.shape[1], hkv, -1)
+        if rope is not None:
+            from megatron_clip_tpu.ops.rope import apply_rope_bshd
+            cos, sin = rope
+            qh = apply_rope_bshd(qh, cos, sin)
+            kh = apply_rope_bshd(kh, cos, sin)
+        if hkv != heads:
+            rep = heads // hkv
+            kh = jnp.repeat(kh, rep, axis=2)
+            vh = jnp.repeat(vh, rep, axis=2)
+        out = ring_attention(qh, kh, vh, causal=causal, layout=cp_layout)
+        out = out.reshape(b, s, w)
+    elif not flash_path:
         # BSHD layout: no [B,S,H,D]->[B,H,S,D] transposes; head merge after
         # attention is a free reshape
         qh = q.reshape(b, q.shape[1], heads, -1)

@@ -27,9 +27,10 @@ DATA = "data"
 FSDP = "fsdp"
 TENSOR = "tensor"
 STAGE = "stage"
+CONTEXT = "context"
 EXPERT = "expert"
 
-MeshAxes = (DATA, FSDP, TENSOR, STAGE)
+MeshAxes = (DATA, FSDP, TENSOR, STAGE, CONTEXT)
 
 
 def build_mesh(cfg, devices: Optional[Sequence] = None,
@@ -47,9 +48,12 @@ def build_mesh(cfg, devices: Optional[Sequence] = None,
     if len(devices) < need:
         raise ValueError(f"need {need} devices for {cfg}, have {len(devices)}")
     devices = devices[:need]
-    arr = np.asarray(devices).reshape(cfg.dp, cfg.fsdp, cfg.pp, cfg.tp)
-    # mesh dims ordered (data, fsdp, stage, tensor): tensor fastest-varying
-    return Mesh(arr, (DATA, FSDP, STAGE, TENSOR))
+    cp = getattr(cfg, "cp", 1)
+    arr = np.asarray(devices).reshape(cfg.dp, cfg.fsdp, cfg.pp, cp, cfg.tp)
+    # mesh dims ordered (data, fsdp, stage, context, tensor): tensor
+    # fastest-varying so TP collectives ride the fastest ICI hops; context
+    # adjacent so the ring-attention ppermute is neighbour-to-neighbour
+    return Mesh(arr, (DATA, FSDP, STAGE, CONTEXT, TENSOR))
 
 
 def batch_spec(mesh: Mesh, extra_dims: int = 0) -> P:

@@ -33,6 +33,11 @@ def parse_args(argv=None):
     p.add_argument("--untie-embeddings-and-output-weights", action="store_true")
     p.add_argument("--num-experts", type=int, default=0)
     p.add_argument("--sequence-parallel", action="store_true")
+    p.add_argument("--context-parallel-size", type=int, default=1,
+                   help="shard the sequence over a `context` mesh axis; "
+                        "attention runs as a ppermute ring (the capability "
+                        "megatron's --context-parallel-size plumbs but never "
+                        "implements)")
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--train-steps", type=int, default=20)
     p.add_argument("--lr", type=float, default=3e-4)
@@ -79,8 +84,10 @@ def run(args):
         tie_embeddings=not args.untie_embeddings_and_output_weights)
     compute_dtype = jnp.bfloat16 if args.precision in ("bf16", "amp_bf16") \
         else jnp.float32
+    cp = args.context_parallel_size
     tcfg = cfg.transformer(remat=args.recompute_granularity,
                            sequence_parallel=args.sequence_parallel,
+                           context_parallel=cp > 1,
                            attention_dropout=args.attention_dropout,
                            hidden_dropout=args.hidden_dropout)
     use_dropout = args.attention_dropout > 0 or args.hidden_dropout > 0
@@ -99,11 +106,19 @@ def run(args):
         raise SystemExit("--pipeline-model-parallel-size > 1 is incompatible "
                          "with --num-experts (MoE aux loss is not threaded "
                          "through the pipeline schedule)")
-    dp = max(1, len(devices) // (tp * pp * fsdp))
+    if cp > 1 and pp > 1:
+        raise SystemExit("--context-parallel-size > 1 is incompatible with "
+                         "--pipeline-model-parallel-size > 1 (the ring "
+                         "attention axis is not threaded through the "
+                         "pipeline schedule)")
+    if cp > 1 and args.seq_length % cp != 0:
+        raise SystemExit("--seq-length must be divisible by "
+                         "--context-parallel-size")
+    dp = max(1, len(devices) // (tp * pp * fsdp * cp))
     mesh = None
     layers_fn = None
-    if dp * fsdp * tp * pp > 1:
-        mesh = build_mesh(ParallelCfg(dp=dp, fsdp=fsdp, tp=tp, pp=pp))
+    if dp * fsdp * tp * pp * cp > 1:
+        mesh = build_mesh(ParallelCfg(dp=dp, fsdp=fsdp, tp=tp, pp=pp, cp=cp))
         stage_axis = STAGE if pp > 1 else None
         specs = gpt_param_specs(params, stage_axis=stage_axis)
         params = jax.device_put(params, make_sharding_tree(mesh, specs))
@@ -134,8 +149,7 @@ def run(args):
 
     base_rng = jax.random.PRNGKey(args.seed + 1)
 
-    @jax.jit
-    def step(params, opt_state, tokens, step_idx):
+    def _step(params, opt_state, tokens, step_idx):
         rng = (jax.random.fold_in(base_rng, step_idx) if use_dropout
                else None)
         loss, grads = jax.value_and_grad(
@@ -144,6 +158,25 @@ def run(args):
                                rng=rng))(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
+
+    if mesh is not None:
+        # Pin state outputs to their input shardings: otherwise XLA's
+        # sharding propagation may pick different output shardings per call
+        # (especially with the shard_map ring-attention axis in the graph),
+        # retriggering compilation every step with flip-flopping layouts.
+        from jax.sharding import NamedSharding
+        repl = NamedSharding(mesh, jax.sharding.PartitionSpec())
+
+        def _sh(x):
+            s = x.sharding
+            return s if isinstance(s, NamedSharding) else repl
+
+        opt_state = jax.device_put(opt_state,
+                                   jax.tree.map(_sh, opt_state))
+        step = jax.jit(_step, out_shardings=(
+            jax.tree.map(_sh, params), jax.tree.map(_sh, opt_state), repl))
+    else:
+        step = jax.jit(_step)
 
     import contextlib
     mesh_ctx = jax.sharding.set_mesh(mesh) if mesh is not None \

@@ -1,0 +1,132 @@
+"""Context parallelism (ring attention) tests.
+
+The reference has CP process groups and config plumbing but no attention
+implementation (megatron/core/parallel_state.py:360-387; mcore 0.4 delegated
+CP attention to TransformerEngine, absent from the snapshot). These tests
+validate the completed TPU-native capability: ring attention over a
+`context` mesh axis == the plain sdpa oracle, forward and backward, for
+full / causal / zigzag-load-balanced regimes, plus end-to-end GPT training
+with --context-parallel-size.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from megatron_clip_tpu.ops.attention import sdpa_bshd
+from megatron_clip_tpu.ops.ring_attention import (
+    ring_attention, zigzag_shard, zigzag_unshard)
+
+
+def _qkv(b=4, s=32, h=2, d=16, dtype=jnp.float32):
+    kq, kk, kv = jax.random.split(jax.random.PRNGKey(0), 3)
+    return (jax.random.normal(kq, (b, s, h, d), dtype),
+            jax.random.normal(kk, (b, s, h, d), dtype),
+            jax.random.normal(kv, (b, s, h, d), dtype))
+
+
+def _cp_mesh(devices8, cp=4):
+    return Mesh(np.asarray(devices8).reshape(8 // cp, cp),
+                ("data", "context"))
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_ring_attention_matches_sdpa(devices8, causal):
+    q, k, v = _qkv()
+    ref = sdpa_bshd(q, k, v, causal=causal)
+    with jax.sharding.set_mesh(_cp_mesh(devices8)):
+        out = jax.jit(
+            lambda q, k, v: ring_attention(q, k, v, causal=causal))(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_ring_attention_zigzag_matches_sdpa(devices8):
+    """Load-balanced layout: ranks hold chunks (i, 2cp-1-i); positions ride
+    the ring so the causal mask stays exact."""
+    cp = 4
+    q, k, v = _qkv()
+    ref = sdpa_bshd(q, k, v, causal=True)
+    qz, kz, vz = (zigzag_shard(t, cp) for t in (q, k, v))
+    with jax.sharding.set_mesh(_cp_mesh(devices8, cp)):
+        out = jax.jit(lambda q, k, v: ring_attention(
+            q, k, v, causal=True, layout="zigzag"))(qz, kz, vz)
+    out = zigzag_unshard(np.asarray(out), cp)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+    # round-trip sanity
+    np.testing.assert_array_equal(
+        np.asarray(zigzag_unshard(zigzag_shard(q, cp), cp)), np.asarray(q))
+
+
+def test_ring_attention_gradients_match(devices8):
+    """Backward through the ring (scan + ppermute transpose) == oracle."""
+    q, k, v = _qkv()
+
+    def ref_loss(qkv):
+        q, k, v = qkv
+        return (sdpa_bshd(q, k, v, causal=True) ** 2).sum()
+
+    def ring_loss(qkv):
+        q, k, v = qkv
+        return (ring_attention(q, k, v, causal=True) ** 2).sum()
+
+    g_ref = jax.grad(ref_loss)((q, k, v))
+    with jax.sharding.set_mesh(_cp_mesh(devices8)):
+        g_ring = jax.jit(jax.grad(ring_loss))((q, k, v))
+    for a, b in zip(jax.tree.leaves(g_ring), jax.tree.leaves(g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=5e-5)
+
+
+def test_transformer_block_with_cp_matches_serial(devices8):
+    """A full transformer stack with context_parallel=True == the same stack
+    without (the sharding constraint + ring attention are numerics-neutral)."""
+    from megatron_clip_tpu.config import TransformerCfg
+    from megatron_clip_tpu.nn.transformer import (
+        init_transformer, apply_transformer)
+
+    cfg = TransformerCfg(layers=2, width=64, heads=4, use_flash=False)
+    cfg_cp = TransformerCfg(layers=2, width=64, heads=4, use_flash=False,
+                            context_parallel=True)
+    blocks = init_transformer(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 32, 64), jnp.float32)
+    ref = apply_transformer(blocks, x, cfg, causal=True)
+    with jax.sharding.set_mesh(_cp_mesh(devices8)):
+        out = jax.jit(lambda b, x: apply_transformer(
+            b, x, cfg_cp, causal=True))(blocks, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_gpt_cp_training_matches_serial(devices8):
+    """pretrain_gpt --context-parallel-size 4: loss after one step matches a
+    cp=1 run bit-for-bit-ish (fp32, same seed/data)."""
+    from pretrain_gpt import parse_args, run
+
+    # >=6 steps: sharding-propagation flip-flop across iterations regressed
+    # once at step 4 (outputs resharded per call until out_shardings pinned)
+    common = ["--num-layers", "2", "--hidden-size", "64", "--num-heads", "4",
+              "--seq-length", "32", "--vocab-size", "256",
+              "--batch-size", "8", "--train-steps", "6", "--warmup", "1",
+              "--precision", "fp32", "--log-interval", "3"]
+    m_cp = run(parse_args(common + ["--context-parallel-size", "4"]))
+    m_serial = run(parse_args(common))
+    assert np.isfinite(m_cp["loss"])
+    np.testing.assert_allclose(m_cp["loss"], m_serial["loss"],
+                               atol=1e-4, rtol=1e-4)
+
+
+def test_cp_rejects_bias_and_dropout():
+    from megatron_clip_tpu.ops.attention import multi_head_attention
+
+    x = jnp.zeros((2, 8, 32), jnp.float32)
+    params = {"wqkv": jnp.zeros((32, 96)), "wo": jnp.zeros((32, 32))}
+    with pytest.raises(ValueError, match="bias"):
+        multi_head_attention(x, params, 4, context_parallel=True,
+                             bias=jnp.zeros((8, 8)))
+    with pytest.raises(ValueError, match="dropout"):
+        multi_head_attention(x, params, 4, context_parallel=True,
+                             dropout_rate=0.1,
+                             dropout_rng=jax.random.PRNGKey(0))

@@ -15,7 +15,8 @@ from megatron_clip_tpu.factory import CLIPModel
 from megatron_clip_tpu.config import Precision
 from megatron_clip_tpu.models.clip import init_clip
 from megatron_clip_tpu.parallel import (
-    build_mesh, clip_param_specs, shard_params, DATA, FSDP, TENSOR, STAGE)
+    build_mesh, clip_param_specs, shard_params, DATA, FSDP, TENSOR, STAGE,
+    CONTEXT)
 from megatron_clip_tpu.training import make_train_step, make_optimizer, cosine_lr
 from megatron_clip_tpu.training.train_step import TrainState, shard_train_state
 
@@ -59,7 +60,7 @@ def _run_steps(mesh, pcfg, n=3):
 def test_mesh_shapes(devices8):
     cfg = ParallelCfg(dp=2, fsdp=2, tp=2, pp=1)
     mesh = build_mesh(cfg)
-    assert mesh.shape == {DATA: 2, FSDP: 2, STAGE: 1, TENSOR: 2}
+    assert mesh.shape == {DATA: 2, FSDP: 2, STAGE: 1, CONTEXT: 1, TENSOR: 2}
 
 
 def test_param_specs_cover_tree():
