@@ -28,7 +28,7 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser("downstream tasks")
     p.add_argument("--task", required=True,
                    choices=["zeroshot-imagenet", "retrieval", "linear-probe",
-                            "glue", "race"])
+                            "glue", "race", "wikitext103", "lambada"])
     p.add_argument("--model", default="ViT-B-32")
     p.add_argument("--pretrained", default="", help="open_CLIP .pt file")
     p.add_argument("--load", default="", help="orbax checkpoint root")
@@ -49,7 +49,57 @@ def parse_args(argv=None):
     p.add_argument("--num-heads", type=int, default=12)
     p.add_argument("--probe-lr", type=float, default=1e-2)
     p.add_argument("--seed", type=int, default=0)
+    # --- zero-shot GPT eval (reference tasks/zeroshot_gpt) ---------------
+    p.add_argument("--valid-data", help="text file (wikitext103) / "
+                                        "jsonl (lambada)")
+    p.add_argument("--overlapping-eval", type=int, default=32,
+                   help="LM-eval window stride (megatron --overlapping-eval)")
+    p.add_argument("--strict-lambada", action="store_true")
+    p.add_argument("--merge-file", help="GPT2 BPE merges.txt")
+    p.add_argument("--vocab-size", type=int, default=None,
+                   help="override model vocab (defaults to padded tokenizer)")
     return p.parse_args(argv)
+
+
+def run_zeroshot_gpt(args):
+    """WIKITEXT103 / LAMBADA eval of a GPT checkpoint
+    (reference tasks/zeroshot_gpt/evaluate.py main())."""
+    from megatron_clip_tpu.models.gpt import GPTCfg, init_gpt
+    from megatron_clip_tpu.tokenizer.megatron_tokenizers import (
+        GPT2BPETokenizer, NullTokenizer, vocab_size_with_padding)
+    from tasks.zeroshot_gpt import (
+        evaluate_wikitext, evaluate_lambada, load_lambada)
+    import jax
+
+    if args.vocab_file and args.merge_file:
+        tok = GPT2BPETokenizer(args.vocab_file, args.merge_file)
+    else:
+        tok = NullTokenizer(8192)
+    vocab = args.vocab_size or vocab_size_with_padding(tok.vocab_size)
+    cfg = GPTCfg(num_layers=args.num_layers, hidden_size=args.hidden_size,
+                 num_heads=args.num_heads, vocab_size=vocab,
+                 seq_length=args.seq_len)
+    params = init_gpt(jax.random.PRNGKey(args.seed), cfg)
+    if args.load:
+        from megatron_clip_tpu.checkpoints import load_checkpoint
+        tree, _, _ = load_checkpoint(args.load, {"params": params})
+        params = tree["params"]
+
+    if args.task == "wikitext103":
+        with open(args.valid_data, "rb") as f:
+            text = f.read().decode("utf-8")
+        m = evaluate_wikitext(params, cfg, text, tok.tokenize,
+                              seq_len=args.seq_len,
+                              overlapping_eval=args.overlapping_eval,
+                              batch_size=args.batch_size, pad_id=tok.eod)
+    else:
+        examples = load_lambada(args.valid_data, tok.tokenize,
+                                strict=args.strict_lambada)
+        m = evaluate_lambada(params, cfg, examples, seq_len=args.seq_len,
+                             batch_size=args.batch_size, pad_id=tok.eod)
+    print({k: round(v, 6) if isinstance(v, float) else v
+           for k, v in m.items()})
+    return m
 
 
 def _load_model(args):
@@ -70,6 +120,9 @@ def run(args):
     import jax
     import jax.numpy as jnp
     import numpy as np
+
+    if args.task in ("wikitext103", "lambada"):
+        return run_zeroshot_gpt(args)
 
     if args.task in ("glue", "race"):
         from megatron_clip_tpu.models.bert import BertCfg
