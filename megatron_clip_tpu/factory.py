@@ -7,8 +7,9 @@ Public API matches open_CLIP's factory (open_CLIP/src/open_clip/factory.py:
 is accepted verbatim; the built-in registry below encodes the standard CLIP
 architecture ladder (ViT-S → ViT-e) in code.
 
-ResNet/ConvNeXt/timm/HF-text towers from the reference zoo are not yet
-implemented (roadmap — see README); requesting one raises with a clear error.
+ResNet (ModifiedResNet) and ConvNeXt towers are native (models/resnet.py,
+models/convnext.py). Remaining timm/HF-text tower families raise a clear
+NotImplementedError.
 """
 import json
 import os
@@ -115,7 +116,38 @@ _BUILTIN["coca_ViT-L-14"] = {
     "custom_text": True,
 }
 
-_UNSUPPORTED_PREFIXES = ("convnext", "swin", "vit_", "mt5", "roberta",
+# ConvNeXt CLIP ladder (the reference's convnext_*.json configs delegate the
+# tower to timm; here the tower is native — models/convnext.py)
+def _convnext(embed_dim, arch, image_size, t_width, t_heads, t_layers=12,
+              proj="linear", drop_path=0.1):
+    return {
+        "embed_dim": embed_dim,
+        "vision_cfg": {"timm_model_name": arch, "timm_proj": proj,
+                       "timm_drop_path": drop_path, "image_size": image_size},
+        "text_cfg": {"context_length": 77, "vocab_size": 49408,
+                     "width": t_width, "heads": t_heads, "layers": t_layers},
+    }
+
+
+_BUILTIN.update({
+    "convnext_tiny": _convnext(512, "convnext_tiny", 224, 512, 8),
+    "convnext_small": _convnext(512, "convnext_small", 224, 512, 8),
+    "convnext_base": _convnext(512, "convnext_base", 224, 512, 8),
+    "convnext_base_w": _convnext(640, "convnext_base", 256, 640, 10),
+    "convnext_base_w_320": _convnext(640, "convnext_base", 320, 640, 10),
+    "convnext_large": _convnext(768, "convnext_large", 224, 768, 12),
+    "convnext_large_d": _convnext(768, "convnext_large", 256, 768, 12,
+                                  proj="mlp"),
+    "convnext_large_d_320": _convnext(768, "convnext_large", 320, 768, 12,
+                                      proj="mlp"),
+    "convnext_xlarge": _convnext(1024, "convnext_xlarge", 256, 1024, 16, 20),
+    "convnext_xxlarge": _convnext(1024, "convnext_xxlarge", 256, 1024, 16,
+                                  24),
+    "convnext_xxlarge_320": _convnext(1024, "convnext_xxlarge", 320, 1024,
+                                      16, 24),
+})
+
+_UNSUPPORTED_PREFIXES = ("swin", "vit_", "mt5", "roberta",
                          "xlm-roberta", "nllb")
 
 # extra JSON config dirs (open_CLIP compatibility)
@@ -154,10 +186,25 @@ def parse_model_cfg(cfg_dict: dict) -> CLIPCfg:
     vcfg_in = dict(cfg_dict.get("vision_cfg", {}))
     resnet_layers = None
     resnet_width = 64
+    convnext = None
+    convnext_proj = "linear"
+    convnext_drop_path = 0.0
     if isinstance(vcfg_in.get("layers"), (list, tuple)):
         # open_CLIP marks ResNet towers with a list-typed layers field
         resnet_layers = tuple(vcfg_in.pop("layers"))
         resnet_width = vcfg_in.pop("width", 64)
+    if vcfg_in.get("timm_model_name"):
+        timm_name = vcfg_in.pop("timm_model_name")
+        if not timm_name.startswith("convnext"):
+            raise NotImplementedError(
+                f"timm tower {timm_name!r} is not implemented "
+                "(only the convnext family has a native tower here)")
+        from megatron_clip_tpu.models.convnext import CONVNEXT_ARCHS
+        if timm_name not in CONVNEXT_ARCHS:
+            raise NotImplementedError(f"unknown convnext arch {timm_name!r}")
+        convnext = timm_name
+        convnext_proj = vcfg_in.pop("timm_proj", "linear") or "none"
+        convnext_drop_path = vcfg_in.pop("timm_drop_path", 0.0)
     v = _filter_fields(vcfg_in, VisionCfg)
     t = _filter_fields(cfg_dict.get("text_cfg", {}), TextCfg)
     mm = None
@@ -170,6 +217,9 @@ def parse_model_cfg(cfg_dict: dict) -> CLIPCfg:
         quick_gelu=bool(cfg_dict.get("quick_gelu", False)),
         resnet_layers=resnet_layers,
         resnet_width=resnet_width,
+        convnext=convnext,
+        convnext_proj=convnext_proj,
+        convnext_drop_path=convnext_drop_path,
         init_logit_bias=cfg_dict.get("init_logit_bias"),
         multimodal=mm,
     )

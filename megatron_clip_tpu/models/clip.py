@@ -26,11 +26,24 @@ def _resnet_cfg(cfg: CLIPCfg):
                      heads=cfg.resnet_width * 32 // 64)
 
 
+def _convnext_cfg(cfg: CLIPCfg):
+    from megatron_clip_tpu.models.convnext import CONVNEXT_ARCHS, ConvNeXtCfg
+    depths, dims = CONVNEXT_ARCHS[cfg.convnext]
+    return ConvNeXtCfg(depths=depths, dims=dims,
+                       image_size=cfg.vision.image_size,
+                       proj=cfg.convnext_proj,
+                       drop_path=cfg.convnext_drop_path)
+
+
 def init_clip(key, cfg: CLIPCfg, dtype=jnp.float32):
     kv, kt = jax.random.split(key)
     if cfg.resnet_layers is not None:
         from megatron_clip_tpu.models.resnet import init_modified_resnet
         visual = init_modified_resnet(kv, _resnet_cfg(cfg), cfg.embed_dim)
+    elif cfg.convnext is not None:
+        from megatron_clip_tpu.models.convnext import init_convnext
+        visual = init_convnext(kv, _convnext_cfg(cfg), cfg.embed_dim,
+                               dtype=dtype)
     else:
         visual = init_vit(kv, cfg.vision, cfg.embed_dim, act=cfg.act,
                           dtype=dtype)
@@ -62,6 +75,11 @@ def encode_image(params, images, cfg: CLIPCfg, *, normalize: bool = True,
         from megatron_clip_tpu.models.resnet import apply_modified_resnet
         f = apply_modified_resnet(params["visual"], images, _resnet_cfg(cfg),
                                   compute_dtype=compute_dtype)
+        return _l2_normalize(f) if normalize else f.astype(jnp.float32)
+    if cfg.convnext is not None:
+        from megatron_clip_tpu.models.convnext import apply_convnext
+        f = apply_convnext(params["visual"], images, _convnext_cfg(cfg),
+                           cfg.embed_dim, compute_dtype=compute_dtype)
         return _l2_normalize(f) if normalize else f.astype(jnp.float32)
     f = apply_vit(params["visual"], images, cfg.vision, cfg.embed_dim,
                   act=cfg.act, compute_dtype=compute_dtype,
