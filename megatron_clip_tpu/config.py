@@ -176,6 +176,11 @@ class CLIPCfg:
     convnext: Optional[str] = None
     convnext_proj: str = "linear"    # timm_proj: linear | mlp | none
     convnext_drop_path: float = 0.0  # timm_drop_path
+    # HF text tower (open_CLIP text_cfg.hf_model_name -> HFTextEncoder;
+    # here a native JAX BERT/RoBERTa encoder, models/hf_text.py). Holds
+    # {model_name, pretrained, proj, pooler} — arch dims come from
+    # `text` fields (random init) or the checkpoint config (pretrained).
+    hf_text: Optional[dict] = None
     init_logit_scale: float = 2.659260036932778  # ln(1/0.07)
     init_logit_bias: Optional[float] = None  # SigLIP uses a learned bias
     # multimodal decoder (CoCa) — None for plain CLIP

@@ -206,7 +206,21 @@ def parse_model_cfg(cfg_dict: dict) -> CLIPCfg:
         convnext_proj = vcfg_in.pop("timm_proj", "linear") or "none"
         convnext_drop_path = vcfg_in.pop("timm_drop_path", 0.0)
     v = _filter_fields(vcfg_in, VisionCfg)
-    t = _filter_fields(cfg_dict.get("text_cfg", {}), TextCfg)
+    tcfg_in = dict(cfg_dict.get("text_cfg", {}))
+    hf_text = None
+    if tcfg_in.get("hf_model_name"):
+        # open_CLIP HFTextEncoder text tower (hf_model.py) — native BERT/
+        # RoBERTa arch here (models/hf_text.py)
+        hf_text = {
+            "model_name": tcfg_in.pop("hf_model_name"),
+            "pretrained": bool(tcfg_in.pop("hf_model_pretrained", True)),
+            "proj": tcfg_in.pop("proj", "linear"),
+            "pooler": tcfg_in.pop("pooler_type", "mean_pooler"),
+        }
+        tcfg_in.pop("hf_tokenizer_name", None)
+        if hf_text["model_name"] == "__random_tiny__":
+            hf_text["pretrained"] = False
+    t = _filter_fields(tcfg_in, TextCfg)
     mm = None
     if cfg_dict.get("multimodal_cfg"):
         mm = MultimodalCfg(**_filter_fields(cfg_dict["multimodal_cfg"], MultimodalCfg))
@@ -220,6 +234,7 @@ def parse_model_cfg(cfg_dict: dict) -> CLIPCfg:
         convnext=convnext,
         convnext_proj=convnext_proj,
         convnext_drop_path=convnext_drop_path,
+        hf_text=hf_text,
         init_logit_bias=cfg_dict.get("init_logit_bias"),
         multimodal=mm,
     )

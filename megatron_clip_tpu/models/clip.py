@@ -35,6 +35,20 @@ def _convnext_cfg(cfg: CLIPCfg):
                        drop_path=cfg.convnext_drop_path)
 
 
+def _hf_text_cfg(cfg: CLIPCfg):
+    from megatron_clip_tpu.models.hf_text import HFTextCfg
+    d = cfg.hf_text
+    return HFTextCfg(
+        vocab_size=cfg.text.vocab_size, width=cfg.text.width,
+        heads=cfg.text.heads, layers=cfg.text.layers,
+        mlp_hidden=4 * cfg.text.width,
+        max_positions=cfg.text.context_length + 2,
+        pad_token_id=d.get("pad_token_id", 0),
+        position_offset=bool(d.get("position_offset", False)),
+        pooler=d.get("pooler", "mean_pooler"),
+        proj=d.get("proj", "linear"), output_dim=cfg.embed_dim)
+
+
 def init_clip(key, cfg: CLIPCfg, dtype=jnp.float32):
     kv, kt = jax.random.split(key)
     if cfg.resnet_layers is not None:
@@ -47,9 +61,23 @@ def init_clip(key, cfg: CLIPCfg, dtype=jnp.float32):
     else:
         visual = init_vit(kv, cfg.vision, cfg.embed_dim, act=cfg.act,
                           dtype=dtype)
+    if cfg.hf_text is not None:
+        name = cfg.hf_text.get("model_name", "")
+        if cfg.hf_text.get("pretrained") and name:
+            from megatron_clip_tpu.models.hf_text import load_hf_text_tower
+            _, text = load_hf_text_tower(
+                name, output_dim=cfg.embed_dim,
+                proj=cfg.hf_text.get("proj", "linear"),
+                pooler=cfg.hf_text.get("pooler"))
+        else:
+            from megatron_clip_tpu.models.hf_text import init_hf_text
+            text = init_hf_text(kt, _hf_text_cfg(cfg), dtype)
+    else:
+        text = init_text(kt, cfg.text, cfg.embed_dim, act=cfg.act,
+                         dtype=dtype)
     params = {
         "visual": visual,
-        "text": init_text(kt, cfg.text, cfg.embed_dim, act=cfg.act, dtype=dtype),
+        "text": text,
         "logit_scale": jnp.asarray(cfg.init_logit_scale, dtype=jnp.float32),
     }
     if cfg.init_logit_bias is not None:
@@ -93,6 +121,11 @@ def encode_image(params, images, cfg: CLIPCfg, *, normalize: bool = True,
 def encode_text(params, text_ids, cfg: CLIPCfg, *, normalize: bool = True,
                 compute_dtype=jnp.bfloat16, remat: str = "none",
                 sequence_parallel: bool = False, scan_layers: bool = True):
+    if cfg.hf_text is not None:
+        from megatron_clip_tpu.models.hf_text import apply_hf_text
+        f = apply_hf_text(params["text"], text_ids, _hf_text_cfg(cfg),
+                          compute_dtype=compute_dtype)
+        return _l2_normalize(f) if normalize else f.astype(jnp.float32)
     f = apply_text(params["text"], text_ids, cfg.text, cfg.embed_dim,
                    act=cfg.act, compute_dtype=compute_dtype,
                    tcfg=cfg.text.transformer(act=cfg.act, remat=remat,

@@ -61,6 +61,8 @@ SLOW_TESTS = (
     "test_gpt_pipeline_cli",
     "test_ict_biencoder_learns_retrieval",
     "test_glue_learns_keyword_task",
+    "test_hidden_states_match_transformers",
+    "test_load_hf_text_tower_roundtrip",
 )
 
 
