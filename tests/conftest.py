@@ -63,6 +63,8 @@ SLOW_TESTS = (
     "test_glue_learns_keyword_task",
     "test_hidden_states_match_transformers",
     "test_load_hf_text_tower_roundtrip",
+    "test_load_llama_hf_roundtrip",
+    "test_import_cli",
 )
 
 
