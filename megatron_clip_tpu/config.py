@@ -75,6 +75,11 @@ class TransformerCfg:
     # rng key is threaded into apply_transformer (training), never in eval.
     attention_dropout: float = 0.0
     hidden_dropout: float = 0.0
+    # quantized matmuls (the TPU answer to the reference's optional
+    # TransformerEngine fp8 path — int8 is what the MXU accelerates;
+    # ops/quant.py). "int8" runs the MLP GEMMs as int8 x int8 -> int32
+    # with straight-through-estimator backward.
+    quantize: str = "none"  # none | int8
     # execution knobs
     remat: str = "none"  # none | full | selective  (megatron --recompute-granularity)
     use_flash: bool = True  # Pallas flash attention when on TPU

@@ -171,13 +171,19 @@ def apply_block(block, x, cfg: TransformerCfg, *, causal: bool = False,
             capacity_factor=cfg.moe_capacity_factor,
             router_mode=cfg.moe_router)
     else:
-        h = jnp.einsum("bsw,wd->bsd", h, block["mlp"]["w1"].astype(h.dtype))
+        if cfg.quantize == "int8":
+            from megatron_clip_tpu.ops.quant import quant_dense
+            dense = lambda x, w: quant_dense(x, w)
+        else:
+            dense = lambda x, w: jnp.einsum("bsw,wd->bsd", x,
+                                            w.astype(x.dtype))
+        h = dense(h, block["mlp"]["w1"])
         b1 = block["mlp"].get("b1")
         if cfg.act == "swiglu":
             h = swiglu(h, None if b1 is None else b1.astype(h.dtype))
         else:
             h = bias_act(h, None if b1 is None else b1.astype(h.dtype), cfg.act)
-        h = jnp.einsum("bsw,wd->bsd", h, block["mlp"]["w2"].astype(h.dtype))
+        h = dense(h, block["mlp"]["w2"])
         if block["mlp"].get("b2") is not None:
             h = h + block["mlp"]["b2"].astype(h.dtype)
     if "ls_2" in block:

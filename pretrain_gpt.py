@@ -47,6 +47,11 @@ def parse_args(argv=None):
     p.add_argument("--precision", default="bf16")
     p.add_argument("--recompute-granularity",
                    choices=["none", "selective", "full"], default="none")
+    p.add_argument("--quantize-matmuls", choices=["none", "int8"],
+                   default="none",
+                   help="int8 MXU matmuls for the MLP GEMMs w/ STE backward "
+                        "(the TPU equivalent of the reference's optional "
+                        "TransformerEngine fp8 path)")
     p.add_argument("--tensor-model-parallel-size", type=int, default=1)
     p.add_argument("--fsdp-parallel-size", type=int, default=1)
     p.add_argument("--pipeline-model-parallel-size", type=int, default=1)
@@ -88,6 +93,7 @@ def run(args):
     tcfg = cfg.transformer(remat=args.recompute_granularity,
                            sequence_parallel=args.sequence_parallel,
                            context_parallel=cp > 1,
+                           quantize=args.quantize_matmuls,
                            attention_dropout=args.attention_dropout,
                            hidden_dropout=args.hidden_dropout)
     use_dropout = args.attention_dropout > 0 or args.hidden_dropout > 0
