@@ -30,6 +30,46 @@ def recall_at_k(logits_per_image: np.ndarray,
     return out
 
 
+def recall_at_k_device(img_features, txt_features, scale: float,
+                       ks=(1, 5, 10), chunk: int = 1024) -> Dict[str, float]:
+    """Device-side recall@K for large val sets: the N x N logits never
+    materialize on host. Each row's gold rank = #entries with a strictly
+    higher score (ties resolved toward the gold item, matching argsort's
+    stable first-hit in the absence of exact ties). O(N^2 / chunk) device
+    steps of [chunk, N] logits — HBM use is O(chunk * N), not O(N^2)."""
+    import jax
+
+    img = jnp.asarray(img_features, jnp.float32)
+    txt = jnp.asarray(txt_features, jnp.float32)
+    n = img.shape[0]
+
+    @jax.jit
+    def chunk_ranks(q, gallery, gold_idx):
+        logits = scale * (q @ gallery.T)                  # [C, N]
+        gold = jnp.take_along_axis(logits, gold_idx[:, None], axis=1)
+        return jnp.sum(logits > gold, axis=1)             # rank (0-based)
+
+    out = {}
+    for name, q, gallery in (("image_to_text", img, txt),
+                             ("text_to_image", txt, img)):
+        ranks = []
+        for s in range(0, n, chunk):
+            e = min(s + chunk, n)
+            idx = jnp.arange(s, e, dtype=jnp.int32)
+            ranks.append(np.asarray(chunk_ranks(q[s:e], gallery, idx)))
+        where = np.concatenate(ranks)
+        out[f"{name}_mean_rank"] = float(where.mean() + 1)
+        out[f"{name}_median_rank"] = float(np.floor(np.median(where)) + 1)
+        for k in ks:
+            out[f"{name}_R@{k}"] = float((where < k).mean())
+    return out
+
+
+# above this gallery size the host argsort path is replaced by the chunked
+# device ranking (an N x N fp32 argsort at N=100k would be 40 GB host RAM)
+_DEVICE_RANK_THRESHOLD = 8192
+
+
 def contrastive_eval_metrics(model, params,
                              batches: Iterable[Tuple[np.ndarray, np.ndarray]]
                              ) -> Dict[str, float]:
@@ -49,7 +89,10 @@ def contrastive_eval_metrics(model, params,
         n += b
     img = np.concatenate(img_f)
     txt = np.concatenate(txt_f)
-    metrics = recall_at_k(scale * img @ txt.T)
+    if img.shape[0] > _DEVICE_RANK_THRESHOLD:
+        metrics = recall_at_k_device(img, txt, scale)
+    else:
+        metrics = recall_at_k(scale * img @ txt.T)
     metrics["clip_val_loss"] = loss_sum / max(n, 1)
     metrics["num_samples"] = n
     return metrics

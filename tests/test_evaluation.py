@@ -72,3 +72,17 @@ def test_imagenet_metadata_loader():
     assert len(names) == 1000
     assert len(templates) == 80
     assert isinstance(templates[0]("dog"), str)
+
+
+def test_recall_at_k_device_matches_host():
+    """Chunked device ranking == host argsort ranking (no-ties regime)."""
+    from megatron_clip_tpu.evaluation import recall_at_k_device
+    rng = np.random.RandomState(0)
+    img = rng.randn(37, 16).astype(np.float32)
+    txt = (img + 0.3 * rng.randn(37, 16)).astype(np.float32)
+    img /= np.linalg.norm(img, axis=1, keepdims=True)
+    txt /= np.linalg.norm(txt, axis=1, keepdims=True)
+    host = recall_at_k(10.0 * img @ txt.T)
+    dev = recall_at_k_device(img, txt, 10.0, chunk=8)
+    for k, v in host.items():
+        np.testing.assert_allclose(dev[k], v, atol=1e-6, err_msg=k)
