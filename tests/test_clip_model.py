@@ -106,8 +106,12 @@ def test_factory_registry():
     assert cfg["vision_cfg"]["width"] == 768
     model, params = create_model("ViT-B-32", init_params=False)
     assert model.image_size == 224 and model.context_length == 77
+    # convnext is supported natively now (models/convnext.py); remaining
+    # timm families still raise clearly
+    model, _ = create_model("convnext_base", init_params=False)
+    assert model.cfg.convnext == "convnext_base"
     with pytest.raises(NotImplementedError):
-        create_model("convnext_base")
+        create_model("swin_base_patch4_window7_224")
 
 
 def test_quick_gelu_variant_differs():
