@@ -94,11 +94,44 @@ def run_training(args) -> dict:
     total_steps = steps_per_epoch * args.epochs
 
     schedule = _make_schedule(args, total_steps)
-    tx_factory = lambda p: make_optimizer(
-        p, schedule, beta1=args.beta1, beta2=args.beta2, eps=args.eps,
-        weight_decay=args.wd, grad_clip_norm=args.grad_clip_norm)
+    lock_image = getattr(args, "lock_image", False)
+    lock_text = getattr(args, "lock_text", False)
+
+    def tx_factory(p):
+        lock_mask = None
+        if lock_image or lock_text:
+            from megatron_clip_tpu.training.optim import tower_lock_mask
+            lock_mask = tower_lock_mask(
+                p, lock_image=lock_image,
+                image_unlocked_groups=getattr(
+                    args, "lock_image_unlocked_groups", 0),
+                lock_text=lock_text,
+                text_unlocked_layers=getattr(
+                    args, "lock_text_unlocked_layers", 0))
+        return make_optimizer(
+            p, schedule, beta1=args.beta1, beta2=args.beta2, eps=args.eps,
+            weight_decay=args.wd, grad_clip_norm=args.grad_clip_norm,
+            lock_mask=lock_mask)
 
     loss_obj = factory.create_loss(args)
+
+    # distillation teacher (open_CLIP main.py dist_model; runs under
+    # stop_gradient inside the student's jitted step)
+    teacher = None
+    if getattr(args, "distill_model", None):
+        tmodel, tparams = factory.create_model(
+            args.distill_model, precision=args.precision, seed=args.seed + 1)
+        dist_pre = getattr(args, "distill_pretrained", None)
+        if dist_pre:
+            from megatron_clip_tpu.checkpoints.torch_interop import \
+                load_openclip_checkpoint
+            from megatron_clip_tpu.pretrained import resolve_pretrained
+            path = resolve_pretrained(
+                args.distill_model.replace("/", "-"), dist_pre)
+            tparams = load_openclip_checkpoint(path, tmodel.cfg, tparams)
+        tn = sum(x.size for x in jax.tree.leaves(tparams))
+        _log(f"distill teacher {args.distill_model}: {tn/1e6:.1f}M params")
+        teacher = (tmodel, tparams)
 
     if extra > 0:
         runner = _BranchRunner(args, model, tx_factory, devices)
@@ -106,7 +139,7 @@ def run_training(args) -> dict:
         runner = _JointRunner(args, model, params, tx_factory,
                               ParallelCfg(dp=dp, fsdp=fsdp, tp=tp, pp=pp,
                                           microbatches=args.num_microbatches),
-                              loss_obj)
+                              loss_obj, teacher=teacher)
 
     start_step, consumed = 0, 0
     if args.resume and args.save:
@@ -272,7 +305,8 @@ def run_training(args) -> dict:
 class _JointRunner:
     """Single-mesh (dp/fsdp/tp[/pp]) train-step runner."""
 
-    def __init__(self, args, model, params, tx_factory, pcfg, loss_obj):
+    def __init__(self, args, model, params, tx_factory, pcfg, loss_obj,
+                 teacher=None):
         self.model = model
         self.mesh = build_mesh(pcfg) if pcfg.num_devices > 1 else None
         self.tx = tx_factory(params)
@@ -284,7 +318,7 @@ class _JointRunner:
             state = shard_train_state(state, self.mesh, specs)
         self.state = state
         self.step_fn = make_train_step(model, self.tx, loss_obj=loss_obj,
-                                       mesh=self.mesh,
+                                       mesh=self.mesh, teacher=teacher,
                                        microbatches=max(1, args.accum_freq))
 
     def step(self, images, texts):

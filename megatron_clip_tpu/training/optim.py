@@ -32,6 +32,87 @@ def _no_decay_mask(params):
     return jax.tree_util.tree_map_with_path(rule, params)
 
 
+def tower_lock_mask(params, *, lock_image: bool = False,
+                    image_unlocked_groups: int = 0,
+                    lock_text: bool = False,
+                    text_unlocked_layers: int = 0):
+    """Build a pytree of float multipliers (1.0 = trainable, 0.0 = frozen)
+    implementing open_CLIP's LiT-style tower locking
+    (open_CLIP/src/open_clip/model.py:263-268, transformer.py:398-429).
+
+    open_CLIP freezes via `requires_grad = False`; the JAX equivalent is a
+    mask applied to the *final* optimizer updates (so weight decay is blocked
+    too). Group layout matches VisionTransformer.lock: group 0 = patch/token
+    embeddings + pos embed + ln_pre, then one group per transformer block
+    with the LAST block merged with ln_post/ln_final, and the projection as
+    the final group; `unlocked_groups=k` unfreezes the last k groups.
+
+    Because blocks are a stacked pytree (leading dim = layers), partial
+    unlocking is a per-layer [L,1,..]-shaped multiplier on each block leaf.
+    """
+    def n_layers(tower):
+        for leaf in jax.tree.leaves(tower.get("blocks", {})):
+            return leaf.shape[0]
+        return 0
+
+    def tower_mask(tower, unlocked: int):
+        L = n_layers(tower)
+        if unlocked > 0 and L == 0:
+            raise ValueError(
+                "unlocked groups/layers need a block-stacked tower "
+                "(ViT/TextTransformer); this tower has no 'blocks'")
+        # groups: [0]=pre, [1+i]=block_i (i<L-1), [L]=last block + post
+        # norms, [L+1]=proj  -> G = L + 2
+        G = L + 2
+        first_unlocked = G - unlocked  # group indices >= this are trainable
+
+        def leaf_mask(path_names, leaf):
+            name = "/".join(path_names)
+            if "blocks" in path_names:
+                layer_group = jnp.concatenate(
+                    [jnp.arange(1, L), jnp.array([L])]) if L > 1 else \
+                    jnp.array([L])
+                m = (layer_group >= first_unlocked).astype(leaf.dtype)
+                return m.reshape((L,) + (1,) * (leaf.ndim - 1))
+            if "proj" in name:
+                g = G - 1
+            elif any(k in name for k in ("ln_post", "ln_final")):
+                g = L
+            else:  # embeddings, cls, pos_embed, ln_pre, conv stems, ...
+                g = 0
+            return jnp.asarray(1.0 if g >= first_unlocked else 0.0, leaf.dtype)
+
+        return jax.tree_util.tree_map_with_path(
+            lambda p, x: leaf_mask(
+                [str(getattr(q, "key", getattr(q, "idx", ""))) for q in p], x),
+            tower)
+
+    mask = {}
+    for key, val in params.items():
+        if key == "visual" and lock_image:
+            mask[key] = tower_mask(val, image_unlocked_groups)
+        elif key == "text" and lock_text:
+            mask[key] = tower_mask(val, text_unlocked_layers)
+        else:
+            mask[key] = jax.tree.map(lambda x: jnp.asarray(1.0, x.dtype), val)
+    return mask
+
+
+def apply_update_mask(mask) -> optax.GradientTransformation:
+    """Multiply final updates by `mask`. Placed LAST in the optax chain so a
+    0.0 entry blocks both the adam step and its weight-decay term — the
+    requires_grad=False equivalent."""
+    def init(params):
+        del params
+        return optax.EmptyState()
+
+    def update(updates, state, params=None):
+        del params
+        return jax.tree.map(lambda u, m: u * m, updates, mask), state
+
+    return optax.GradientTransformation(init, update)
+
+
 def cosine_lr(base_lr: float, warmup: int, total_steps: int,
               min_lr: float = 0.0) -> Callable[[int], float]:
     """open_CLIP scheduler.py cosine_lr semantics: linear warmup then cosine."""
@@ -72,7 +153,8 @@ def make_optimizer(params, lr: Callable, *, beta1: float = 0.9,
                    beta2: float = 0.98, eps: float = 1e-6,
                    weight_decay: float = 0.2,
                    grad_clip_norm: Optional[float] = None,
-                   moment_dtype=None) -> optax.GradientTransformation:
+                   moment_dtype=None,
+                   lock_mask=None) -> optax.GradientTransformation:
     """AdamW with the CLIP training recipe defaults (open_CLIP params.py:
     beta2=0.98, eps=1e-6, wd=0.2) and megatron-style global-norm clipping.
 
@@ -87,4 +169,6 @@ def make_optimizer(params, lr: Callable, *, beta1: float = 0.9,
                              weight_decay=weight_decay,
                              mu_dtype=moment_dtype,
                              mask=_no_decay_mask(params)))
+    if lock_mask is not None:
+        chain.append(apply_update_mask(lock_mask))
     return optax.chain(*chain)

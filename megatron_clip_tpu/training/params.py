@@ -46,6 +46,24 @@ def parse_args(args=None):
                    choices=["none", "selective", "full"], default="none")
     p.add_argument("--siglip", action="store_true",
                    help="use SigLIP sigmoid pairwise loss")
+    # LiT-style tower locking (open_CLIP --lock-image/--lock-text,
+    # main.py:259-267)
+    p.add_argument("--lock-image", action="store_true",
+                   help="freeze the vision tower (LiT)")
+    p.add_argument("--lock-image-unlocked-groups", type=int, default=0,
+                   help="leave the last N vision groups trainable")
+    p.add_argument("--lock-image-freeze-bn-stats", action="store_true",
+                   help="accepted for CLI parity; frozen towers never update "
+                        "batch stats here (functional BN is stateless)")
+    p.add_argument("--lock-text", action="store_true",
+                   help="freeze the text tower")
+    p.add_argument("--lock-text-unlocked-layers", type=int, default=0)
+    p.add_argument("--lock-text-freeze-layer-norm", action="store_true")
+    # distillation (open_CLIP --distill-model/--distill-pretrained)
+    p.add_argument("--distill-model", type=str, default=None,
+                   help="teacher model config name for DistillClipLoss")
+    p.add_argument("--distill-pretrained", type=str, default=None,
+                   help="teacher checkpoint (zoo tag or path)")
     # open_CLIP defaults these to False; True here is the better TPU default
     # (per-shard logits + grad-flowing all-gather). --no-* turns them off.
     p.add_argument("--local-loss", action=argparse.BooleanOptionalAction,

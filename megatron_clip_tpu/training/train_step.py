@@ -38,6 +38,7 @@ class TrainState(NamedTuple):
 def make_train_step(model, tx, *, loss_obj: Optional[Callable] = None,
                     mesh: Optional[Mesh] = None, microbatches: int = 1,
                     sequence_parallel: bool = False,
+                    teacher=None,
                     jit: bool = True) -> Callable:
     """Build `step(state, images, texts) -> (state, metrics)`.
 
@@ -45,13 +46,27 @@ def make_train_step(model, tx, *, loss_obj: Optional[Callable] = None,
     With a mesh, inputs are constrained to batch sharding and (optionally)
     sequence-parallel activation sharding is requested via the model's
     sharding hints.
+    teacher: optional `(teacher_model, teacher_params)` for distillation
+    (open_CLIP --distill-model/--distill-pretrained, train.py dist_model
+    forward + DistillClipLoss). The teacher runs under stop_gradient inside
+    the same jit — no separate dispatch.
     """
     loss_obj = loss_obj or ClipLoss()
 
     def loss_fn(params, images, texts):
         out = model(params, images, texts)
-        loss = loss_obj(out["image_features"], out["text_features"],
-                        out["logit_scale"])
+        if teacher is not None:
+            tmodel, tparams = teacher
+            tout = jax.lax.stop_gradient(tmodel(tparams, images, texts))
+            loss = loss_obj(out["image_features"], out["text_features"],
+                            out["logit_scale"],
+                            dist_image_features=tout["image_features"],
+                            dist_text_features=tout["text_features"],
+                            dist_logit_scale=tout["logit_scale"],
+                            output_dict=True)
+        else:
+            loss = loss_obj(out["image_features"], out["text_features"],
+                            out["logit_scale"])
         if isinstance(loss, dict):
             loss = sum(loss.values())
         return loss, out["logit_scale"]

@@ -28,7 +28,9 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser("downstream tasks")
     p.add_argument("--task", required=True,
                    choices=["zeroshot-imagenet", "retrieval", "linear-probe",
-                            "glue", "race", "wikitext103", "lambada"])
+                            "glue", "race", "wikitext103", "lambada",
+                            "msdp-prompt", "msdp-eval-f1",
+                            "orqa", "orqa-finetune"])
     p.add_argument("--model", default="ViT-B-32")
     p.add_argument("--pretrained", default="", help="open_CLIP .pt file")
     p.add_argument("--load", default="", help="orbax checkpoint root")
@@ -58,7 +60,137 @@ def parse_args(argv=None):
     p.add_argument("--merge-file", help="GPT2 BPE merges.txt")
     p.add_argument("--vocab-size", type=int, default=None,
                    help="override model vocab (defaults to padded tokenizer)")
+    # --- msdp (reference tasks/msdp/main.py flags) -----------------------
+    p.add_argument("--sample-input-file")
+    p.add_argument("--sample-output-file")
+    p.add_argument("--prompt-file")
+    p.add_argument("--prompt-type", choices=["knowledge", "response"])
+    p.add_argument("--num-prompt-examples", type=int, default=10)
+    p.add_argument("--guess-file")
+    p.add_argument("--answer-file")
+    p.add_argument("--out-seq-length", type=int, default=100)
+    p.add_argument("--megatron-api-url",
+                   help="PUT endpoint of a running text-generation server; "
+                        "if unset, decodes locally with --load/--vocab-file")
+    # --- orqa (reference tasks/orqa flags) -------------------------------
+    p.add_argument("--qa-data-dev", help="NQ TSV: question\\t['answer',...]")
+    p.add_argument("--evidence-data-path",
+                   help="evidence TSV: id\\ttext\\ttitle")
+    p.add_argument("--qa-train-file", help="DPR-style JSON for "
+                                           "orqa-finetune")
+    p.add_argument("--report-topk-accuracies", type=int, nargs="+",
+                   default=[1, 5, 10])
+    p.add_argument("--match", choices=["string", "regex"], default="string")
+    p.add_argument("--save-to", default="",
+                   help="orbax root to save finetuned params (orqa-finetune)")
     return p.parse_args(argv)
+
+
+def _load_evidence_tsv(path):
+    docs = {}
+    with open(path) as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line or line.startswith("id\t"):
+                continue
+            parts = line.split("\t")
+            docs[parts[0]] = (parts[1], parts[2] if len(parts) > 2 else "")
+    return docs
+
+
+def run_msdp(args):
+    """MSDP dispatch (reference tasks/msdp/main.py:57-63)."""
+    from tasks import msdp
+    if args.task == "msdp-eval-f1":
+        return msdp.evaluate_f1(args.guess_file, args.answer_file)
+    if args.megatron_api_url:
+        gen_fn = msdp.api_generate_fn(args.megatron_api_url)
+    else:
+        import jax
+        from megatron_clip_tpu.models.gpt import GPTCfg, init_gpt
+        from megatron_clip_tpu.tokenizer.megatron_tokenizers import (
+            GPT2BPETokenizer, NullTokenizer, vocab_size_with_padding)
+        if args.vocab_file and args.merge_file:
+            tok = GPT2BPETokenizer(args.vocab_file, args.merge_file)
+        else:
+            tok = NullTokenizer(8192)
+        vocab = args.vocab_size or vocab_size_with_padding(tok.vocab_size)
+        cfg = GPTCfg(num_layers=args.num_layers, hidden_size=args.hidden_size,
+                     num_heads=args.num_heads, vocab_size=vocab,
+                     seq_length=args.seq_len)
+        params = init_gpt(jax.random.PRNGKey(args.seed), cfg)
+        if args.load:
+            from megatron_clip_tpu.checkpoints import load_checkpoint
+            tree, _, _ = load_checkpoint(args.load, {"params": params})
+            params = tree["params"]
+        gen_fn = msdp.local_generate_fn(params, cfg, tok, eod=tok.eod)
+    n = msdp.generate_samples(
+        args.sample_input_file, args.sample_output_file,
+        prompt_file=args.prompt_file, prompt_type=args.prompt_type,
+        generate_fn=gen_fn, num_prompt_examples=args.num_prompt_examples,
+        out_seq_length=args.out_seq_length)
+    print({"generated": n, "output": args.sample_output_file})
+    return {"generated": n}
+
+
+def run_orqa(args):
+    """ORQA dispatch (reference tasks/orqa/evaluate_orqa.py,
+    supervised/finetune.py)."""
+    import jax
+    from tasks import orqa
+    from megatron_clip_tpu.models.biencoder import (
+        BiencoderCfg, init_biencoder)
+    from megatron_clip_tpu.models.bert import BertCfg
+    from megatron_clip_tpu.tokenizer.megatron_tokenizers import (
+        BertWordPieceTokenizer)
+    if args.vocab_file:
+        tok = BertWordPieceTokenizer(args.vocab_file)
+        tokenize = tok.tokenize
+        vocab = max(tok.vocab_size, 32)
+    else:
+        # no vocab supplied: stable hashing tokenizer (random-weights smoke
+        # path; real evals pass --vocab-file)
+        import hashlib
+        vocab = 8192
+
+        def tokenize(text):
+            return [int(hashlib.md5(w.encode()).hexdigest()[:6], 16)
+                    % (vocab - 1) + 1 for w in text.lower().split()]
+    cfg = BiencoderCfg(bert=BertCfg(
+        num_layers=args.num_layers, hidden_size=args.hidden_size,
+        num_heads=args.num_heads, vocab_size=vocab,
+        seq_length=args.seq_len, add_binary_head=False))
+    params = init_biencoder(jax.random.PRNGKey(args.seed), cfg)
+    if args.load:
+        from megatron_clip_tpu.checkpoints import load_checkpoint
+        tree, _, _ = load_checkpoint(args.load, {"params": params})
+        params = tree["params"]
+
+    if args.task == "orqa-finetune":
+        pairs = orqa.load_dpr_json(args.qa_train_file)
+        params, acc = orqa.finetune_biencoder(
+            params, cfg, pairs, tokenize, seq_len=args.seq_len,
+            batch_size=args.batch_size, epochs=args.epochs, lr=args.lr,
+            seed=args.seed)
+        out = {"in_batch_top1": round(acc, 4), "pairs": len(pairs)}
+        if args.save_to:
+            from megatron_clip_tpu.checkpoints import save_checkpoint
+            save_checkpoint(args.save_to, 0, {"params": params}, {})
+        print(out)
+        return out
+
+    docs = _load_evidence_tsv(args.evidence_data_path)
+    questions, answers = orqa.load_nq_tsv(args.qa_data_dev)
+    ev = orqa.ORQAEvaluator(params, cfg, tokenize, seq_len=args.seq_len,
+                            batch_size=args.batch_size).build_index(docs)
+    res = ev.evaluate(questions, answers, docs,
+                      top_k=max(args.report_topk_accuracies),
+                      match_type=args.match)
+    out = {f"top{k}_hit_rate": round(res.hit_rate(k), 4)
+           for k in args.report_topk_accuracies}
+    out["num_questions"] = res.num_questions
+    print(out)
+    return out
 
 
 def run_zeroshot_gpt(args):
@@ -123,6 +255,12 @@ def run(args):
 
     if args.task in ("wikitext103", "lambada"):
         return run_zeroshot_gpt(args)
+
+    if args.task in ("msdp-prompt", "msdp-eval-f1"):
+        return run_msdp(args)
+
+    if args.task in ("orqa", "orqa-finetune"):
+        return run_orqa(args)
 
     if args.task in ("glue", "race"):
         from megatron_clip_tpu.models.bert import BertCfg
