@@ -32,15 +32,22 @@ def _batch(model, n=4, seed=0):
     return images, texts
 
 
-def _step(model, params, lock_mask=None, teacher=None):
+_STEP_CACHE = {}
+
+
+def _step(model, params, lock_mask=None, teacher=None, cache_key=None):
+    if cache_key is not None and cache_key in _STEP_CACHE:
+        return _STEP_CACHE[cache_key]
     tx = make_optimizer(params, cosine_lr(1e-3, 1, 10), lock_mask=lock_mask)
     loss_obj = DistillClipLoss() if teacher is not None else None
     step = make_train_step(model, tx, teacher=teacher, jit=False,
                            loss_obj=loss_obj)
     state = TrainState.create(params, tx)
     images, texts = _batch(model)
-    new_state, metrics = step(state, images, texts)
-    return new_state, metrics
+    out = step(state, images, texts)
+    if cache_key is not None:
+        _STEP_CACHE[cache_key] = out
+    return out
 
 
 def _changed(a, b):
@@ -52,7 +59,7 @@ class TestTowerLock:
     def test_lock_image_freezes_visual_only(self):
         model, params = tiny_model()
         mask = tower_lock_mask(params, lock_image=True)
-        new_state, _ = _step(model, params, lock_mask=mask)
+        new_state, _ = _step(model, params, lock_mask=mask, cache_key="lock_image")
         ch = _changed(params, new_state.params)
         assert not ch["visual"], "locked vision tower moved"
         assert ch["text"], "text tower should still train"
@@ -60,7 +67,7 @@ class TestTowerLock:
     def test_lock_text_freezes_text_only(self):
         model, params = tiny_model()
         mask = tower_lock_mask(params, lock_text=True)
-        new_state, _ = _step(model, params, lock_mask=mask)
+        new_state, _ = _step(model, params, lock_mask=mask, cache_key="lock_text")
         ch = _changed(params, new_state.params)
         assert ch["visual"]
         assert not ch["text"]
@@ -70,7 +77,8 @@ class TestTowerLock:
         # unlock proj + (last block, ln_post): groups G-1 and G-2
         mask = tower_lock_mask(params, lock_image=True,
                                image_unlocked_groups=2)
-        new_state, _ = _step(model, params, lock_mask=mask)
+        new_state, _ = _step(model, params, lock_mask=mask,
+                             cache_key="unlocked2")
         v0, v1 = params["visual"], new_state.params["visual"]
         L = v0["blocks"]["ln_1"]["scale"].shape[0]
         # embeddings + pre-LN frozen
@@ -89,7 +97,8 @@ class TestTowerLock:
         whole point of masking final updates, not grads)."""
         model, params = tiny_model()
         mask = tower_lock_mask(params, lock_image=True, lock_text=True)
-        new_state, _ = _step(model, params, lock_mask=mask)
+        new_state, _ = _step(model, params, lock_mask=mask,
+                             cache_key="both_locked")
         same = jax.tree.all(jax.tree.map(
             jnp.array_equal, params["visual"], new_state.params["visual"]))
         assert same
@@ -108,7 +117,8 @@ class TestDistill:
         model, params = tiny_model()
         _, tparams = tiny_model(seed=1)
         new_state, metrics = _step(model, params,
-                                   teacher=(model, tparams))
+                                   teacher=(model, tparams),
+                                   cache_key="distill")
         assert jnp.isfinite(metrics["loss"])
         # student moved
         assert not jnp.allclose(params["visual"]["proj"],
@@ -119,8 +129,9 @@ class TestDistill:
         distill term on top of the contrastive term."""
         model, params = tiny_model()
         _, tparams = tiny_model(seed=1)
-        _, m_plain = _step(model, params)
-        _, m_dist = _step(model, params, teacher=(model, tparams))
+        _, m_plain = _step(model, params, cache_key="plain")
+        _, m_dist = _step(model, params, teacher=(model, tparams),
+                          cache_key="distill")
         assert float(m_dist["loss"]) > float(m_plain["loss"])
 
     def test_identical_teacher_distill_term_near_zero(self):
