@@ -39,16 +39,19 @@ MAX_FUSED_SEQ = 1024
 
 
 def _pick_batch_tile(b: int, s: int, w3: int, heads: int,
-                     budget: int = 4 * 1024 * 1024) -> int:
+                     budget: int = 4 * 1024 * 1024,
+                     extra_per_row: int = 0) -> int:
     """Largest power-of-two batch tile keeping the cell's VMEM footprint
-    (qkv+o rows bf16 + fp32 per-head scratch) under `budget` so Mosaic can
-    double-buffer the DMA and the kernel stack fits scoped vmem."""
+    (qkv+o rows bf16 + fp32 per-head scratch, plus any `extra_per_row`
+    operand bytes) under `budget` so Mosaic can double-buffer the DMA and
+    the kernel stack fits scoped vmem."""
     bt = 1
     while bt < b:
         nxt = bt * 2
         if b % nxt != 0:
             break
-        foot = nxt * (s * w3 * 2 + s * (w3 // 3) * 2 + 2 * s * s * 4)
+        foot = nxt * (s * w3 * 2 + s * (w3 // 3) * 2 + 2 * s * s * 4
+                      + extra_per_row)
         if foot > budget:
             break
         bt = nxt
@@ -300,7 +303,14 @@ def _fwd(qkv, heads, scale, causal, interpret):
 def _bwd(qkv, do, p, heads, scale, causal, interpret):
     b, s, w3 = qkv.shape
     w = w3 // 3
-    bt = _pick_batch_tile(b, s, w3, heads)
+    # The bwd cell additionally streams the saved probabilities (when kept)
+    # and the packed dqkv output: account for them so the stack fits the
+    # 16M scoped-vmem limit (observed overflow: ViT-L text tower, s=77
+    # w3=2304 H=12 at bt=8 -> 16.54M). A slightly larger budget keeps every
+    # previously-working shape at its measured-fast tile.
+    extra = s * w3 * 2 + (s * heads * s * 2 if p is not None else 0)
+    bt = _pick_batch_tile(b, s, w3, heads, budget=6 * 1024 * 1024,
+                          extra_per_row=extra)
     in_specs = [pl.BlockSpec((bt, s, w3), lambda i: (i, 0, 0)),
                 pl.BlockSpec((bt, s, w), lambda i: (i, 0, 0))]
     operands = [qkv, do]
