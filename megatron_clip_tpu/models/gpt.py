@@ -109,9 +109,52 @@ def apply_gpt(params, tokens, cfg: GPTCfg, *, compute_dtype=jnp.bfloat16,
 
 def gpt_loss(params, tokens, cfg: GPTCfg, *, loss_mask=None,
              compute_dtype=jnp.bfloat16, tcfg=None, layers_fn=None,
-             rng=None):
+             rng=None, loss_seq_chunk: int = 0):
     """Next-token LM loss: predict tokens[:, 1:] from tokens[:, :-1]
-    (pretrain_gpt.py loss_func semantics, with loss-mask averaging)."""
+    (pretrain_gpt.py loss_func semantics, with loss-mask averaging).
+
+    loss_seq_chunk > 0 computes the lm-head projection + cross-entropy in
+    sequence chunks of that size under `jax.checkpoint`: peak logits memory
+    drops from [B,S,V] (3.3 GB fp32 at bs8/s2048/v50k — an HBM blowout on
+    one chip) to [B,C,V], with the chunk logits recomputed in backward. The
+    single-chip analogue of megatron's vocab-parallel cross-entropy memory
+    relief (tensor_parallel/cross_entropy.py). MoE models (aux loss) use the
+    unchunked path."""
+    targets = tokens[:, 1:]
+    if loss_seq_chunk and not cfg.num_experts:
+        h = apply_gpt(params, tokens[:, :-1], cfg,
+                      compute_dtype=compute_dtype, tcfg=tcfg,
+                      layers_fn=layers_fn, rng=rng, return_hidden=True)
+        b, s, w = h.shape
+        c = min(loss_seq_chunk, s)
+        pad = (-s) % c
+        m = jnp.ones((b, s), jnp.float32) if loss_mask is None else \
+            loss_mask[:, 1:].astype(jnp.float32)
+        if pad:
+            h = jnp.pad(h, ((0, 0), (0, pad), (0, 0)))
+            targets = jnp.pad(targets, ((0, 0), (0, pad)))
+            m = jnp.pad(m, ((0, 0), (0, pad)))
+        n = (s + pad) // c
+        hs = h.reshape(b, n, c, w).transpose(1, 0, 2, 3)
+        ts = targets.reshape(b, n, c).transpose(1, 0, 2)
+        ms = m.reshape(b, n, c).transpose(1, 0, 2)
+        wh = params["tok_embed"] if cfg.tie_embeddings else params["lm_head"]
+        eq = "bcw,vw->bcv" if cfg.tie_embeddings else "bcw,wv->bcv"
+
+        @jax.checkpoint
+        def chunk(carry, xs):
+            xc, tc, mc = xs
+            logits = jnp.einsum(eq, xc, wh.astype(xc.dtype)
+                                ).astype(jnp.float32)
+            per = cross_entropy(logits, tc)
+            tot, cnt = carry
+            return (tot + jnp.sum(per * mc), cnt + jnp.sum(mc)), None
+
+        (tot, cnt), _ = jax.lax.scan(
+            chunk, (jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32)),
+            (hs, ts, ms))
+        return tot / jnp.maximum(cnt, 1.0)
+
     out = apply_gpt(params, tokens[:, :-1], cfg,
                     compute_dtype=compute_dtype, tcfg=tcfg,
                     layers_fn=layers_fn, rng=rng)
@@ -120,7 +163,6 @@ def gpt_loss(params, tokens, cfg: GPTCfg, *, loss_mask=None,
         logits, aux = out
     else:
         logits = out
-    targets = tokens[:, 1:]
     per_tok = cross_entropy(logits, targets)
     if loss_mask is None:
         loss = per_tok.mean()

@@ -61,6 +61,10 @@ def parse_args(argv=None):
                    help="indexed dataset prefix (.bin/.idx); synthetic if unset")
     p.add_argument("--log-interval", type=int, default=5)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--loss-seq-chunk", type=int, default=0,
+                   help="compute lm-head + cross-entropy in sequence chunks "
+                        "of this size (recomputed in backward): caps peak "
+                        "logits memory at [B,chunk,V]")
     p.add_argument("--attention-dropout", type=float, default=0.0,
                    help="attention-prob dropout (megatron default 0.1)")
     p.add_argument("--hidden-dropout", type=float, default=0.0,
@@ -161,7 +165,8 @@ def run(args):
         loss, grads = jax.value_and_grad(
             lambda p: gpt_loss(p, tokens, cfg, compute_dtype=compute_dtype,
                                tcfg=tcfg, layers_fn=layers_fn,
-                               rng=rng))(params)
+                               rng=rng,
+                               loss_seq_chunk=args.loss_seq_chunk))(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 

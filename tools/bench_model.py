@@ -7,6 +7,11 @@ rungs, remat/scan/batch sweeps, and optional profiler traces.
 
   python tools/bench_model.py --model ViT-L-14 --batch 64 --remat selective
   python tools/bench_model.py --model ViT-L-14 --trace /tmp/trace  # xprof dump
+  python tools/bench_model.py --family gpt --gpt-size 345m --batch 8
+
+The GPT family benches the megatron workload surface (pretrain_gpt.py path)
+with the standard 6*N*T FLOPs/token accounting, comparable to the
+Megatron-LM MFU ladder (BASELINE.md: 41.5% @ 22B .. 56.3% @ 1T on A100).
 """
 import argparse
 import dataclasses
@@ -17,13 +22,80 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).parent.parent))
 
+import os
+
 import jax
 import jax.numpy as jnp
+
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # the axon sitecustomize force-registers the TPU plugin; env alone is
+    # not enough to stay off the chip (see .claude/skills/verify)
+    jax.config.update("jax_platforms", "cpu")
+
+
+GPT_SIZES = {  # megatron paper ladder rungs that fit one 16G chip
+    "tiny": dict(num_layers=2, hidden_size=128, num_heads=2,
+                 vocab_size=1024),  # CPU smoke only
+    "124m": dict(num_layers=12, hidden_size=768, num_heads=12),
+    "345m": dict(num_layers=24, hidden_size=1024, num_heads=16),
+    "760m": dict(num_layers=24, hidden_size=1536, num_heads=16),
+}
+
+
+def bench_gpt(args):
+    import optax
+    from megatron_clip_tpu.models.gpt import GPTCfg, init_gpt, gpt_loss
+
+    cfg = GPTCfg(seq_length=args.seq_len, **GPT_SIZES[args.gpt_size])
+    params = init_gpt(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    n_params = sum(x.size for x in jax.tree.leaves(params))
+    tcfg = cfg.transformer(remat=args.remat, scan_layers=True)
+    tx = optax.chain(optax.clip_by_global_norm(1.0),
+                     optax.adamw(1e-4, b1=0.9, b2=0.95,
+                                 mu_dtype=jnp.bfloat16))
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, opt, tokens):
+        loss, g = jax.value_and_grad(
+            lambda p: gpt_loss(p, tokens, cfg, tcfg=tcfg,
+                               loss_seq_chunk=args.loss_chunk))(params)
+        upd, opt = tx.update(g, opt, params)
+        return optax.apply_updates(params, upd), opt, loss
+
+    tokens = jax.random.randint(
+        jax.random.PRNGKey(1), (args.batch, cfg.seq_length + 1), 1,
+        cfg.vocab_size - 1).astype(jnp.int32)
+    for _ in range(args.warmup):
+        params, opt, loss = step(params, opt, tokens)
+    float(loss)
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        params, opt, loss = step(params, opt, tokens)
+    loss = float(loss)
+    dt = time.perf_counter() - t0
+
+    from bench import peak_flops_for
+    toks_per_sec = args.batch * cfg.seq_length * args.iters / dt
+    mfu = 6 * n_params * toks_per_sec / peak_flops_for(jax.devices()[0])
+    print(json.dumps({
+        "model": f"gpt-{args.gpt_size}", "batch": args.batch,
+        "seq": cfg.seq_length, "params_m": round(n_params / 1e6, 1),
+        "remat": args.remat, "mfu": round(mfu, 4),
+        "tokens_per_sec": round(toks_per_sec, 0),
+        "step_ms": round(1000 * dt / args.iters, 2), "loss": loss,
+        "device": str(jax.devices()[0].device_kind),
+    }))
 
 
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="ViT-L-14")
+    p.add_argument("--family", choices=["clip", "gpt"], default="clip")
+    p.add_argument("--gpt-size", choices=sorted(GPT_SIZES), default="345m")
+    p.add_argument("--seq-len", type=int, default=2048)
+    p.add_argument("--loss-chunk", type=int, default=512,
+                   help="sequence-chunked lm-head loss (0 = full logits)")
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--remat", choices=["none", "selective", "full"],
                    default="selective")
@@ -34,6 +106,9 @@ def main():
     p.add_argument("--trace", default=None,
                    help="dump a jax.profiler trace dir for xprof")
     args = p.parse_args()
+
+    if args.family == "gpt":
+        return bench_gpt(args)
 
     from bench import clip_train_flops_per_image, peak_flops_for
     from megatron_clip_tpu.factory import create_model
