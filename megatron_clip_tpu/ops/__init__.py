@@ -9,7 +9,11 @@ import jax
 
 
 def use_pallas() -> bool:
-    """Pallas kernels only on TPU; jnp/XLA fallback elsewhere (tests run on CPU)."""
+    """Pallas kernels only on TPU; jnp/XLA fallback elsewhere (tests run on
+    CPU). MCT_NO_PALLAS=1 forces the XLA path everywhere (A/B benching)."""
+    import os
+    if os.environ.get("MCT_NO_PALLAS") == "1":
+        return False
     try:
         return jax.default_backend() in ("tpu", "axon")
     except Exception:  # pragma: no cover

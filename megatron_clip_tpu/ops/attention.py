@@ -133,11 +133,14 @@ def multi_head_attention(x, params, heads: int, *, causal: bool = False,
         # Short-seq fused path: consume the packed GEMM output directly in a
         # single Pallas kernel (no q/k/v split or head-transpose copies —
         # they cost ~12% of the CLIP step, see ops/pallas/fused_mha.py).
-        from megatron_clip_tpu.ops.pallas.fused_mha import MAX_FUSED_SEQ
+        from megatron_clip_tpu.ops.pallas.fused_mha import (
+            MAX_FUSED_SEQ, dropout_kernel_eligible)
+        wants_dropout = dropout_rate > 0.0 and dropout_rng is not None
         if (not context_parallel
                 and use_flash and bias is None and rope is None and hkv == heads
                 and s <= MAX_FUSED_SEQ and head_dim <= 128
-                and (dropout_rate == 0.0 or dropout_rng is None)):
+                and (not wants_dropout
+                     or dropout_kernel_eligible(s, heads, head_dim))):
             from megatron_clip_tpu.ops import use_pallas
             if use_pallas():
                 from megatron_clip_tpu.ops.pallas.fused_mha import (
@@ -146,7 +149,10 @@ def multi_head_attention(x, params, heads: int, *, causal: bool = False,
                                  params["wqkv"].astype(x.dtype))
                 if params.get("bqkv") is not None:
                     qkv = qkv + params["bqkv"].astype(x.dtype)
-                out = fused_attention_from_qkv(qkv, heads, causal=causal)
+                out = fused_attention_from_qkv(
+                    qkv, heads, causal=causal,
+                    dropout_rate=dropout_rate if wants_dropout else 0.0,
+                    dropout_rng=dropout_rng if wants_dropout else None)
                 out = jnp.einsum("bsw,wd->bsd", out,
                                  params["wo"].astype(x.dtype))
                 if params.get("bo") is not None:

@@ -358,8 +358,181 @@ def _fused_bwd(heads, scale, causal, interpret, res, do):
 fused_mha_packed.defvjp(_fused_fwd, _fused_bwd)
 
 
+def _fwd_kernel_dropout(q_ref, k_ref, v_ref, m_ref, o_ref, *, hp, scale,
+                        causal, prec):
+    """Forward with attention-probability dropout. Grid is (batch-tile,
+    head-group): each cell sees `hp` heads' q/k/v [BT,S,hp*D] (hp chosen so
+    the lane block is a 128 multiple — TPU block rule) plus their
+    [BT,hp,S,S] mask of pre-scaled keep multipliers (0.0 or 1/(1-rate))
+    applied to the softmax probabilities before the AV matmul — megatron
+    CoreAttention attention_dropout semantics (ops/attention._drop_probs).
+    Small cells keep the mask block inside the kernel stack (a whole-row
+    cell overflows scoped vmem at s=512/h=12)."""
+    hd = q_ref.shape[-1] // hp
+    for hh in range(hp):
+        q = q_ref[:, :, hh * hd:(hh + 1) * hd]
+        k = k_ref[:, :, hh * hd:(hh + 1) * hd]
+        v = v_ref[:, :, hh * hd:(hh + 1) * hd]
+        s = _batched_dot(q, k, ((2,), (2,)), prec) * scale
+        if causal:
+            s = _causal_mask(s)
+        p = _softmax_rows(s)
+        u = (p * m_ref[:, hh].astype(jnp.float32)).astype(v.dtype)
+        o = _batched_dot(u, v, ((2,), (1,)), prec)
+        o_ref[:, :, hh * hd:(hh + 1) * hd] = o.astype(o_ref.dtype)
+
+
+def _bwd_kernel_dropout(q_ref, k_ref, v_ref, do_ref, m_ref, dq_ref, dk_ref,
+                        dv_ref, *, hp, scale, causal, prec):
+    """Backward with dropout: o = (P∘M)V, so dV = (P∘M)^T dO and the
+    softmax vjp runs on dP = (dO V^T)∘M. Scores/probs recomputed from qkv
+    (the mask is regenerated host-side from the saved PRNG key)."""
+    hd = q_ref.shape[-1] // hp
+    for hh in range(hp):
+        q = q_ref[:, :, hh * hd:(hh + 1) * hd]
+        k = k_ref[:, :, hh * hd:(hh + 1) * hd]
+        v = v_ref[:, :, hh * hd:(hh + 1) * hd]
+        do = do_ref[:, :, hh * hd:(hh + 1) * hd]
+        m = m_ref[:, hh].astype(jnp.float32)
+        sc = _batched_dot(q, k, ((2,), (2,)), prec) * scale
+        if causal:
+            sc = _causal_mask(sc)
+        p = _softmax_rows(sc)
+        u = (p * m).astype(v.dtype)
+        dv = _batched_dot(u, do, ((1,), (1,)), prec)
+        dp = _batched_dot(do, v, ((2,), (2,)), prec) * m
+        ds = (p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+              * scale).astype(q.dtype)
+        dq_ref[:, :, hh * hd:(hh + 1) * hd] = \
+            _batched_dot(ds, k, ((2,), (1,)), prec).astype(dq_ref.dtype)
+        dk_ref[:, :, hh * hd:(hh + 1) * hd] = \
+            _batched_dot(ds, q, ((1,), (1,)), prec).astype(dk_ref.dtype)
+        dv_ref[:, :, hh * hd:(hh + 1) * hd] = dv.astype(dv_ref.dtype)
+
+
+def _dropout_mask(key, b, s, heads, rate, dtype):
+    """Pre-scaled keep multipliers [B, H, S, S]. Deterministic in `key`: the
+    backward regenerates the identical mask instead of saving it (3.3 GB at
+    ViT-L-scale) — the residual is just the key."""
+    keep = jax.random.bernoulli(key, 1.0 - rate, (b, heads, s, s))
+    return keep.astype(dtype) * (1.0 / (1.0 - rate))
+
+
+def _heads_per_cell(heads: int, hd: int):
+    """Head-group size making the q/k/v lane block a multiple of 128 (TPU
+    block-shape rule); None if the geometry can't satisfy it."""
+    if 128 % hd != 0:
+        return None
+    hp = max(1, 128 // hd)
+    return hp if heads % hp == 0 else None
+
+
+def dropout_kernel_eligible(s: int, heads: int, hd: int,
+                            budget: int = 10 * 1024 * 1024) -> bool:
+    """Dropout-kernel dispatch gate: lane geometry must work and one cell
+    (hp mask planes + fp32 [S,S] scratch) must fit the kernel stack at
+    batch-tile 1; anything else falls back to the XLA path."""
+    hp = _heads_per_cell(heads, hd)
+    if hp is None:
+        return False
+    return hp * s * s * 2 + 3 * s * s * 4 <= budget
+
+
+def dropout_mask_fits(s: int, heads: int, budget: int = 8 * 1024 * 1024):
+    """Back-compat shim (older gate); prefer dropout_kernel_eligible."""
+    return s * s * (2 + 3 * 4) <= budget
+
+
+def _dropout_tile(b, s, hd, hp):
+    # per-row cell bytes: q/k/v/do/out blocks + hp mask planes + ~3 fp32
+    # [S,S] scratch
+    per_row = 5 * s * hp * hd * 2 + hp * s * s * 2 + 3 * s * s * 4
+    bt = 1
+    while bt < b and b % (bt * 2) == 0 and (bt * 2) * per_row <= 4 * 1024 * 1024:
+        bt *= 2
+    return bt
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4, 5, 6))
+def fused_mha_packed_dropout(qkv, key, heads: int, scale: float,
+                             causal: bool = False, rate: float = 0.1,
+                             interpret: bool = False):
+    """fused_mha_packed with attention-probability dropout (rate > 0,
+    `key` a jax PRNG key). Megatron trains GPT/BERT with
+    --attention-dropout 0.1 by default (arguments.py); this keeps those
+    workloads on the fused kernel instead of the decomposed XLA path."""
+    out, _ = _fwd_dropout(qkv, key, heads, scale, causal, rate, interpret)
+    return out
+
+
+def _dropout_specs(bt, s, hd, hp, groups):
+    """Head-group q/k/v views of the packed [B,S,3*H*D] array + the group's
+    [BT,hp,S,S] mask planes of [B,H,S,S]."""
+    return [
+        pl.BlockSpec((bt, s, hp * hd), lambda i, j: (i, 0, j)),
+        pl.BlockSpec((bt, s, hp * hd), lambda i, j, G=groups: (i, 0, G + j)),
+        pl.BlockSpec((bt, s, hp * hd),
+                     lambda i, j, G=groups: (i, 0, 2 * G + j)),
+        pl.BlockSpec((bt, hp, s, s), lambda i, j: (i, j, 0, 0)),
+    ]
+
+
+def _fwd_dropout(qkv, key, heads, scale, causal, rate, interpret):
+    b, s, w3 = qkv.shape
+    w = w3 // 3
+    hd = w // heads
+    hp = _heads_per_cell(heads, hd)
+    if hp is None:
+        raise ValueError(f"dropout kernel ineligible for heads={heads} "
+                         f"hd={hd}; gate with dropout_kernel_eligible")
+    groups = heads // hp
+    mask = _dropout_mask(key, b, s, heads, rate, qkv.dtype)
+    bt = _dropout_tile(b, s, hd, hp)
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel_dropout, hp=hp, scale=scale,
+                          causal=causal, prec=_precision_for(qkv.dtype)),
+        grid=(b // bt, groups),
+        in_specs=_dropout_specs(bt, s, hd, hp, groups),
+        out_specs=pl.BlockSpec((bt, s, hp * hd), lambda i, j: (i, 0, j)),
+        out_shape=jax.ShapeDtypeStruct((b, s, w), qkv.dtype),
+        interpret=interpret,
+    )(qkv, qkv, qkv, mask)
+    return out, (qkv, key)
+
+
+def _vjp_fwd_dropout(qkv, key, heads, scale, causal, rate, interpret):
+    return _fwd_dropout(qkv, key, heads, scale, causal, rate, interpret)
+
+
+def _vjp_bwd_dropout(heads, scale, causal, rate, interpret, res, do):
+    qkv, key = res
+    b, s, w3 = qkv.shape
+    w = w3 // 3
+    hd = w // heads
+    hp = _heads_per_cell(heads, hd)
+    groups = heads // hp
+    mask = _dropout_mask(key, b, s, heads, rate, qkv.dtype)
+    bt = _dropout_tile(b, s, hd, hp)
+    specs = _dropout_specs(bt, s, hd, hp, groups)
+    io = pl.BlockSpec((bt, s, hp * hd), lambda i, j: (i, 0, j))
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel_dropout, hp=hp, scale=scale,
+                          causal=causal, prec=_precision_for(qkv.dtype)),
+        grid=(b // bt, groups),
+        in_specs=specs[:3] + [io] + specs[3:],
+        out_specs=[io, io, io],
+        out_shape=[jax.ShapeDtypeStruct((b, s, w), qkv.dtype)] * 3,
+        interpret=interpret,
+    )(qkv, qkv, qkv, do, mask)
+    return jnp.concatenate([dq, dk, dv], axis=-1), None
+
+
+fused_mha_packed_dropout.defvjp(_vjp_fwd_dropout, _vjp_bwd_dropout)
+
+
 def fused_attention_from_qkv(qkv_flat, heads: int, *, causal: bool = False,
                              scale: Optional[float] = None,
+                             dropout_rate: float = 0.0, dropout_rng=None,
                              interpret: bool = False):
     """Dispatch wrapper with the default 1/sqrt(D) scale. Layout variant:
     batch-major by default. MCT_MHA_LAYOUT=sm selects the S-major kernel,
@@ -372,6 +545,9 @@ def fused_attention_from_qkv(qkv_flat, heads: int, *, causal: bool = False,
     if scale is None:
         scale = d ** -0.5
     b = qkv_flat.shape[0]
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        return fused_mha_packed_dropout(qkv_flat, dropout_rng, heads, scale,
+                                        causal, dropout_rate, interpret)
     if (os.environ.get("MCT_MHA_LAYOUT", "bm") == "sm"
             and heads % 2 == 0 and b % 8 == 0):
         return fused_mha_packed_sm(qkv_flat, heads, scale, causal, interpret)
