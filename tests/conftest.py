@@ -65,6 +65,23 @@ SLOW_TESTS = (
     "test_load_hf_text_tower_roundtrip",
     "test_load_llama_hf_roundtrip",
     "test_import_cli",
+    # round-2 additions: the 20-35s single-test heavyweights (full coverage
+    # still runs under --runslow; a cheaper sibling of each stays quick)
+    "test_eval_uses_running_stats",        # rn50_factory_geometry stays
+    "test_forward_shape_and_grads",        # convnext; factory e2e stays
+    "test_retro_forward_and_grads",        # retro_learns stays
+    "test_mit_forward_and_grads",
+    "test_swin_forward_and_grads",
+    "test_dropout_under_remat_matches_no_remat",
+    "test_csv_training",                   # synthetic_one_epoch stays
+    "test_remote_sync_and_wandb_flags_run_training",
+    "test_esvit_trains_one_step",
+    "test_lock_image_freezes_visual_only",  # lock_text sibling stays
+    "test_distill_loss_larger_than_plain",  # distill_step sibling stays
+    "test_gpt_cp_training_matches_serial",  # cp fwd/bwd parity stays
+    "test_siglip_ring_matches_global",      # siglip global-form test stays
+    "test_weight_decay_blocked_on_frozen",  # covered by lock tests
+    "test_finetune_improves_in_batch_accuracy",  # orqa eval e2e stays
 )
 
 
