@@ -175,13 +175,18 @@ def multi_head_attention(x, params, heads: int, *, causal: bool = False,
         k, v = jnp.split(kvp, 2, axis=-1)
 
     head_dim_q = q.shape[-1] // heads
+    _wants_drop = dropout_rate > 0.0 and dropout_rng is not None
     flash_path = (not context_parallel
                   and use_flash and bias is None and kv is None
-                  and q.shape[1] >= MIN_FLASH_SEQ and head_dim_q <= 128
-                  and (dropout_rate == 0.0 or dropout_rng is None))
+                  and q.shape[1] >= MIN_FLASH_SEQ and head_dim_q <= 128)
     if flash_path:
         from megatron_clip_tpu.ops import use_pallas
         flash_path = use_pallas()
+        if flash_path and _wants_drop:
+            # in-kernel PRNG dropout needs a real TPU backend
+            from megatron_clip_tpu.ops.pallas.flash_attention import (
+                flash_dropout_supported)
+            flash_path = flash_dropout_supported()
 
     if context_parallel:
         # Context parallelism: seq is sharded over the `context` mesh axis;
@@ -238,7 +243,14 @@ def multi_head_attention(x, params, heads: int, *, causal: bool = False,
             kh = jnp.repeat(kh, rep, axis=1)
             vh = jnp.repeat(vh, rep, axis=1)
         from megatron_clip_tpu.ops.pallas.flash_attention import flash_attention
-        out = flash_attention(qh, kh, vh, causal=causal)
+        if _wants_drop:
+            seed = jax.random.randint(dropout_rng, (), 0, 2**31 - 1,
+                                      dtype=jnp.int32)
+            out = flash_attention(qh, kh, vh, causal=causal,
+                                  dropout_rate=dropout_rate,
+                                  dropout_seed=seed)
+        else:
+            out = flash_attention(qh, kh, vh, causal=causal)
         out = out.transpose(0, 2, 1, 3).reshape(b, s, w)
     out = jnp.einsum("bsw,wd->bsd", out, params["wo"].astype(x.dtype))
     if params.get("bo") is not None:

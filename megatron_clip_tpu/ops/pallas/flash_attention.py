@@ -28,6 +28,25 @@ def _cdiv(a, b):
     return -(-a // b)
 
 
+def _drop_keep(seed_ref, b, qi, kj, shape, rate):
+    """Per-tile dropout keep multipliers {0, 1/(1-rate)} from the on-core
+    PRNG, seeded by (base_seed, bh, q-block, k-block) — the same tile in the
+    forward, dq and dkv kernels draws the IDENTICAL mask, so nothing is
+    saved to HBM. (megatron attention_dropout semantics; flash_attn's CUDA
+    kernel uses the same per-tile philox trick.)"""
+    # Mosaic caps prng_seed at 2 values: pack the tile id exactly into one
+    # int32 (bh < 2^11, q/k block indices < 2^10 at the 128-block minimum —
+    # max seq 2^17 — so the packing is collision-free)
+    tile = b * (1 << 20) + qi * (1 << 10) + kj
+    pltpu.prng_seed(seed_ref[0], tile)
+    bits = pltpu.prng_random_bits(shape)
+    # prng_random_bits yields int32; bitcast to uint32 for a clean threshold
+    u = pltpu.bitcast(bits, jnp.uint32)
+    thresh = jnp.uint32(min(int((1.0 - rate) * 2**32), 2**32 - 1))
+    return jnp.where(u < thresh, jnp.float32(1.0 / (1.0 - rate)),
+                     jnp.float32(0.0))
+
+
 def _prec(dtype):
     # fp32 inputs need 3-pass (HIGHEST) MXU precision; bf16 uses the fast path
     return jax.lax.Precision.HIGHEST if dtype == jnp.float32 else None
@@ -40,8 +59,9 @@ def _interpret() -> bool:
 
 # --------------------------- forward kernel ---------------------------------
 
-def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
-                *, scale, causal, block_q, block_k, num_k_blocks, kv_len):
+def _fwd_kernel(q_ref, k_ref, v_ref, seed_ref, o_ref, lse_ref, m_scr, l_scr,
+                acc_scr, *, scale, causal, block_q, block_k, num_k_blocks,
+                kv_len, rate):
     kj = pl.program_id(2)
     qi = pl.program_id(1)
 
@@ -71,9 +91,16 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
         m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
         p = jnp.exp(s - m_new)          # [BQ, BK]
         corr = jnp.exp(m_prev - m_new)  # [BQ, 1]
+        # dropout multiplies the NORMALIZED probabilities; since the final
+        # division by l is linear, mask the unnormalized p in the AV
+        # accumulation while l keeps the undropped sum
         l_scr[:] = corr * l_scr[:] + jnp.sum(p, axis=1, keepdims=True)
+        pd = p
+        if rate > 0.0:
+            pd = p * _drop_keep(seed_ref, pl.program_id(0), qi, kj,
+                                (block_q, block_k), rate)
         pv = jax.lax.dot_general(
-            p.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
+            pd.astype(v_ref.dtype), v_ref[0], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=_prec(v_ref.dtype))
         acc_scr[:] = corr * acc_scr[:] + pv
         m_scr[:] = m_new
@@ -95,13 +122,14 @@ def _fwd_kernel(q_ref, k_ref, v_ref, o_ref, lse_ref, m_scr, l_scr, acc_scr,
             (m_scr[:] + jnp.log(l_safe))[:, 0]
 
 
-def _flash_fwd(q, k, v, *, scale, causal, block_q, block_k, kv_len):
+def _flash_fwd(q, k, v, seed, *, scale, causal, block_q, block_k, kv_len,
+               rate=0.0):
     bh, sq, d = q.shape
     sk = k.shape[1]
     nq, nk = sq // block_q, sk // block_k
     kernel = functools.partial(
         _fwd_kernel, scale=scale, causal=causal, block_q=block_q,
-        block_k=block_k, num_k_blocks=nk, kv_len=kv_len)
+        block_k=block_k, num_k_blocks=nk, kv_len=kv_len, rate=rate)
     out, lse = pl.pallas_call(
         kernel,
         grid=(bh, nq, nk),
@@ -109,6 +137,7 @@ def _flash_fwd(q, k, v, *, scale, causal, block_q, block_k, kv_len):
             pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
             pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
             pl.BlockSpec((1, block_k, d), lambda b, i, j: (b, j, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
@@ -126,15 +155,15 @@ def _flash_fwd(q, k, v, *, scale, causal, block_q, block_k, kv_len):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=_interpret(),
-    )(q, k, v)
+    )(q, k, v, seed)
     return out, lse
 
 
 # --------------------------- backward kernels --------------------------------
 
-def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
-                   dq_scr, *, scale, causal, block_q, block_k, num_k_blocks,
-                   kv_len):
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, seed_ref,
+                   dq_ref, dq_scr, *, scale, causal, block_q, block_k,
+                   num_k_blocks, kv_len, rate):
     kj = pl.program_id(2)
     qi = pl.program_id(1)
 
@@ -163,6 +192,11 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
             do_ref[0], v_ref[0], (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=_prec(v_ref.dtype))                        # [BQ, BK]
+        if rate > 0.0:
+            # o = (P.M)V => dP = (dO V^T).M; the delta term is unchanged:
+            # sum_k P.M dP = dO.o = delta (derivation in the dropout tests)
+            dp = dp * _drop_keep(seed_ref, pl.program_id(0), qi, kj,
+                                 (block_q, block_k), rate)
         ds = p * (dp - delta_q) * scale
         dq_scr[:] += jax.lax.dot_general(
             ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
@@ -180,9 +214,10 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref,
         dq_ref[0] = dq_scr[:].astype(dq_ref.dtype)
 
 
-def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, seed_ref,
                     dk_ref, dv_ref, dk_scr, dv_scr,
-                    *, scale, causal, block_q, block_k, num_q_blocks, kv_len):
+                    *, scale, causal, block_q, block_k, num_q_blocks, kv_len,
+                    rate):
     qi = pl.program_id(2)
     kj = pl.program_id(1)
 
@@ -209,13 +244,20 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         delta_q = delta_ref[0, 0, pl.ds(qi * block_q, block_q)].reshape(block_q, 1)
         p = jnp.exp(s - lse_q)                                    # [BQ, BK]
         do = do_ref[0]                                            # [BQ, D]
+        pd = p
+        if rate > 0.0:
+            keep = _drop_keep(seed_ref, pl.program_id(0), qi, kj,
+                              (block_q, block_k), rate)
+            pd = p * keep
         dv_scr[:] += jax.lax.dot_general(
-            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            pd.astype(do.dtype), do, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=_prec(do.dtype))                            # [BK, D]
         dp = jax.lax.dot_general(do, v_ref[0], (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32,
                                  precision=_prec(do.dtype))
+        if rate > 0.0:
+            dp = dp * keep
         ds = p * (dp - delta_q) * scale                           # [BQ, BK]
         dk_scr[:] += jax.lax.dot_general(
             ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
@@ -236,7 +278,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
         dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
 
 
-def _flash_bwd(q, k, v, out, lse, do, *, scale, causal, block_q, block_k, kv_len):
+def _flash_bwd(q, k, v, out, lse, do, seed, *, scale, causal, block_q,
+               block_k, kv_len, rate=0.0):
     bh, sq, d = q.shape
     sk = k.shape[1]
     nq, nk = sq // block_q, sk // block_k
@@ -246,7 +289,7 @@ def _flash_bwd(q, k, v, out, lse, do, *, scale, causal, block_q, block_k, kv_len
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, scale=scale, causal=causal,
                           block_q=block_q, block_k=block_k, num_k_blocks=nk,
-                          kv_len=kv_len),
+                          kv_len=kv_len, rate=rate),
         grid=(bh, nq, nk),
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
@@ -255,6 +298,7 @@ def _flash_bwd(q, k, v, out, lse, do, *, scale, causal, block_q, block_k, kv_len
             pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
             pl.BlockSpec((1, 1, sq), lambda b, i, j: (b, 0, 0)),
             pl.BlockSpec((1, 1, sq), lambda b, i, j: (b, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=pl.BlockSpec((1, block_q, d), lambda b, i, j: (b, i, 0)),
         out_shape=jax.ShapeDtypeStruct((bh, sq, d), q.dtype),
@@ -262,12 +306,12 @@ def _flash_bwd(q, k, v, out, lse, do, *, scale, causal, block_q, block_k, kv_len
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=_interpret(),
-    )(q, k, v, do, lse, delta)
+    )(q, k, v, do, lse, delta, seed)
 
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, scale=scale, causal=causal,
                           block_q=block_q, block_k=block_k, num_q_blocks=nq,
-                          kv_len=kv_len),
+                          kv_len=kv_len, rate=rate),
         grid=(bh, nk, nq),
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0)),
@@ -276,6 +320,7 @@ def _flash_bwd(q, k, v, out, lse, do, *, scale, causal, block_q, block_k, kv_len
             pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0)),
             pl.BlockSpec((1, 1, sq), lambda b, j, i: (b, 0, 0)),
             pl.BlockSpec((1, 1, sq), lambda b, j, i: (b, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),
@@ -292,42 +337,53 @@ def _flash_bwd(q, k, v, out, lse, do, *, scale, causal, block_q, block_k, kv_len
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         interpret=_interpret(),
-    )(q, k, v, do, lse, delta)
+    )(q, k, v, do, lse, delta, seed)
     return dq, dk, dv
 
 
 # --------------------------- public op ---------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
-def _flash(q, k, v, scale, causal, block_q, block_k, kv_len):
-    out, _ = _flash_fwd(q, k, v, scale=scale, causal=causal,
-                        block_q=block_q, block_k=block_k, kv_len=kv_len)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def _flash(q, k, v, seed, scale, causal, block_q, block_k, kv_len, rate):
+    out, _ = _flash_fwd(q, k, v, seed, scale=scale, causal=causal,
+                        block_q=block_q, block_k=block_k, kv_len=kv_len,
+                        rate=rate)
     return out
 
 
-def _flash_fwd_rule(q, k, v, scale, causal, block_q, block_k, kv_len):
-    out, lse = _flash_fwd(q, k, v, scale=scale, causal=causal,
-                          block_q=block_q, block_k=block_k, kv_len=kv_len)
-    return out, (q, k, v, out, lse)
+def _flash_fwd_rule(q, k, v, seed, scale, causal, block_q, block_k, kv_len,
+                    rate):
+    out, lse = _flash_fwd(q, k, v, seed, scale=scale, causal=causal,
+                          block_q=block_q, block_k=block_k, kv_len=kv_len,
+                          rate=rate)
+    return out, (q, k, v, seed, out, lse)
 
 
-def _flash_bwd_rule(scale, causal, block_q, block_k, kv_len, res, do):
-    q, k, v, out, lse = res
-    dq, dk, dv = _flash_bwd(q, k, v, out, lse, do, scale=scale,
+def _flash_bwd_rule(scale, causal, block_q, block_k, kv_len, rate, res, do):
+    q, k, v, seed, out, lse = res
+    dq, dk, dv = _flash_bwd(q, k, v, out, lse, do, seed, scale=scale,
                             causal=causal, block_q=block_q, block_k=block_k,
-                            kv_len=kv_len)
-    return dq, dk, dv
+                            kv_len=kv_len, rate=rate)
+    return dq, dk, dv, None
 
 
 _flash.defvjp(_flash_fwd_rule, _flash_bwd_rule)
 
 
 def flash_attention(q, k, v, *, causal: bool = False, scale=None,
-                    block_q: int = 0, block_k: int = 0):
+                    block_q: int = 0, block_k: int = 0,
+                    dropout_rate: float = 0.0, dropout_seed=None):
     """q,k,v: [B, H, S, D] -> [B, H, S, D]. Pads S to the block size (padded
     key columns are masked; padded query rows sliced off). Block sizes auto-
     tune to min(1024, padded seq) — measured 6x faster than 128x128 at s8192
-    on v5e (VMEM easily holds the 1024x1024 fp32 score tile)."""
+    on v5e (VMEM easily holds the 1024x1024 fp32 score tile).
+
+    dropout_rate > 0 applies attention-probability dropout (megatron
+    --attention-dropout) with the on-core PRNG: each (bh, q-block, k-block)
+    tile draws its mask from (dropout_seed, tile id), identically in the
+    forward and both backward kernels — no mask is ever materialized. TPU
+    only (CPU interpret mode has no prng lowering): callers gate on
+    flash_dropout_supported()."""
     b, h, sq, d = q.shape
     sk = k.shape[2]
     if scale is None:
@@ -346,8 +402,21 @@ def flash_attention(q, k, v, *, causal: bool = False, scale=None,
             t = jnp.pad(t, ((0, 0), (0, s_pad - s), (0, 0)))
         return t
 
+    rate = float(dropout_rate)
+    if rate > 0.0 and dropout_seed is None:
+        raise ValueError("dropout_rate > 0 requires dropout_seed")
+    if dropout_seed is None:
+        seed = jnp.zeros((1,), jnp.int32)
+    else:
+        seed = jnp.asarray(dropout_seed, jnp.int32).reshape((1,))
+
     qf, kf, vf = flat(q, sq_pad, sq), flat(k, sk_pad, sk), flat(v, sk_pad, sk)
-    out = _flash(qf, kf, vf, float(scale), bool(causal),
-                 min(block_q, sq_pad), min(block_k, sk_pad), sk)
+    out = _flash(qf, kf, vf, seed, float(scale), bool(causal),
+                 min(block_q, sq_pad), min(block_k, sk_pad), sk, rate)
     out = out[:, :sq].reshape(b, h, sq, d)
     return out
+
+
+def flash_dropout_supported() -> bool:
+    """In-kernel PRNG needs a real TPU backend (no interpret lowering)."""
+    return not _interpret()

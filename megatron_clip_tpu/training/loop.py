@@ -134,6 +134,11 @@ def run_training(args) -> dict:
         teacher = (tmodel, tparams)
 
     if extra > 0:
+        if teacher is not None:
+            raise ValueError("--distill-model is not supported with "
+                             "branch-parallel training (--extra-world-size "
+                             "> 0); the teacher forward lives in the joint "
+                             "step")
         runner = _BranchRunner(args, model, tx_factory, devices)
     else:
         runner = _JointRunner(args, model, params, tx_factory,
