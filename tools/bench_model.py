@@ -47,7 +47,8 @@ def bench_gpt(args):
     from megatron_clip_tpu.models.gpt import GPTCfg, init_gpt, gpt_loss
 
     cfg = GPTCfg(seq_length=args.seq_len, **GPT_SIZES[args.gpt_size])
-    params = init_gpt(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    pdtype = jnp.bfloat16 if args.params_dtype == "bf16" else jnp.float32
+    params = init_gpt(jax.random.PRNGKey(0), cfg, dtype=pdtype)
     n_params = sum(x.size for x in jax.tree.leaves(params))
     tcfg = cfg.transformer(remat=args.remat, scan_layers=True)
     tx = optax.chain(optax.clip_by_global_norm(1.0),
@@ -96,6 +97,9 @@ def main():
     p.add_argument("--seq-len", type=int, default=2048)
     p.add_argument("--loss-chunk", type=int, default=512,
                    help="sequence-chunked lm-head loss (0 = full logits)")
+    p.add_argument("--params-dtype", choices=["fp32", "bf16"], default="fp32",
+                   help="bf16 = pure-bf16 params/optimizer state (fits "
+                        "760m-class models on one 16G chip)")
     p.add_argument("--batch", type=int, default=64)
     p.add_argument("--remat", choices=["none", "selective", "full"],
                    default="selective")
