@@ -285,7 +285,12 @@ class CLIPModel:
 
 def _precision_from_str(precision: str) -> Precision:
     # open_CLIP --precision values (params.py): amp, amp_bf16, bf16, fp16, fp32...
-    if precision in ("amp_bf16", "bf16", "pure_bf16", "amp_bfloat16", "amp"):
+    if precision == "pure_bf16":
+        # open_CLIP pure_bf16: weights themselves in bf16 (main.py:281-287).
+        # Halves param+grad+optimizer HBM — fits ViT-H-class models on one
+        # 16G chip.
+        return Precision("bfloat16", "bfloat16")
+    if precision in ("amp_bf16", "bf16", "amp_bfloat16", "amp"):
         return Precision("float32", "bfloat16")
     if precision in ("fp32", "float32"):
         return Precision("float32", "float32")

@@ -92,6 +92,8 @@ def bench_gpt(args):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--model", default="ViT-L-14")
+    p.add_argument("--precision", default="bf16",
+                   help="clip-family precision (pure_bf16 = bf16 params)")
     p.add_argument("--family", choices=["clip", "gpt"], default="clip")
     p.add_argument("--gpt-size", choices=sorted(GPT_SIZES), default="345m")
     p.add_argument("--seq-len", type=int, default=2048)
@@ -120,7 +122,7 @@ def main():
         make_optimizer, cosine_lr, make_train_step)
     from megatron_clip_tpu.training.train_step import TrainState
 
-    model, params = create_model(args.model, precision="bf16", seed=0)
+    model, params = create_model(args.model, precision=args.precision, seed=0)
     model = dataclasses.replace(model, remat=args.remat,
                                 scan_layers=args.scan_layers)
     mu = jnp.bfloat16 if args.mu_dtype == "bf16" else None
