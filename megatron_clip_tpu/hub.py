@@ -22,10 +22,12 @@ OPENAI_DATASET_STD = (0.26862954, 0.26130258, 0.27577711)
 
 def _model_cfg_dict(cfg) -> dict:
     """CLIPCfg -> the open_clip config-JSON model_cfg schema."""
+    # identity checks, not `in (None, False)`: 0/0.0 == False in Python, and
+    # an explicit zero (patch_dropout=0, drop_path=0.0) must survive export
     vision = {k: v for k, v in dataclasses.asdict(cfg.vision).items()
-              if v not in (None, False)}
+              if v is not None and v is not False}
     text = {k: v for k, v in dataclasses.asdict(cfg.text).items()
-            if v not in (None, False)}
+            if v is not None and v is not False}
     if cfg.resnet_layers is not None:
         vision["layers"] = list(cfg.resnet_layers)
         vision["width"] = cfg.resnet_width

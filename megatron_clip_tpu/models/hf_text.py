@@ -150,6 +150,46 @@ def apply_hf_text(params, ids, cfg: HFTextCfg, *, attention_mask=None,
     return pooled
 
 
+_ARCH_FIELDS = ("vocab_size", "width", "heads", "layers", "mlp_hidden",
+                "max_positions", "type_vocab_size", "layer_norm_eps",
+                "pad_token_id", "position_offset")
+
+
+def persist_hf_text_cfg(d: dict, cfg: "HFTextCfg") -> None:
+    """Write the resolved architecture fields into the factory's hf_text
+    dict so later `encode_text` calls rebuild the SAME HFTextCfg the params
+    were created with (a pretrained RoBERTa must keep its position-id rule,
+    pad token and head count — not text_cfg defaults)."""
+    for f in _ARCH_FIELDS + ("pooler",):
+        d[f] = getattr(cfg, f)
+
+
+def hf_text_cfg_from_dict(d: dict, *, fallback: "HFTextCfg") -> "HFTextCfg":
+    """HFTextCfg from the factory hf_text dict. Arch fields persisted by
+    `persist_hf_text_cfg` (or lazily resolved from the HF checkpoint config
+    here) win over the text_cfg-derived fallback. The lazy path covers
+    model handles rebuilt from a config (e.g. checkpoint restore) that never
+    ran `load_hf_text_tower`."""
+    name = d.get("model_name", "")
+    if ("width" not in d and d.get("pretrained") and name
+            and name != "__random_tiny__"):
+        try:
+            from transformers import AutoConfig
+            resolved = hf_cfg_from_transformers(
+                AutoConfig.from_pretrained(name),
+                pooler=d.get("pooler"), proj=d.get("proj", "linear"),
+                output_dim=fallback.output_dim)
+            persist_hf_text_cfg(d, resolved)
+        except Exception:  # noqa: BLE001 — offline/missing checkpoint: keep
+            pass           # the fallback rather than failing the forward
+    kw = {f: d[f] for f in _ARCH_FIELDS if f in d}
+    return HFTextCfg(
+        pooler=d.get("pooler", fallback.pooler),
+        proj=d.get("proj", fallback.proj),
+        output_dim=fallback.output_dim,
+        **{f: kw.get(f, getattr(fallback, f)) for f in _ARCH_FIELDS})
+
+
 # ----------------------- HF checkpoint conversion ---------------------------
 
 def hf_cfg_from_transformers(config, pooler=None, proj="linear",

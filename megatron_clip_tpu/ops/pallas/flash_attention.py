@@ -34,11 +34,13 @@ def _drop_keep(seed_ref, b, qi, kj, shape, rate):
     forward, dq and dkv kernels draws the IDENTICAL mask, so nothing is
     saved to HBM. (megatron attention_dropout semantics; flash_attn's CUDA
     kernel uses the same per-tile philox trick.)"""
-    # Mosaic caps prng_seed at 2 values: pack the tile id exactly into one
-    # int32 (bh < 2^11, q/k block indices < 2^10 at the 128-block minimum —
-    # max seq 2^17 — so the packing is collision-free)
-    tile = b * (1 << 20) + qi * (1 << 10) + kj
-    pltpu.prng_seed(seed_ref[0], tile)
+    # Mosaic caps prng_seed at 2 values: fold the batch*head index into the
+    # seed word with an odd multiplicative hash (injective mod 2^32 — no
+    # aliasing at any B*H, unlike packing bh into high bits which overflows
+    # at bh >= 2^11) and pack (q-block, k-block) into the second word
+    # (collision-free below seq 2^17 at the 128 block minimum).
+    tile = qi * (1 << 10) + kj
+    pltpu.prng_seed(seed_ref[0] ^ (b * jnp.int32(-1640531527)), tile)
     bits = pltpu.prng_random_bits(shape)
     # prng_random_bits yields int32; bitcast to uint32 for a clean threshold
     u = pltpu.bitcast(bits, jnp.uint32)

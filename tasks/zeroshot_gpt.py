@@ -202,7 +202,10 @@ def evaluate_lambada(params, cfg, examples, *, seq_len: int = None,
             pad = seq_len + 1 - len(toks)
             toks += [pad_id] * pad
             mask += [0] * pad
-        toks, mask = toks[:seq_len + 1], mask[:seq_len + 1]
+        # left-truncate the CONTEXT when the example overflows: tail
+        # truncation would cut the target and leave an all-zero mask, making
+        # `correct.all()` trivially True (inflated accuracy)
+        toks, mask = toks[-(seq_len + 1):], mask[-(seq_len + 1):]
         rows.append((np.array(toks, np.int32), np.array(mask[1:], np.int32)))
 
     for batch in _batched(rows, batch_size):
