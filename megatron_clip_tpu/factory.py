@@ -193,18 +193,44 @@ def parse_model_cfg(cfg_dict: dict) -> CLIPCfg:
         # open_CLIP marks ResNet towers with a list-typed layers field
         resnet_layers = tuple(vcfg_in.pop("layers"))
         resnet_width = vcfg_in.pop("width", 64)
+    # timm ViT names -> the native ViT tower (the reference's TimmModel
+    # wraps arbitrary timm backbones, timm_model.py; the families that are
+    # plain ViTs map directly onto VisionCfg)
+    _TIMM_VIT = {
+        "vit_tiny_patch16_224": dict(layers=12, width=192, head_width=64,
+                                     patch_size=16, image_size=224),
+        "vit_small_patch16_224": dict(layers=12, width=384, head_width=64,
+                                      patch_size=16, image_size=224),
+        "vit_base_patch16_224": dict(layers=12, width=768, head_width=64,
+                                     patch_size=16, image_size=224),
+        "vit_base_patch32_224": dict(layers=12, width=768, head_width=64,
+                                     patch_size=32, image_size=224),
+        "vit_large_patch14_224": dict(layers=24, width=1024, head_width=64,
+                                      patch_size=14, image_size=224),
+    }
     if vcfg_in.get("timm_model_name"):
         timm_name = vcfg_in.pop("timm_model_name")
-        if not timm_name.startswith("convnext"):
+        if timm_name in _TIMM_VIT:
+            vcfg_in.pop("timm_proj", None)
+            vcfg_in.pop("timm_drop_path", None)
+            vcfg_in.pop("timm_pool", None)
+            vt = dict(_TIMM_VIT[timm_name])
+            if vcfg_in.get("image_size"):
+                vt["image_size"] = vcfg_in["image_size"]
+            vcfg_in.update(vt)
+        elif timm_name.startswith("convnext"):
+            from megatron_clip_tpu.models.convnext import CONVNEXT_ARCHS
+            if timm_name not in CONVNEXT_ARCHS:
+                raise NotImplementedError(
+                    f"unknown convnext arch {timm_name!r}")
+            convnext = timm_name
+            convnext_proj = vcfg_in.pop("timm_proj", "linear") or "none"
+            convnext_drop_path = vcfg_in.pop("timm_drop_path", 0.0)
+        else:
             raise NotImplementedError(
-                f"timm tower {timm_name!r} is not implemented "
-                "(only the convnext family has a native tower here)")
-        from megatron_clip_tpu.models.convnext import CONVNEXT_ARCHS
-        if timm_name not in CONVNEXT_ARCHS:
-            raise NotImplementedError(f"unknown convnext arch {timm_name!r}")
-        convnext = timm_name
-        convnext_proj = vcfg_in.pop("timm_proj", "linear") or "none"
-        convnext_drop_path = vcfg_in.pop("timm_drop_path", 0.0)
+                f"timm tower {timm_name!r} is not implemented (native "
+                "families here: vit_* ViTs, convnext_*; plus ModifiedResNet "
+                "via list-typed layers)")
     v = _filter_fields(vcfg_in, VisionCfg)
     tcfg_in = dict(cfg_dict.get("text_cfg", {}))
     hf_text = None
@@ -255,6 +281,9 @@ class CLIPModel:
     sequence_parallel: bool = False  # megatron --sequence-parallel
     scan_layers: bool = True  # lax.scan over layers (False = unrolled; ~15%
     # faster on v5e for 12-layer towers at the cost of compile time)
+    layers_fn: Any = None  # pipeline schedule adapter for BOTH towers
+    # (parallel/pipeline.make_pipelined_layers_fn) — set via
+    # dataclasses.replace when pp > 1 on the joint mesh
 
     def init(self, rng) -> Any:
         return init_clip(rng, self.cfg, dtype=self.precision.param_jnp)
@@ -263,6 +292,7 @@ class CLIPModel:
         kw.setdefault("remat", self.remat)
         kw.setdefault("sequence_parallel", self.sequence_parallel)
         kw.setdefault("scan_layers", self.scan_layers)
+        kw.setdefault("layers_fn", self.layers_fn)
         return apply_clip(params, images, text_ids, self.cfg,
                           compute_dtype=self.precision.compute_jnp, **kw)
 

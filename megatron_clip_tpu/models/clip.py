@@ -36,9 +36,10 @@ def _convnext_cfg(cfg: CLIPCfg):
 
 
 def _hf_text_cfg(cfg: CLIPCfg):
-    from megatron_clip_tpu.models.hf_text import HFTextCfg
+    from megatron_clip_tpu.models.hf_text import (
+        HFTextCfg, hf_text_cfg_from_dict)
     d = cfg.hf_text
-    return HFTextCfg(
+    fallback = HFTextCfg(
         vocab_size=cfg.text.vocab_size, width=cfg.text.width,
         heads=cfg.text.heads, layers=cfg.text.layers,
         mlp_hidden=4 * cfg.text.width,
@@ -47,6 +48,9 @@ def _hf_text_cfg(cfg: CLIPCfg):
         position_offset=bool(d.get("position_offset", False)),
         pooler=d.get("pooler", "mean_pooler"),
         proj=d.get("proj", "linear"), output_dim=cfg.embed_dim)
+    # arch fields resolved from the actual HF checkpoint (persisted at load
+    # or lazily here) override the text_cfg-derived defaults
+    return hf_text_cfg_from_dict(d, fallback=fallback)
 
 
 def init_clip(key, cfg: CLIPCfg, dtype=jnp.float32):
@@ -64,11 +68,15 @@ def init_clip(key, cfg: CLIPCfg, dtype=jnp.float32):
     if cfg.hf_text is not None:
         name = cfg.hf_text.get("model_name", "")
         if cfg.hf_text.get("pretrained") and name:
-            from megatron_clip_tpu.models.hf_text import load_hf_text_tower
-            _, text = load_hf_text_tower(
+            from megatron_clip_tpu.models.hf_text import (
+                load_hf_text_tower, persist_hf_text_cfg)
+            hcfg, text = load_hf_text_tower(
                 name, output_dim=cfg.embed_dim,
                 proj=cfg.hf_text.get("proj", "linear"),
                 pooler=cfg.hf_text.get("pooler"))
+            # record the checkpoint's true architecture so encode_text
+            # rebuilds the same HFTextCfg (not text_cfg-derived defaults)
+            persist_hf_text_cfg(cfg.hf_text, hcfg)
         else:
             from megatron_clip_tpu.models.hf_text import init_hf_text
             text = init_hf_text(kt, _hf_text_cfg(cfg), dtype)
@@ -95,7 +103,12 @@ def _l2_normalize(x, eps: float = 1e-12):
 def encode_image(params, images, cfg: CLIPCfg, *, normalize: bool = True,
                  compute_dtype=jnp.bfloat16, patch_dropout_rng=None,
                  remat: str = "none", sequence_parallel: bool = False,
-                 scan_layers: bool = True):
+                 scan_layers: bool = True, layers_fn=None):
+    if layers_fn is not None and (cfg.resnet_layers is not None
+                                  or cfg.convnext is not None):
+        raise ValueError("pipeline parallelism (layers_fn) requires a "
+                         "transformer vision tower; ResNet/ConvNeXt towers "
+                         "have no uniform layer stack to shard over stages")
     if cfg.resnet_layers is not None:
         # ModifiedResNet tower. NOTE: through this generic path BatchNorm
         # runs on stored running stats (frozen-BN training regime); full
@@ -114,14 +127,19 @@ def encode_image(params, images, cfg: CLIPCfg, *, normalize: bool = True,
                   tcfg=cfg.vision.transformer(act=cfg.act, remat=remat,
                                               sequence_parallel=sequence_parallel,
                                               scan_layers=scan_layers),
-                  patch_dropout_rng=patch_dropout_rng)
+                  patch_dropout_rng=patch_dropout_rng, layers_fn=layers_fn)
     return _l2_normalize(f) if normalize else f.astype(jnp.float32)
 
 
 def encode_text(params, text_ids, cfg: CLIPCfg, *, normalize: bool = True,
                 compute_dtype=jnp.bfloat16, remat: str = "none",
-                sequence_parallel: bool = False, scan_layers: bool = True):
+                sequence_parallel: bool = False, scan_layers: bool = True,
+                layers_fn=None):
     if cfg.hf_text is not None:
+        if layers_fn is not None:
+            raise ValueError("pipeline parallelism (layers_fn) is not "
+                             "supported for HF text towers (post-LN stack "
+                             "outside the stacked-pytree layer format)")
         from megatron_clip_tpu.models.hf_text import apply_hf_text
         f = apply_hf_text(params["text"], text_ids, _hf_text_cfg(cfg),
                           compute_dtype=compute_dtype)
@@ -130,26 +148,34 @@ def encode_text(params, text_ids, cfg: CLIPCfg, *, normalize: bool = True,
                    act=cfg.act, compute_dtype=compute_dtype,
                    tcfg=cfg.text.transformer(act=cfg.act, remat=remat,
                                              sequence_parallel=sequence_parallel,
-                                             scan_layers=scan_layers))
+                                             scan_layers=scan_layers),
+                   layers_fn=layers_fn)
     return _l2_normalize(f) if normalize else f.astype(jnp.float32)
 
 
 def apply_clip(params, images, text_ids, cfg: CLIPCfg, *,
                compute_dtype=jnp.bfloat16, patch_dropout_rng=None,
                remat: str = "none", sequence_parallel: bool = False,
-               scan_layers: bool = True):
+               scan_layers: bool = True, layers_fn=None):
     """Forward both towers. Returns the dict shape open_CLIP's CLIP.forward
-    emits (model.py:232-243): normalized features + clamped logit_scale."""
+    emits (model.py:232-243): normalized features + clamped logit_scale.
+
+    `layers_fn` (e.g. parallel/pipeline.make_pipelined_layers_fn) replaces
+    apply_transformer inside BOTH towers — the joint-mesh pipelined CLIP,
+    the reference's flagship config shape (schedules.py:1043 under
+    pretrain_CLIP.py)."""
     out = {}
     if images is not None:
         out["image_features"] = encode_image(
             params, images, cfg, compute_dtype=compute_dtype,
             patch_dropout_rng=patch_dropout_rng, remat=remat,
-            sequence_parallel=sequence_parallel, scan_layers=scan_layers)
+            sequence_parallel=sequence_parallel, scan_layers=scan_layers,
+            layers_fn=layers_fn)
     if text_ids is not None:
         out["text_features"] = encode_text(
             params, text_ids, cfg, compute_dtype=compute_dtype, remat=remat,
-            sequence_parallel=sequence_parallel, scan_layers=scan_layers)
+            sequence_parallel=sequence_parallel, scan_layers=scan_layers,
+            layers_fn=layers_fn)
     out["logit_scale"] = jnp.exp(
         jnp.minimum(params["logit_scale"], LOGIT_SCALE_MAX))
     if "logit_bias" in params:

@@ -68,17 +68,22 @@ def init_gpt(key, cfg: GPTCfg, dtype=jnp.float32):
 
 def apply_gpt(params, tokens, cfg: GPTCfg, *, compute_dtype=jnp.bfloat16,
               tcfg: Optional[TransformerCfg] = None, layers_fn=None,
-              return_hidden: bool = False, rng=None):
+              return_hidden: bool = False, rng=None, position_ids=None):
     """tokens [B, S] int32 -> logits [B, S, V] (fp32).
 
     `rng` enables dropout (training): embedding dropout at hidden_dropout
     rate (megatron language_model.py Embedding) plus the per-block
-    attention/hidden dropout threaded through apply_transformer."""
+    attention/hidden dropout threaded through apply_transformer.
+    `position_ids` [S]: global token positions when array order differs
+    from position order (zigzag context-parallel layout) — indexes the
+    learned pos-embed / rope tables."""
     tcfg = tcfg or cfg.transformer()
     s = tokens.shape[1]
     x = params["tok_embed"][tokens].astype(compute_dtype)
     if "pos_embed" in params:
-        x = x + params["pos_embed"][:s].astype(compute_dtype)[None]
+        pe = (params["pos_embed"][:s] if position_ids is None
+              else params["pos_embed"][position_ids])
+        x = x + pe.astype(compute_dtype)[None]
     k_embed = k_blocks = None
     if rng is not None:
         k_embed, k_blocks = jax.random.split(rng)
@@ -87,9 +92,10 @@ def apply_gpt(params, tokens, cfg: GPTCfg, *, compute_dtype=jnp.bfloat16,
     aux = None
     if layers_fn is None:
         x = apply_transformer(params["blocks"], x, tcfg, causal=True,
-                              rng=k_blocks)
+                              rng=k_blocks, position_ids=position_ids)
     else:
-        x = layers_fn(params["blocks"], x, tcfg, causal=True)
+        x = layers_fn(params["blocks"], x, tcfg, causal=True, rng=k_blocks,
+                      position_ids=position_ids)
     if cfg.num_experts:
         x, aux = x
     x = apply_norm(params["ln_f"], x, cfg.normalization)
@@ -109,7 +115,8 @@ def apply_gpt(params, tokens, cfg: GPTCfg, *, compute_dtype=jnp.bfloat16,
 
 def gpt_loss(params, tokens, cfg: GPTCfg, *, loss_mask=None,
              compute_dtype=jnp.bfloat16, tcfg=None, layers_fn=None,
-             rng=None, loss_seq_chunk: int = 0):
+             rng=None, loss_seq_chunk: int = 0, position_ids=None,
+             targets=None):
     """Next-token LM loss: predict tokens[:, 1:] from tokens[:, :-1]
     (pretrain_gpt.py loss_func semantics, with loss-mask averaging).
 
@@ -119,17 +126,29 @@ def gpt_loss(params, tokens, cfg: GPTCfg, *, loss_mask=None,
     one chip) to [B,C,V], with the chunk logits recomputed in backward. The
     single-chip analogue of megatron's vocab-parallel cross-entropy memory
     relief (tensor_parallel/cross_entropy.py). MoE models (aux loss) use the
-    unchunked path."""
-    targets = tokens[:, 1:]
+    unchunked path.
+
+    `targets` (with `position_ids`): pre-shifted inputs/targets for the
+    zigzag context-parallel layout, where the next-token shift must happen
+    in natural order BEFORE the zigzag reorder — `tokens` are then the model
+    inputs [B, S] directly and `loss_mask` is already aligned to targets."""
+    if targets is None:
+        targets = tokens[:, 1:]
+        inputs = tokens[:, :-1]
+        mask = None if loss_mask is None else \
+            loss_mask[:, 1:].astype(jnp.float32)
+    else:
+        inputs = tokens
+        mask = None if loss_mask is None else loss_mask.astype(jnp.float32)
     if loss_seq_chunk and not cfg.num_experts:
-        h = apply_gpt(params, tokens[:, :-1], cfg,
+        h = apply_gpt(params, inputs, cfg,
                       compute_dtype=compute_dtype, tcfg=tcfg,
-                      layers_fn=layers_fn, rng=rng, return_hidden=True)
+                      layers_fn=layers_fn, rng=rng, return_hidden=True,
+                      position_ids=position_ids)
         b, s, w = h.shape
         c = min(loss_seq_chunk, s)
         pad = (-s) % c
-        m = jnp.ones((b, s), jnp.float32) if loss_mask is None else \
-            loss_mask[:, 1:].astype(jnp.float32)
+        m = jnp.ones((b, s), jnp.float32) if mask is None else mask
         if pad:
             h = jnp.pad(h, ((0, 0), (0, pad), (0, 0)))
             targets = jnp.pad(targets, ((0, 0), (0, pad)))
@@ -155,20 +174,19 @@ def gpt_loss(params, tokens, cfg: GPTCfg, *, loss_mask=None,
             (hs, ts, ms))
         return tot / jnp.maximum(cnt, 1.0)
 
-    out = apply_gpt(params, tokens[:, :-1], cfg,
+    out = apply_gpt(params, inputs, cfg,
                     compute_dtype=compute_dtype, tcfg=tcfg,
-                    layers_fn=layers_fn, rng=rng)
+                    layers_fn=layers_fn, rng=rng, position_ids=position_ids)
     aux = jnp.zeros((), jnp.float32)
     if cfg.num_experts:
         logits, aux = out
     else:
         logits = out
     per_tok = cross_entropy(logits, targets)
-    if loss_mask is None:
+    if mask is None:
         loss = per_tok.mean()
     else:
-        m = loss_mask[:, 1:].astype(jnp.float32)
-        loss = jnp.sum(per_tok * m) / jnp.maximum(jnp.sum(m), 1.0)
+        loss = jnp.sum(per_tok * mask) / jnp.maximum(jnp.sum(mask), 1.0)
     return loss + cfg.moe_aux_loss_coeff * aux
 
 

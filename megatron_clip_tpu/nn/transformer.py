@@ -119,6 +119,11 @@ def _sp_constraint(x, cfg):
         return x
     amesh = jax.sharding.get_abstract_mesh()
     names = set(amesh.axis_names) if amesh is not None else set()
+    # axes manualized by an enclosing shard_map (cp inside the pipeline's
+    # stage region) cannot appear in sharding constraints — the data is
+    # already the local shard there
+    from megatron_clip_tpu.parallel.mesh import manual_axes
+    names -= manual_axes()
     seq_axes = [a for a in seq_axes if a in names]
     batch_axes = tuple(a for a in (DATA, FSDP) if a in names)
     if not seq_axes:
@@ -195,7 +200,8 @@ def apply_block(block, x, cfg: TransformerCfg, *, causal: bool = False,
 
 
 def apply_transformer(blocks, x, cfg: TransformerCfg, *, causal: bool = False,
-                      bias: Optional[jax.Array] = None, rope=None, rng=None):
+                      bias: Optional[jax.Array] = None, rope=None, rng=None,
+                      layer_keys=None, position_ids=None):
     """Run the stacked blocks. `blocks` leaves have leading layer axis.
 
     Activation recompute: cfg.remat
@@ -204,12 +210,24 @@ def apply_transformer(blocks, x, cfg: TransformerCfg, *, causal: bool = False,
       - 'selective' == recompute only attention internals; approximated here by
                        jax.checkpoint with dots_saveable policy
       - 'none'
+
+    `layer_keys` ([L, 2] uint32): explicit per-layer dropout keys, overriding
+    the split of `rng` — the pipeline schedule passes each stage its slice of
+    the global key array so pp>1 reproduces pp=1 masks exactly.
+    `position_ids` ([S] int32): global token positions for the rope tables
+    when the array order differs from position order (zigzag context-parallel
+    layout, ops/ring_attention.zigzag_shard).
     """
     if rope is None and cfg.rope:
         from megatron_clip_tpu.ops.rope import rope_cos_sin
-        rope = rope_cos_sin(x.shape[1], cfg.head_dim, cfg.rope_theta)
-    has_rng = rng is not None and (cfg.attention_dropout > 0
-                                   or cfg.hidden_dropout > 0)
+        if position_ids is not None:
+            cos, sin = rope_cos_sin(int(position_ids.shape[0]), cfg.head_dim,
+                                    cfg.rope_theta)
+            rope = (cos[position_ids], sin[position_ids])
+        else:
+            rope = rope_cos_sin(x.shape[1], cfg.head_dim, cfg.rope_theta)
+    has_rng = (rng is not None or layer_keys is not None) and (
+        cfg.attention_dropout > 0 or cfg.hidden_dropout > 0)
 
     def block_fn(block, x, key):
         return apply_block(block, x, cfg=cfg, causal=causal, bias=bias,
@@ -222,9 +240,14 @@ def apply_transformer(blocks, x, cfg: TransformerCfg, *, causal: bool = False,
             block_fn, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
 
     n = jax.tree.leaves(blocks)[0].shape[0]
-    keys = (jax.random.split(rng, n) if has_rng
-            else jnp.zeros((n, 2), jnp.uint32))
+    if has_rng:
+        keys = layer_keys if layer_keys is not None else jax.random.split(rng, n)
+    else:
+        keys = jnp.zeros((n, 2), jnp.uint32)
     moe = cfg.num_experts > 0
+    # aux-carry zero derived from x so it inherits x's varying manual axes
+    # (required when running inside a shard_map region, e.g. the pipeline)
+    aux_zero = (x[(0,) * x.ndim] * 0).astype(jnp.float32)
     if cfg.scan_layers:
         def body(carry, xs):
             block, key = xs
@@ -235,12 +258,12 @@ def apply_transformer(blocks, x, cfg: TransformerCfg, *, causal: bool = False,
             return block_fn(block, carry, key), None
         if moe:
             (x, aux), _ = jax.lax.scan(
-                body, (x, jnp.zeros((), jnp.float32)), (blocks, keys))
+                body, (x, aux_zero), (blocks, keys))
             return x, aux
         x, _ = jax.lax.scan(body, x, (blocks, keys))
         return x
     else:
-        aux = jnp.zeros((), jnp.float32)
+        aux = aux_zero
         for i in range(n):
             out = block_fn(jax.tree.map(lambda t: t[i], blocks), x, keys[i])
             if moe:

@@ -138,6 +138,13 @@ def ring_attention(q, k, v, *, axis: str = "context", causal: bool = False,
     or with an explicit `mesh`. Batch is sharded over `batch_axes` and heads
     over `head_axis` when those axes exist in the mesh.
     """
+    from megatron_clip_tpu.parallel.mesh import manual_axes
+    if axis in manual_axes():
+        # already inside a manual region over `axis` (e.g. the pipeline's
+        # stage shard_map manualizes context too for cp+pp): inputs are the
+        # local seq shards — run the ring body directly
+        return ring_attention_local(q, k, v, axis_name=axis, causal=causal,
+                                    scale=scale, layout=layout)
     amesh = mesh if mesh is not None else jax.sharding.get_abstract_mesh()
     names = set(amesh.axis_names) if amesh is not None else set()
     bspec = tuple(a for a in batch_axes if a in names) or None

@@ -60,9 +60,10 @@ class _Branch:
     --recompute-granularity anyway); with cfg remat enabled the cost is
     already paid."""
 
-    def __init__(self, mesh: Mesh, fwd: Callable, tx):
+    def __init__(self, mesh: Mesh, fwd: Callable, tx, accum: int = 1):
         self.mesh = mesh
         self.tx = tx
+        self.accum = max(1, accum)
         self._fwd_fn = fwd
         self.fwd = jax.jit(fwd)
         self._update = jax.jit(self._update_impl, donate_argnums=(0, 1))
@@ -74,8 +75,29 @@ class _Branch:
         return optax.apply_updates(params, updates), opt_state
 
     def _bwd_update_impl(self, params, opt_state, batch, cotangent):
-        _, vjp = jax.vjp(self._fwd_fn, params, batch)
-        grads = vjp(cotangent)[0]
+        if self.accum > 1:
+            # open_CLIP --accum-freq in the branch step: the tower forward
+            # is per-sample independent, so the backward may run in
+            # microbatch chunks with the join's cotangent slices — grads
+            # sum to the exact full-batch gradient while peak activation
+            # memory drops by the accum factor (train.py:405-443 semantics;
+            # exactness holds because the batch coupling lives in the join,
+            # which already produced these cotangents).
+            a = self.accum
+            b = batch.shape[0]
+            bm = batch.reshape(a, b // a, *batch.shape[1:])
+            cm = cotangent.reshape(a, b // a, *cotangent.shape[1:])
+
+            def chunk(acc, xs):
+                bb, cc = xs
+                _, vjp = jax.vjp(self._fwd_fn, params, bb)
+                return jax.tree.map(jnp.add, acc, vjp(cc)[0]), None
+
+            zeros = jax.tree.map(lambda x: jnp.zeros_like(x), params)
+            grads, _ = jax.lax.scan(chunk, zeros, (bm, cm))
+        else:
+            _, vjp = jax.vjp(self._fwd_fn, params, batch)
+            grads = vjp(cotangent)[0]
         updates, opt_state = self.tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state
 
@@ -100,6 +122,7 @@ class BranchParallelCLIP:
     compute_dtype: Any = jnp.bfloat16
     remat: str = "none"
     devices: Optional[list] = None
+    accum_freq: int = 1   # open_CLIP --accum-freq: chunked tower backward
 
     def __post_init__(self):
         devices = list(self.devices if self.devices is not None else jax.devices())
@@ -183,8 +206,10 @@ class BranchParallelCLIP:
 
         v_tx, t_tx, h_tx = (tx_factory(vparams), tx_factory(tparams),
                             tx_factory(head_params))
-        self._vision = _Branch(self.vision_mesh, self._vision_fwd, v_tx)
-        self._text = _Branch(self.text_mesh, self._text_fwd, t_tx)
+        self._vision = _Branch(self.vision_mesh, self._vision_fwd, v_tx,
+                               accum=self.accum_freq)
+        self._text = _Branch(self.text_mesh, self._text_fwd, t_tx,
+                             accum=self.accum_freq)
         self._head_tx = h_tx
         self._head_update = jax.jit(
             lambda p, s, g: self._head_update_impl(h_tx, p, s, g),
@@ -204,6 +229,19 @@ class BranchParallelCLIP:
         params["logit_scale"] = jnp.clip(params["logit_scale"], 0.0,
                                          LOGIT_SCALE_MAX)
         return params, opt_state
+
+    def eval_params(self, state: BranchState):
+        """Full CLIP param tree gathered (replicated) onto the vision mesh —
+        the form the evaluation harness consumes via CLIPModel(params, ...).
+        The reference's branch eval requires cross-branch gathers too
+        (open_CLIP main.py epoch eval with the DDP model)."""
+        repl = NamedSharding(self.vision_mesh, P())
+        return {
+            "visual": jax.device_put(state.vision[0], repl),
+            "text": jax.device_put(state.text[0], repl),
+            "logit_scale": jax.device_put(
+                state.head[0]["logit_scale"], repl),
+        }
 
     # ---- the step ----------------------------------------------------------
     def train_step(self, state: BranchState, images, texts):

@@ -56,6 +56,22 @@ def build_mesh(cfg, devices: Optional[Sequence] = None,
     return Mesh(arr, (DATA, FSDP, STAGE, CONTEXT, TENSOR))
 
 
+def manual_axes() -> set:
+    """Mesh axes already manualized by an enclosing shard_map at the current
+    trace point (empty outside any manual region). Lets ops that open their
+    own shard_map (ring attention) or place sharding constraints
+    (_sp_constraint) compose when called inside another manual region —
+    e.g. context parallelism inside the pipeline's stage region."""
+    am = jax.sharding.get_abstract_mesh()
+    if am is None or not am.axis_names:
+        return set()
+    try:
+        return {n for n, t in zip(am.axis_names, am.axis_types)
+                if "Manual" in str(t)}
+    except Exception:  # noqa: BLE001 — older mesh objects without axis_types
+        return set()
+
+
 def batch_spec(mesh: Mesh, extra_dims: int = 0) -> P:
     """PartitionSpec for a [B, ...] batch: shard batch over data+fsdp."""
     return P((DATA, FSDP), *([None] * extra_dims))

@@ -22,6 +22,22 @@ Two schedules:
     liveness, which `jax.checkpoint` already bounds here;
   - `pipeline_transformer_interleaved`: the circular virtual-pipeline
     schedule (megatron VPP), bubble cut by the chunk count V.
+
+Feature composition (the reference scheduler handles all of these;
+schedules.py forward_step carries losses/rng implicitly via torch autograd
+and per-rank RNG states — here they are explicit scan state):
+  - dropout: per-(microbatch, layer) keys precomputed as
+    split(fold_in(rng, mb), L); each stage consumes its layer-slice, so the
+    masks are IDENTICAL to a pp=1 run applying fold_in(rng, mb) per
+    microbatch (megatron's tensor_parallel/random.py determinism, the SPMD
+    way);
+  - MoE: each stage accumulates its layers' aux loss over its active ticks;
+    the psum over stages / mean over microbatches is returned alongside the
+    activations (the analogue of megatron's per-rank moe loss reduction,
+    distrib_grad.py:85);
+  - context parallelism composes because the `context` axis stays auto
+    inside the stage shard_map (ring attention opens its own inner
+    shard_map over `context`).
 """
 from functools import partial
 from typing import Callable
@@ -32,7 +48,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from megatron_clip_tpu.config import TransformerCfg
 from megatron_clip_tpu.nn.transformer import apply_transformer
-from megatron_clip_tpu.parallel.mesh import STAGE
+from megatron_clip_tpu.parallel.mesh import CONTEXT, STAGE
 
 
 def _microbatch_bias(bias, m, b):
@@ -46,43 +62,118 @@ def _microbatch_bias(bias, m, b):
     return jnp.broadcast_to(bias[None], (m, *bias.shape))
 
 
+def _microbatch_keys(rng, cfg: TransformerCfg, m: int, n_layers: int):
+    """[M, L, 2] dropout keys: split(fold_in(rng, mb), L) — the law a pp=1
+    reference reproduces by folding the microbatch index into its rng."""
+    if rng is None or (cfg.attention_dropout == 0 and cfg.hidden_dropout == 0):
+        return None
+    return jax.vmap(
+        lambda i: jax.random.split(jax.random.fold_in(rng, i), n_layers)
+    )(jnp.arange(m))
+
+
+def _context_setup(mesh, cfg: TransformerCfg, x, bias, position_ids):
+    """Context parallelism inside the pipeline: the stage shard_map also
+    manualizes `context`, activations enter seq-sharded, and ring attention
+    (which detects the already-manual axis) runs on the local shards. The
+    rope tables are precomputed globally (honoring a zigzag position_ids
+    reorder) and sliced per context rank inside the region — x.shape[1]
+    there is the LOCAL seq, so apply_transformer cannot rebuild them.
+
+    Returns (cp_size, axis_names, x_seq_spec_axis, (cos, sin) or None)."""
+    cp_in = (getattr(cfg, "context_parallel", False)
+             and CONTEXT in mesh.shape and mesh.shape[CONTEXT] > 1)
+    if not cp_in:
+        return 1, {STAGE}, None, None
+    if bias is not None:
+        raise ValueError("additive attention bias is not supported with "
+                         "context parallelism in the pipeline")
+    rope_tabs = None
+    if cfg.rope:
+        from megatron_clip_tpu.ops.rope import rope_cos_sin
+        cos, sin = rope_cos_sin(x.shape[1], cfg.head_dim, cfg.rope_theta)
+        if position_ids is not None:
+            cos, sin = cos[position_ids], sin[position_ids]
+        rope_tabs = (cos, sin)
+    return mesh.shape[CONTEXT], {STAGE, CONTEXT}, CONTEXT, rope_tabs
+
+
+def _vary(x, axes):
+    """pcast to varying over `axes`, skipping axes x already varies over
+    (pcast rejects re-varying; zeros derived from seq-sharded inputs arrive
+    already context-varying)."""
+    try:
+        cur = x.aval.vma
+    except AttributeError:
+        cur = frozenset()
+    need = tuple(a for a in axes if a not in cur)
+    return jax.lax.pcast(x, need, to="varying") if need else x
+
+
+def _local_rope(rope_tabs, cp_size: int, s_global: int):
+    """Slice the global rope tables to this context rank's seq shard."""
+    if rope_tabs is None or cp_size == 1:
+        return rope_tabs
+    cos, sin = rope_tabs
+    sloc = s_global // cp_size
+    crank = jax.lax.axis_index(CONTEXT)
+    return (jax.lax.dynamic_slice_in_dim(cos, crank * sloc, sloc, 0),
+            jax.lax.dynamic_slice_in_dim(sin, crank * sloc, sloc, 0))
+
+
 def pipeline_transformer(blocks, x, cfg: TransformerCfg, *, mesh: Mesh,
                          num_microbatches: int, causal: bool = False,
-                         bias=None):
+                         bias=None, rng=None, position_ids=None):
     """Run the stacked transformer blocks pipelined over the mesh's `stage`
     axis. blocks leaves: [L, ...] with L % n_stages == 0; x: [B, S, W] with
     B % num_microbatches == 0. `bias` (additive attention mask, e.g. BERT
-    padding) travels with its microbatch through the ring. Numerically
-    identical to apply_transformer.
+    padding) travels with its microbatch through the ring. Returns the same
+    contract as apply_transformer: activations, or (activations, moe_aux)
+    when cfg.num_experts (aux = mean over microbatches of the per-microbatch
+    layer-summed aux). Numerically identical to a microbatched
+    apply_transformer.
 
     Memory profile: with the fixed global batch B, per-stage activation
     residuals total ~B * (1 + (S-1)/M) block-inputs regardless of M —
     GPipe's storage, bounded by jax.checkpoint at block granularity
     (cfg.remat) instead of megatron's deallocate_output_tensor surgery;
-    see tests/test_pipeline_memory.py for the measured curve.
+    see tests/test_pipeline.py for the compile-time memory check.
     """
     n_stages = mesh.shape[STAGE]
     if n_stages == 1:
-        return apply_transformer(blocks, x, cfg, causal=causal, bias=bias)
+        return apply_transformer(blocks, x, cfg, causal=causal, bias=bias,
+                                 rng=rng, position_ids=position_ids)
 
     n_layers = jax.tree.leaves(blocks)[0].shape[0]
     if n_layers % n_stages:
         raise ValueError(f"{n_layers} layers not divisible by {n_stages} stages")
+    lc = n_layers // n_stages
     m = num_microbatches
     b = x.shape[0]
     if b % m:
         raise ValueError(f"batch {b} not divisible by {m} microbatches")
     xm = x.reshape(m, b // m, *x.shape[1:])
     bm = _microbatch_bias(bias, m, b)
+    km = _microbatch_keys(rng, cfg, m, n_layers)
+    moe = cfg.num_experts > 0
+    cp_size, axis_names, seq_axis, rope_tabs = _context_setup(
+        mesh, cfg, x, bias, position_ids)
+    s_global = x.shape[1]
 
-    def staged(stage_blocks, xm, bm):
+    def staged(stage_blocks, xm, bm, km, rope_tabs):
         stage = jax.lax.axis_index(STAGE)
-        fwd = partial(apply_transformer, stage_blocks, cfg=cfg, causal=causal)
+        if cp_size > 1:
+            fwd = partial(apply_transformer, stage_blocks, cfg=cfg,
+                          causal=causal,
+                          rope=_local_rope(rope_tabs, cp_size, s_global))
+        else:
+            fwd = partial(apply_transformer, stage_blocks, cfg=cfg,
+                          causal=causal, position_ids=position_ids)
         ticks = m + n_stages - 1
         shift = [(i, i + 1) for i in range(n_stages - 1)]
 
         def tick(carry, t):
-            state, state_bias, out_buf = carry
+            state, state_bias, out_buf, acc_aux = carry
             mb_idx = jnp.clip(t - stage, 0, m - 1)
             inp = jax.lax.dynamic_index_in_dim(
                 xm, jnp.minimum(t, m - 1), 0, keepdims=False)
@@ -91,14 +182,25 @@ def pipeline_transformer(blocks, x, cfg: TransformerCfg, *, mesh: Mesh,
             # zeros (LN/softmax-safe) instead of stale ring garbage
             active = (t >= stage) & (t - stage < m)
             cur = jnp.where(active, cur, jnp.zeros_like(cur))
+            kw = {}
+            if km is not None:
+                lkeys = jax.lax.dynamic_index_in_dim(km, mb_idx, 0,
+                                                     keepdims=False)
+                kw["layer_keys"] = jax.lax.dynamic_slice_in_dim(
+                    lkeys, stage * lc, lc, 0)
             if bm is not None:
                 bias_in = jax.lax.dynamic_index_in_dim(
                     bm, jnp.minimum(t, m - 1), 0, keepdims=False)
                 cur_bias = jnp.where(stage == 0, bias_in, state_bias)
-                y = fwd(x=cur, bias=cur_bias)
+                out = fwd(x=cur, bias=cur_bias, **kw)
                 state_bias = jax.lax.ppermute(cur_bias, STAGE, shift)
             else:
-                y = fwd(x=cur)
+                out = fwd(x=cur, **kw)
+            if moe:
+                y, aux_t = out
+                acc_aux = acc_aux + jnp.where(active, aux_t, 0.0)
+            else:
+                y = out
             # the last stage writes microbatch t-(S-1) into the output slot
             write = (stage == n_stages - 1) & active
             prev = jax.lax.dynamic_index_in_dim(out_buf, mb_idx, 0,
@@ -106,25 +208,33 @@ def pipeline_transformer(blocks, x, cfg: TransformerCfg, *, mesh: Mesh,
             out_buf = jax.lax.dynamic_update_index_in_dim(
                 out_buf, jnp.where(write, y, prev), mb_idx, 0)
             state = jax.lax.ppermute(y, STAGE, shift)
-            return (state, state_bias, out_buf), None
+            return (state, state_bias, out_buf, acc_aux), None
 
-        zero = jax.lax.pcast(jnp.zeros_like(xm[0]), (STAGE,), to="varying")
-        zero_bias = None if bm is None else jax.lax.pcast(
-            jnp.zeros_like(bm[0]), (STAGE,), to="varying")
-        out0 = jax.lax.pcast(jnp.zeros_like(xm), (STAGE,), to="varying")
-        (_, _, outs), _ = jax.lax.scan(tick, (zero, zero_bias, out0),
-                                       jnp.arange(ticks))
+        vary = tuple(axis_names)
+        zero = _vary(jnp.zeros_like(xm[0]), vary)
+        zero_bias = None if bm is None else _vary(jnp.zeros_like(bm[0]),
+                                                  (STAGE,))
+        out0 = _vary(jnp.zeros_like(xm), vary)
+        aux0 = _vary(jnp.zeros((), jnp.float32), vary)
+        (_, _, outs, acc_aux), _ = jax.lax.scan(
+            tick, (zero, zero_bias, out0, aux0), jnp.arange(ticks))
         # only the last stage's buffer holds data; broadcast to every stage
         mask = (stage == n_stages - 1).astype(outs.dtype)
-        return jax.lax.psum(outs * mask, STAGE)
+        acc_aux = jax.lax.psum(acc_aux, STAGE) / m
+        if cp_size > 1:
+            # each context rank saw only its seq shard's router decisions
+            acc_aux = jax.lax.pmean(acc_aux, CONTEXT)
+        return jax.lax.psum(outs * mask, STAGE), acc_aux
 
-    out = jax.shard_map(
+    xspec = P(None, None, seq_axis)       # [M, mb, S(/cp), W]
+    out, aux = jax.shard_map(
         staged, mesh=mesh,
-        in_specs=(P(STAGE), P(), P()),
-        out_specs=P(),
-        axis_names={STAGE},
-    )(blocks, xm, bm)
-    return out.reshape(b, *x.shape[1:])
+        in_specs=(P(STAGE), xspec, P(), P(), P()),
+        out_specs=(xspec, P()),
+        axis_names=axis_names,
+    )(blocks, xm, bm, km, rope_tabs)
+    out = out.reshape(b, *x.shape[1:])
+    return (out, aux) if moe else out
 
 
 def make_pipelined_layers_fn(mesh: Mesh, num_microbatches: int,
@@ -132,27 +242,24 @@ def make_pipelined_layers_fn(mesh: Mesh, num_microbatches: int,
     """Adapter for towers: returns layers_fn(blocks, x, cfg, causal) that the
     model applies in place of apply_transformer when pp > 1. num_chunks > 1
     selects the interleaved (virtual-pipeline) schedule."""
-    def layers_fn(blocks, x, cfg, *, causal=False, bias=None):
-        if getattr(cfg, "num_experts", 0):
-            raise ValueError(
-                "pipeline parallelism (pp>1) does not support MoE layers yet: "
-                "the SwitchMLP aux loss cannot be threaded through the "
-                "pipeline schedule. Use tp/fsdp/sp with --num-experts, or "
-                "pp without experts.")
+    def layers_fn(blocks, x, cfg, *, causal=False, bias=None, rng=None,
+                  position_ids=None):
         if num_chunks > 1:
             return pipeline_transformer_interleaved(
                 blocks, x, cfg, mesh=mesh, num_microbatches=num_microbatches,
-                num_chunks=num_chunks, causal=causal, bias=bias)
+                num_chunks=num_chunks, causal=causal, bias=bias, rng=rng,
+                position_ids=position_ids)
         return pipeline_transformer(blocks, x, cfg, mesh=mesh,
                                     num_microbatches=num_microbatches,
-                                    causal=causal, bias=bias)
+                                    causal=causal, bias=bias, rng=rng,
+                                    position_ids=position_ids)
     return layers_fn
 
 
 def pipeline_transformer_interleaved(blocks, x, cfg: TransformerCfg, *,
                                      mesh: Mesh, num_microbatches: int,
                                      num_chunks: int, causal: bool = False,
-                                     bias=None):
+                                     bias=None, rng=None, position_ids=None):
     """Interleaved (virtual-pipeline) schedule — megatron's
     `forward_backward_pipelining_with_interleaving` (schedules.py:370-935)
     done as a circular ring.
@@ -165,6 +272,8 @@ def pipeline_transformer_interleaved(blocks, x, cfg: TransformerCfg, *,
     Schedule law: at tick t, stage s advances the activation whose chunk is
     ((t-s)//S) mod V; stage 0 injects microbatch (t//(S*V))*S + t%S whenever
     (t//S) % V == 0; the final activation exits stage S-1 on chunk V-1.
+    The microbatch at (t, s) is recovered as t0 = t - s - S*chunk (its
+    injection tick), mb = (t0//(S*V))*S + t0%S — used to pick dropout keys.
     Requires M % S == 0 and layers % (S*V) == 0.
     """
     n_stages = mesh.shape[STAGE]
@@ -172,7 +281,8 @@ def pipeline_transformer_interleaved(blocks, x, cfg: TransformerCfg, *,
     if n_stages == 1 or v == 1:
         return pipeline_transformer(blocks, x, cfg, mesh=mesh,
                                     num_microbatches=num_microbatches,
-                                    causal=causal, bias=bias)
+                                    causal=causal, bias=bias, rng=rng,
+                                    position_ids=position_ids)
     m = num_microbatches
     if m % n_stages:
         raise ValueError(f"microbatches {m} must be divisible by "
@@ -187,6 +297,11 @@ def pipeline_transformer_interleaved(blocks, x, cfg: TransformerCfg, *,
         raise ValueError(f"batch {b} not divisible by {m} microbatches")
     xm = x.reshape(m, b // m, *x.shape[1:])
     bm = _microbatch_bias(bias, m, b)
+    km = _microbatch_keys(rng, cfg, m, n_layers)
+    moe = cfg.num_experts > 0
+    cp_size, axis_names, seq_axis, rope_tabs = _context_setup(
+        mesh, cfg, x, bias, position_ids)
+    s_global = x.shape[1]
 
     # rearrange stacked layers [L,...] -> [S, V, Lc, ...] with global chunk
     # k*S + s at [s, k] (round-robin chunk placement)
@@ -200,14 +315,17 @@ def pipeline_transformer_interleaved(blocks, x, cfg: TransformerCfg, *,
     sv = n_stages * v
     ticks = m * v + n_stages - 1
 
-    def staged(stage_blocks, xm, bm):
+    def staged(stage_blocks, xm, bm, km, rope_tabs):
         # shard_map divides the leading S axis to size 1; squeeze it
         stage_blocks = jax.tree.map(lambda l: l[0], stage_blocks)  # [V, Lc,...]
         stage = jax.lax.axis_index(STAGE)
         shift = [(i, (i + 1) % n_stages) for i in range(n_stages)]
+        local_rope = (_local_rope(rope_tabs, cp_size, s_global)
+                      if cp_size > 1 else None)
+        pos_ids = None if cp_size > 1 else position_ids
 
         def tick(carry, t):
-            state, state_bias = carry
+            state, state_bias, acc_aux = carry
             rel = t - stage
             chunk = jnp.where(rel >= 0, (rel // n_stages) % v, 0)
             inject = (stage == 0) & ((t // n_stages) % v == 0)
@@ -222,22 +340,45 @@ def pipeline_transformer_interleaved(blocks, x, cfg: TransformerCfg, *,
                 lambda l: jax.lax.dynamic_index_in_dim(l, chunk, 0,
                                                        keepdims=False),
                 stage_blocks)
+            kw = {}
+            if km is not None:
+                # microbatch being advanced: injected at t0 = t - s - S*chunk
+                t0 = t - stage - n_stages * chunk
+                m_cur = jnp.clip((t0 // sv) * n_stages + t0 % n_stages,
+                                 0, m - 1)
+                lkeys = jax.lax.dynamic_index_in_dim(km, m_cur, 0,
+                                                     keepdims=False)
+                # global chunk g = chunk*S + stage holds layers
+                # [g*lc, (g+1)*lc)
+                kw["layer_keys"] = jax.lax.dynamic_slice_in_dim(
+                    lkeys, (chunk * n_stages + stage) * lc, lc, 0)
             if bm is not None:
                 bias_in = jax.lax.dynamic_index_in_dim(bm, m_in, 0,
                                                        keepdims=False)
                 cur_bias = jnp.where(inject, bias_in, state_bias)
-                y = apply_transformer(chunk_blocks, cur, cfg, causal=causal,
-                                      bias=cur_bias)
+                out = apply_transformer(chunk_blocks, cur, cfg, causal=causal,
+                                        bias=cur_bias, rope=local_rope,
+                                        position_ids=pos_ids, **kw)
                 state_bias = jax.lax.ppermute(cur_bias, STAGE, shift)
             else:
-                y = apply_transformer(chunk_blocks, cur, cfg, causal=causal)
+                out = apply_transformer(chunk_blocks, cur, cfg, causal=causal,
+                                        rope=local_rope,
+                                        position_ids=pos_ids, **kw)
+            if moe:
+                y, aux_t = out
+                acc_aux = acc_aux + jnp.where(active, aux_t, 0.0)
+            else:
+                y = out
             state = jax.lax.ppermute(y, STAGE, shift)
-            return (state, state_bias), y
+            return (state, state_bias, acc_aux), y
 
-        init = jax.lax.pcast(jnp.zeros_like(xm[0]), (STAGE,), to="varying")
-        init_bias = None if bm is None else jax.lax.pcast(
-            jnp.zeros_like(bm[0]), (STAGE,), to="varying")
-        _, ys = jax.lax.scan(tick, (init, init_bias), jnp.arange(ticks))
+        vary = tuple(axis_names)
+        init = _vary(jnp.zeros_like(xm[0]), vary)
+        init_bias = None if bm is None else _vary(jnp.zeros_like(bm[0]),
+                                                  (STAGE,))
+        aux0 = _vary(jnp.zeros((), jnp.float32), vary)
+        (_, _, acc_aux), ys = jax.lax.scan(
+            tick, (init, init_bias, aux0), jnp.arange(ticks))
 
         # final outputs leave the last stage on chunk V-1: ticks where
         # ((t - (S-1))//S) % V == V-1, in microbatch order — static indices
@@ -250,12 +391,17 @@ def pipeline_transformer_interleaved(blocks, x, cfg: TransformerCfg, *,
         assert len(out_ticks) == m, (out_ticks, m)
         outs = ys[jnp.asarray(out_ticks)]
         mask = (stage == n_stages - 1).astype(outs.dtype)
-        return jax.lax.psum(outs * mask, STAGE)
+        acc_aux = jax.lax.psum(acc_aux, STAGE) / m
+        if cp_size > 1:
+            acc_aux = jax.lax.pmean(acc_aux, CONTEXT)
+        return jax.lax.psum(outs * mask, STAGE), acc_aux
 
-    out = jax.shard_map(
+    xspec = P(None, None, seq_axis)
+    out, aux = jax.shard_map(
         staged, mesh=mesh,
-        in_specs=(P(STAGE), P(), P()),
-        out_specs=P(),
-        axis_names={STAGE},
-    )(stage_major, xm, bm)
-    return out.reshape(b, *x.shape[1:])
+        in_specs=(P(STAGE), xspec, P(), P(), P()),
+        out_specs=(xspec, P()),
+        axis_names=axis_names,
+    )(stage_major, xm, bm, km, rope_tabs)
+    out = out.reshape(b, *x.shape[1:])
+    return (out, aux) if moe else out

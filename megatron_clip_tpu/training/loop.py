@@ -143,6 +143,7 @@ def run_training(args) -> dict:
     else:
         runner = _JointRunner(args, model, params, tx_factory,
                               ParallelCfg(dp=dp, fsdp=fsdp, tp=tp, pp=pp,
+                                          vpp=args.virtual_pipeline_parallel_size,
                                           microbatches=args.num_microbatches),
                               loss_obj, teacher=teacher)
 
@@ -308,12 +309,27 @@ def run_training(args) -> dict:
 
 
 class _JointRunner:
-    """Single-mesh (dp/fsdp/tp[/pp]) train-step runner."""
+    """Single-mesh (dp/fsdp/tp[/pp]) train-step runner.
+
+    With pp > 1 both towers run under the pipelined layer schedule on the
+    `stage` axis (the reference's flagship configuration: one scheduler over
+    both towers, schedules.py:1043 driving pretrain_CLIP.py) — the pipeline
+    microbatch count is --num-microbatches, and vpp > 1 selects the
+    interleaved schedule."""
 
     def __init__(self, args, model, params, tx_factory, pcfg, loss_obj,
                  teacher=None):
-        self.model = model
         self.mesh = build_mesh(pcfg) if pcfg.num_devices > 1 else None
+        if pcfg.pp > 1:
+            if self.mesh is None:
+                raise ValueError("--pipeline-model-parallel-size > 1 needs "
+                                 "more than one device")
+            from megatron_clip_tpu.parallel.pipeline import \
+                make_pipelined_layers_fn
+            model = dataclasses.replace(
+                model, layers_fn=make_pipelined_layers_fn(
+                    self.mesh, max(1, pcfg.microbatches), pcfg.vpp))
+        self.model = model
         self.tx = tx_factory(params)
         state = TrainState.create(params, self.tx)
         if self.mesh is not None:
@@ -353,17 +369,20 @@ class _BranchRunner:
         main_world = len(devices) - extra
         tp, pp = args.tensor_model_parallel_size, args.pipeline_model_parallel_size
         xtp, xpp = args.xtensor_model_parallel_size, args.xpipeline_model_parallel_size
-        vdp = max(1, main_world // (tp * pp))
-        tdp = max(1, extra // (xtp * xpp))
+        fsdp = max(1, args.fsdp_parallel_size)
+        vdp = max(1, main_world // (tp * pp * fsdp))
+        tdp = max(1, extra // (xtp * xpp * fsdp))
         bp = BranchParallelCfg(
-            vision=ParallelCfg(dp=vdp, tp=tp, pp=pp,
+            vision=ParallelCfg(dp=vdp, fsdp=fsdp, tp=tp, pp=pp,
                                vpp=args.virtual_pipeline_parallel_size,
                                microbatches=args.num_microbatches),
-            text=ParallelCfg(dp=tdp, tp=xtp, pp=xpp,
+            text=ParallelCfg(dp=tdp, fsdp=fsdp, tp=xtp, pp=xpp,
                              microbatches=args.num_microbatches))
+        self.model = model
         self.runner = BranchParallelCLIP(
             cfg=model.cfg, bp=bp, compute_dtype=model.precision.compute_jnp,
-            remat=model.remat, devices=devices)
+            remat=model.remat, devices=devices,
+            accum_freq=max(1, args.accum_freq))
         self.state = self.runner.init_state(jax.random.PRNGKey(args.seed),
                                             tx_factory)
 
@@ -371,6 +390,11 @@ class _BranchRunner:
         self.state, metrics = self.runner.train_step(
             self.state, jnp.asarray(images), jnp.asarray(texts))
         return metrics
+
+    def eval_model(self):
+        """(model, params) for the epoch eval/zero-shot harness: the two
+        towers + logit scale gathered onto the vision mesh."""
+        return self.model, self.runner.eval_params(self.state)
 
     def save(self, root, step, consumed):
         save_checkpoint(root, step, self.state._asdict(),

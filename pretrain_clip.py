@@ -22,6 +22,16 @@ Examples:
       --pipeline-model-parallel-size 4 --num-microbatches 8 \\
       --xtensor-model-parallel-size 2 --xpipeline-model-parallel-size 2
 """
+import os
+
+if os.environ.get("MCT_FORCE_CPU") == "1" or \
+        os.environ.get("JAX_PLATFORMS") == "cpu":
+    # the axon sitecustomize force-registers the TPU plugin regardless of
+    # JAX_PLATFORMS; honor a cpu request at the config level too (needed for
+    # the virtual 8-device mesh: XLA_FLAGS=--xla_force_host_platform_device_count=N)
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
 from megatron_clip_tpu.training.params import parse_args
 from megatron_clip_tpu.training.loop import run_training
 

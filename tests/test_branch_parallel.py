@@ -80,3 +80,44 @@ def test_too_few_devices_raises(devices8):
     bp = BranchParallelCfg(vision=ParallelCfg(dp=8), text=ParallelCfg(dp=8))
     with pytest.raises(ValueError, match="extra_world_size"):
         BranchParallelCLIP(cfg=TINY, bp=bp)
+
+
+def test_branch_accum_freq_matches_full_batch(devices8):
+    """--accum-freq in the branch step: chunked tower backward (4 chunks)
+    must reproduce the full-batch step exactly — the batch coupling lives
+    in the join, so per-chunk vjp grads sum to the full gradient."""
+    bp = BranchParallelCfg(vision=ParallelCfg(dp=2, tp=2),
+                           text=ParallelCfg(dp=2, tp=2))
+    r1 = BranchParallelCLIP(cfg=TINY, bp=bp, compute_dtype=jnp.float32)
+    s1 = r1.init_state(jax.random.PRNGKey(0), _tx_factory)
+    r4 = BranchParallelCLIP(cfg=TINY, bp=bp, compute_dtype=jnp.float32,
+                            accum_freq=4)
+    s4 = r4.init_state(jax.random.PRNGKey(0), _tx_factory)
+    images, texts = _data()
+    for _ in range(2):
+        s1, m1 = r1.train_step(s1, images, texts)
+        s4, m4 = r4.train_step(s4, images, texts)
+    assert abs(float(m1["loss"]) - float(m4["loss"])) < 1e-5
+    for a, b in zip(jax.tree.leaves(s1.vision[0]),
+                    jax.tree.leaves(s4.vision[0])):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-5)
+
+
+def test_branch_eval_params_runs_eval(devices8):
+    """eval_params gathers both towers + logit scale onto the vision mesh;
+    the joint CLIPModel apply must run on them (epoch-eval parity,
+    open_CLIP main.py eval cadence)."""
+    bp = BranchParallelCfg(vision=ParallelCfg(dp=1, tp=4),
+                           text=ParallelCfg(dp=4, tp=1))
+    runner = BranchParallelCLIP(cfg=TINY, bp=bp, compute_dtype=jnp.float32)
+    state = runner.init_state(jax.random.PRNGKey(0), _tx_factory)
+    images, texts = _data()
+    state, _ = runner.train_step(state, images, texts)
+
+    params = runner.eval_params(state)
+    model = CLIPModel(cfg=TINY, precision=Precision("float32", "float32"))
+    out = model(params, images, texts)
+    fi, ft = out["image_features"], out["text_features"]
+    assert fi.shape == (8, TINY.embed_dim) and ft.shape == (8, TINY.embed_dim)
+    np.testing.assert_allclose(np.asarray(jnp.linalg.norm(fi, axis=-1)),
+                               np.ones(8), rtol=1e-5)

@@ -130,3 +130,43 @@ def test_cp_rejects_bias_and_dropout():
         multi_head_attention(x, params, 4, context_parallel=True,
                              dropout_rate=0.1,
                              dropout_rng=jax.random.PRNGKey(0))
+
+
+def test_gpt_zigzag_cp_training_matches_serial(devices8):
+    """--context-parallel-layout zigzag: tokens/targets zigzag-reordered and
+    position ids threaded through rope + pos-embed, so the loss matches the
+    cp=1 natural-order run (the load-balanced causal layout, megatron-LM's
+    cp_rank chunk assignment done end-to-end)."""
+    from pretrain_gpt import parse_args, run
+
+    common = ["--num-layers", "2", "--hidden-size", "64", "--num-heads", "4",
+              "--seq-length", "64", "--vocab-size", "256",
+              "--batch-size", "8", "--train-steps", "4", "--warmup", "1",
+              "--precision", "fp32", "--log-interval", "2"]
+    for pos in ("rope", "learned"):
+        m_zig = run(parse_args(common + [
+            "--position-embedding", pos,
+            "--context-parallel-size", "4",
+            "--context-parallel-layout", "zigzag"]))
+        m_serial = run(parse_args(common + ["--position-embedding", pos]))
+        np.testing.assert_allclose(m_zig["loss"], m_serial["loss"],
+                                   atol=2e-4, rtol=2e-4)
+
+
+def test_gpt_cp_with_pipeline(devices8):
+    """cp2 x pp2: the ring-attention context axis threads through the
+    pipeline schedule (nested shard_map, context stays auto inside the
+    stage-manual region) — previously a SystemExit."""
+    from pretrain_gpt import parse_args, run
+
+    common = ["--num-layers", "4", "--hidden-size", "64", "--num-heads", "4",
+              "--seq-length", "32", "--vocab-size", "256",
+              "--batch-size", "8", "--train-steps", "2", "--warmup", "1",
+              "--precision", "fp32", "--log-interval", "1"]
+    m = run(parse_args(common + [
+        "--context-parallel-size", "2",
+        "--pipeline-model-parallel-size", "2",
+        "--num-microbatches", "2"]))
+    m_serial = run(parse_args(common))
+    np.testing.assert_allclose(m["loss"], m_serial["loss"],
+                               atol=2e-4, rtol=2e-4)

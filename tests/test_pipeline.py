@@ -187,3 +187,149 @@ def test_pipeline_memory_flat_in_microbatches(devices8):
     # more microbatches => smaller per-tick tensors; allow 25% headroom for
     # scheduling noise but forbid superlinear growth
     assert t16 <= t4 * 1.25, (t4, t16)
+
+
+# ---------------- feature composition through the schedule -------------------
+# The reference scheduler (schedules.py) runs dropout / MoE under pp without
+# special-casing; these pin the TPU schedules to the same composability.
+
+DROP_CFG = TransformerCfg(layers=4, width=64, heads=4,
+                          attention_dropout=0.1, hidden_dropout=0.1,
+                          use_flash=False)
+
+
+def _microbatched_ref(blocks, x, cfg, rng, m, **kw):
+    """pp=1 reference with the per-microbatch key law the pipeline uses:
+    split(fold_in(rng, mb), L)."""
+    mb = x.shape[0] // m
+    outs = []
+    for i in range(m):
+        r = None if rng is None else jax.random.fold_in(rng, i)
+        outs.append(apply_transformer(blocks, x[i * mb:(i + 1) * mb], cfg,
+                                      rng=r, **kw))
+    return jnp.concatenate(outs, 0)
+
+
+def test_pipeline_dropout_matches_microbatched(devices8):
+    mesh = build_mesh(ParallelCfg(pp=4, microbatches=4))
+    blocks = init_transformer(jax.random.PRNGKey(0), DROP_CFG)
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 16, 64))
+    rng = jax.random.PRNGKey(42)
+    want = _microbatched_ref(blocks, x, DROP_CFG, rng, 4)
+    got = pipeline_transformer(blocks, x, DROP_CFG, mesh=mesh,
+                               num_microbatches=4, rng=rng)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_interleaved_dropout_matches_microbatched(devices8):
+    from megatron_clip_tpu.parallel.pipeline import \
+        pipeline_transformer_interleaved
+    mesh = build_mesh(ParallelCfg(pp=2, microbatches=4))
+    blocks = init_transformer(jax.random.PRNGKey(0), DROP_CFG)
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 16, 64))
+    rng = jax.random.PRNGKey(42)
+    want = _microbatched_ref(blocks, x, DROP_CFG, rng, 4)
+    got = pipeline_transformer_interleaved(
+        blocks, x, DROP_CFG, mesh=mesh, num_microbatches=4, num_chunks=2,
+        rng=rng)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_pipeline_dropout_gradients_match(devices8):
+    mesh = build_mesh(ParallelCfg(pp=4, microbatches=4))
+    blocks = init_transformer(jax.random.PRNGKey(0), DROP_CFG)
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 16, 64))
+    rng = jax.random.PRNGKey(42)
+
+    def loss_ref(b):
+        return (_microbatched_ref(b, x, DROP_CFG, rng, 4) ** 2).sum()
+
+    def loss_pipe(b):
+        return (pipeline_transformer(b, x, DROP_CFG, mesh=mesh,
+                                     num_microbatches=4, rng=rng) ** 2).sum()
+
+    g_ref = jax.grad(loss_ref)(blocks)
+    g_pipe = jax.grad(loss_pipe)(blocks)
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_pipe)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-4, atol=5e-4)
+
+
+def test_pipeline_moe_aux_matches_microbatched(devices8):
+    """MoE aux loss threads through the schedule: mean over microbatches of
+    the per-microbatch layer-summed aux (distrib_grad.py:85 analogue)."""
+    cfg = TransformerCfg(layers=4, width=64, heads=4, num_experts=4,
+                         use_flash=False)
+    mesh = build_mesh(ParallelCfg(pp=4, microbatches=4))
+    blocks = init_transformer(jax.random.PRNGKey(2), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 16, 64))
+
+    outs, auxs = [], []
+    for i in range(4):
+        o, a = apply_transformer(blocks, x[i * 2:(i + 1) * 2], cfg)
+        outs.append(o)
+        auxs.append(a)
+    want, want_aux = jnp.concatenate(outs, 0), jnp.mean(jnp.stack(auxs))
+    got, got_aux = pipeline_transformer(blocks, x, cfg, mesh=mesh,
+                                        num_microbatches=4)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(float(got_aux), float(want_aux), rtol=1e-5)
+
+
+def test_interleaved_moe_aux_matches_microbatched(devices8):
+    from megatron_clip_tpu.parallel.pipeline import \
+        pipeline_transformer_interleaved
+    cfg = TransformerCfg(layers=4, width=64, heads=4, num_experts=4,
+                         use_flash=False)
+    mesh = build_mesh(ParallelCfg(pp=2, microbatches=4))
+    blocks = init_transformer(jax.random.PRNGKey(2), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 16, 64))
+
+    outs, auxs = [], []
+    for i in range(4):
+        o, a = apply_transformer(blocks, x[i * 2:(i + 1) * 2], cfg)
+        outs.append(o)
+        auxs.append(a)
+    want, want_aux = jnp.concatenate(outs, 0), jnp.mean(jnp.stack(auxs))
+    got, got_aux = pipeline_transformer_interleaved(
+        blocks, x, cfg, mesh=mesh, num_microbatches=4, num_chunks=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(float(got_aux), float(want_aux), rtol=1e-5)
+
+
+def test_joint_clip_pipeline_matches_single_device(devices8):
+    """The flagship configuration: BOTH towers pipelined over the stage axis
+    of ONE mesh (pp2 x dp2 x tp2, mb4) must reproduce the single-device
+    train step — the capability megatron's pretrain_CLIP.py+schedules.py:1043
+    reaches for (and VERDICT r2 flagged as a silent no-op)."""
+    from megatron_clip_tpu import factory
+    from megatron_clip_tpu.losses import ClipLoss
+    from megatron_clip_tpu.training.loop import _JointRunner
+    from megatron_clip_tpu.training.optim import make_optimizer
+
+    class A:
+        accum_freq = 1
+
+    tx_factory = lambda p: make_optimizer(p, lambda s: 1e-3)
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.randn(8, 32, 32, 3).astype(np.float32))
+    texts = jnp.asarray(rng.randint(1, 40000, (8, 32)).astype(np.int32))
+
+    model1, params1 = factory.create_model("test-tiny", precision="fp32")
+    r1 = _JointRunner(A(), model1, params1, tx_factory, ParallelCfg(),
+                      ClipLoss())
+    model2, params2 = factory.create_model("test-tiny", precision="fp32")
+    r2 = _JointRunner(A(), model2, params2, tx_factory,
+                      ParallelCfg(dp=2, tp=2, pp=2, microbatches=4),
+                      ClipLoss())
+    for _ in range(2):
+        m1 = r1.step(images, texts)
+        m2 = r2.step(images, texts)
+    assert abs(float(m1["loss"]) - float(m2["loss"])) < 1e-4
+    for a, b in zip(jax.tree.leaves(r1.state.params),
+                    jax.tree.leaves(r2.state.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-4)
