@@ -65,8 +65,12 @@ def init_bert(key, cfg: BertCfg, dtype=jnp.float32):
 
 def apply_bert(params, tokens, cfg: BertCfg, *, pad_mask=None,
                token_types=None, compute_dtype=jnp.bfloat16,
-               tcfg: Optional[TransformerCfg] = None):
-    """tokens [B, S]; pad_mask [B, S] 1=real. Returns (lm_logits, nsp_logits)."""
+               tcfg: Optional[TransformerCfg] = None, layers_fn=None,
+               rng=None):
+    """tokens [B, S]; pad_mask [B, S] 1=real. Returns (lm_logits, nsp_logits).
+
+    `layers_fn`: pipeline schedule adapter (pp>1) — the padding bias travels
+    with each microbatch through the ring. `rng`: enables dropout."""
     tcfg = tcfg or cfg.transformer()
     s = tokens.shape[1]
     x = params["tok_embed"][tokens].astype(compute_dtype)
@@ -77,7 +81,12 @@ def apply_bert(params, tokens, cfg: BertCfg, *, pad_mask=None,
     if pad_mask is not None:
         # additive attention bias: block attending TO padding
         bias = jnp.where(pad_mask[:, None, None, :].astype(bool), 0.0, -1e30)
-    x = apply_transformer(params["blocks"], x, tcfg, causal=False, bias=bias)
+    if layers_fn is None:
+        x = apply_transformer(params["blocks"], x, tcfg, causal=False,
+                              bias=bias, rng=rng)
+    else:
+        x = layers_fn(params["blocks"], x, tcfg, causal=False, bias=bias,
+                      rng=rng)
     x = apply_norm(params["ln_f"], x)
 
     h = x @ params["lm_head"]["dense"]["w"].astype(x.dtype) \
@@ -98,12 +107,14 @@ def apply_bert(params, tokens, cfg: BertCfg, *, pad_mask=None,
 
 def bert_loss(params, tokens, labels, loss_mask, cfg: BertCfg, *,
               pad_mask=None, token_types=None, is_next=None,
-              compute_dtype=jnp.bfloat16, tcfg=None):
+              compute_dtype=jnp.bfloat16, tcfg=None, layers_fn=None,
+              rng=None):
     """Masked-LM CE over masked positions + optional NSP CE
     (pretrain_bert.py loss_func semantics)."""
     lm_logits, nsp_logits = apply_bert(params, tokens, cfg, pad_mask=pad_mask,
                                        token_types=token_types,
-                                       compute_dtype=compute_dtype, tcfg=tcfg)
+                                       compute_dtype=compute_dtype, tcfg=tcfg,
+                                       layers_fn=layers_fn, rng=rng)
     per_tok = cross_entropy(lm_logits, labels)
     m = loss_mask.astype(jnp.float32)
     lm = jnp.sum(per_tok * m) / jnp.maximum(m.sum(), 1.0)

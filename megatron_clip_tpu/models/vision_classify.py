@@ -31,18 +31,19 @@ def init_vit_classifier(key, cfg: VisionCfg, num_classes: int,
 
 
 def apply_vit_classifier(params, images, cfg: VisionCfg, *,
-                         compute_dtype=jnp.bfloat16):
+                         compute_dtype=jnp.bfloat16, layers_fn=None):
     feats = apply_vit(params["backbone"], images, cfg, cfg.width,
-                      compute_dtype=compute_dtype)
+                      compute_dtype=compute_dtype, layers_fn=layers_fn)
     logits = feats @ params["head"]["w"].astype(feats.dtype) \
         + params["head"]["b"].astype(feats.dtype)
     return logits.astype(jnp.float32)
 
 
 def classification_loss(params, images, labels, cfg: VisionCfg, *,
-                        compute_dtype=jnp.bfloat16):
+                        compute_dtype=jnp.bfloat16, layers_fn=None):
     logits = apply_vit_classifier(params, images, cfg,
-                                  compute_dtype=compute_dtype)
+                                  compute_dtype=compute_dtype,
+                                  layers_fn=layers_fn)
     return cross_entropy(logits, labels).mean()
 
 

@@ -102,6 +102,29 @@ def clip_param_specs(params: Any, *, stage_axis: Optional[str] = None) -> Any:
     return jax.tree_util.tree_map_with_path(rule, params)
 
 
+def generic_param_specs(params: Any, *,
+                        stage_axis: Optional[str] = None) -> Any:
+    """PartitionSpec tree for any model built on the stacked-block stack
+    (BERT/T5/ICT/RETRO/vision workloads): transformer blocks get the TP/FSDP
+    rules, token embeddings go vocab-parallel, and everything else (heads,
+    poolers, norms, small embeds) replicates. The one rule set megatron
+    spreads across each model's ColumnParallel/RowParallel/VocabParallel
+    constructor choices (megatron/model/*.py)."""
+    def rule(path, leaf):
+        p = _path_str(path)
+        nd = leaf.ndim
+        if "blocks/" in p:
+            return transformer_block_specs(p, nd, stacked=True,
+                                           stage_axis=stage_axis)
+        if p.endswith("tok_embed") or p.endswith("word_embed"):
+            return P(TENSOR, FSDP)          # vocab-parallel embedding
+        if p.endswith("lm_head") and nd == 2:
+            return P(FSDP, TENSOR)
+        return P(*([None] * nd))
+
+    return jax.tree_util.tree_map_with_path(rule, params)
+
+
 def make_sharding_tree(mesh: Mesh, spec_tree: Any) -> Any:
     return jax.tree.map(lambda s: NamedSharding(mesh, s), spec_tree,
                         is_leaf=lambda x: isinstance(x, P))

@@ -1,0 +1,290 @@
+"""Shared mesh-aware training runtime for every pretrain entry point.
+
+The reference funnels all of its workloads (GPT/BERT/T5/ICT/RETRO/vision)
+through one `pretrain()` with full parallelism, checkpointing, eval cadence
+and logging (megatron/training.py:60-860). This module is that runtime for
+the TPU stack: one `run_workload()` that gives any (params, loss_fn, data)
+triple
+
+  - a dp x fsdp x tp [x pp] mesh with parameter shardings and the
+    distributed-optimizer-by-sharding state placement,
+  - Orbax checkpointing with megatron's tracker-file + consumed-samples
+    semantics (checkpoints/io.py; megatron/checkpointing.py:241,525) and
+    `--resume`-style restart,
+  - periodic validation (`--eval-interval` / `--eval-iters`,
+    megatron/training.py:861 evaluate()),
+  - loss/throughput logging and a deterministic per-step dropout rng.
+
+It replaces the single-device simple loop the secondary workloads trained
+on in earlier rounds.
+"""
+import os
+import time
+from dataclasses import dataclass
+from typing import Any, Callable, Iterator, Optional
+
+import jax
+
+if os.environ.get("MCT_FORCE_CPU") == "1" or \
+        os.environ.get("JAX_PLATFORMS") == "cpu":
+    # axon sitecustomize force-registers the TPU plugin regardless of
+    # JAX_PLATFORMS; honor a cpu request (virtual-device tests) at the
+    # config level, before any backend initialization
+    try:
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:  # noqa: BLE001 — backend already initialized
+        pass
+
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from megatron_clip_tpu.config import ParallelCfg
+from megatron_clip_tpu.training.optim import make_optimizer, cosine_lr
+
+
+@dataclass
+class RuntimeCfg:
+    """Runtime knobs shared by every entry (megatron's training/checkpoint
+    argument groups, arguments.py)."""
+    train_steps: int
+    batch_size: int
+    lr: float = 1e-4
+    warmup: int = 10
+    weight_decay: float = 0.01
+    grad_clip_norm: float = 1.0
+    log_interval: int = 5
+    # parallel layout
+    tp: int = 1
+    fsdp: int = 1
+    pp: int = 1
+    vpp: int = 1
+    cp: int = 1
+    num_microbatches: int = 1
+    tokens_per_sample: int = 0   # >0: log tok/s alongside samples/s
+    # checkpointing (megatron --save/--save-interval/--load)
+    save: Optional[str] = None
+    save_interval: int = 0
+    resume: bool = False
+    # eval (megatron --eval-interval/--eval-iters)
+    eval_interval: int = 0
+    eval_iters: int = 10
+    seed: int = 0
+    name: str = "train"
+    beta2: float = 0.999
+    eps: float = 1e-8
+
+
+def add_runtime_args(p, *, lr: float = 1e-4, weight_decay: float = 0.01,
+                     batch_size: int = 8, warmup: int = 10):
+    """Attach the shared runtime flags to an entry's argparse parser."""
+    p.add_argument("--batch-size", type=int, default=batch_size)
+    p.add_argument("--train-steps", type=int, default=20)
+    p.add_argument("--lr", type=float, default=lr)
+    p.add_argument("--warmup", type=int, default=warmup)
+    p.add_argument("--weight-decay", type=float, default=weight_decay)
+    p.add_argument("--grad-clip-norm", type=float, default=1.0)
+    p.add_argument("--log-interval", type=int, default=5)
+    p.add_argument("--tensor-model-parallel-size", type=int, default=1)
+    p.add_argument("--fsdp-parallel-size", type=int, default=1)
+    p.add_argument("--pipeline-model-parallel-size", type=int, default=1)
+    p.add_argument("--virtual-pipeline-parallel-size", type=int, default=1)
+    p.add_argument("--num-microbatches", type=int, default=1)
+    p.add_argument("--save", type=str, default=None,
+                   help="checkpoint root (iter_XXXXXXX dirs + tracker file)")
+    p.add_argument("--save-interval", type=int, default=0)
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the latest checkpoint under --save")
+    p.add_argument("--eval-interval", type=int, default=0)
+    p.add_argument("--eval-iters", type=int, default=10)
+    p.add_argument("--seed", type=int, default=0)
+    return p
+
+
+def runtime_cfg_from_args(args, name: str) -> RuntimeCfg:
+    return RuntimeCfg(
+        train_steps=args.train_steps, batch_size=args.batch_size,
+        lr=args.lr, warmup=args.warmup, weight_decay=args.weight_decay,
+        grad_clip_norm=args.grad_clip_norm, log_interval=args.log_interval,
+        tp=args.tensor_model_parallel_size, fsdp=args.fsdp_parallel_size,
+        pp=args.pipeline_model_parallel_size,
+        vpp=args.virtual_pipeline_parallel_size,
+        cp=getattr(args, "context_parallel_size", 1),
+        num_microbatches=args.num_microbatches,
+        save=args.save, save_interval=args.save_interval,
+        resume=args.resume, eval_interval=args.eval_interval,
+        eval_iters=args.eval_iters, seed=args.seed, name=name)
+
+
+def build_workload_mesh(rc: RuntimeCfg):
+    """(mesh, layers_fn) for the runtime layout; mesh is None single-device.
+    layers_fn is the pipelined schedule adapter when pp > 1 (pass it into
+    the model's apply)."""
+    from megatron_clip_tpu.parallel import build_mesh
+
+    devices = jax.devices()
+    denom = rc.tp * rc.fsdp * rc.pp * rc.cp
+    dp = max(1, len(devices) // denom)
+    if dp * denom == 1:
+        return None, None
+    mesh = build_mesh(ParallelCfg(dp=dp, fsdp=rc.fsdp, tp=rc.tp, pp=rc.pp,
+                                  vpp=rc.vpp, cp=rc.cp,
+                                  microbatches=rc.num_microbatches))
+    layers_fn = None
+    if rc.pp > 1:
+        from megatron_clip_tpu.parallel.pipeline import \
+            make_pipelined_layers_fn
+        layers_fn = make_pipelined_layers_fn(
+            mesh, max(1, rc.num_microbatches), rc.vpp)
+    return mesh, layers_fn
+
+
+def run_workload(params, loss_fn: Callable, batch_iter: Iterator,
+                 rc: RuntimeCfg, *, mesh=None, param_specs=None,
+                 use_rng: bool = False, post_step: Callable = None,
+                 val_iter_factory: Callable = None,
+                 eval_loss_fn: Callable = None,
+                 aux_state: Any = None, aux_update: Callable = None) -> dict:
+    """Train `loss_fn(params, batch, rng) -> scalar` for rc.train_steps.
+
+    `aux_state`/`aux_update`: non-gradient training state (e.g. DINO's EMA
+    teacher + center). loss_fn then has signature
+    (params, batch, rng, aux) -> (loss, loss_aux) and
+    aux_update(aux_state, params, loss_aux) -> aux_state runs inside the
+    jitted step; aux_state is checkpointed alongside params.
+
+    batch: any pytree of arrays (leading axis = batch). With a mesh the
+    entry is responsible for batch-sharding constraints inside loss_fn (or
+    relies on XLA propagation from the param shardings, which is correct
+    for pure dp/fsdp/tp).
+
+    Checkpoint layout matches training/loop.py: iter_XXXXXXX/state +
+    metadata.json{consumed_samples} + latest_checkpointed_iteration.txt.
+    `batch_iter` may be an iterator OR a factory `fn(start_step) ->
+    iterator`: on resume a factory seeks directly (the consumed-samples
+    sampler fast-forward, megatron data_samplers.py:14-48), a plain
+    iterator is replayed-and-discarded for start_step batches.
+    """
+    from megatron_clip_tpu.checkpoints import (
+        save_checkpoint, load_checkpoint, latest_checkpoint_step)
+
+    tx = make_optimizer(params, cosine_lr(rc.lr, rc.warmup, rc.train_steps),
+                        weight_decay=rc.weight_decay,
+                        grad_clip_norm=rc.grad_clip_norm, beta2=rc.beta2,
+                        eps=rc.eps)
+
+    if mesh is not None and param_specs is not None:
+        from megatron_clip_tpu.parallel.sharding import make_sharding_tree
+        params = jax.device_put(params, make_sharding_tree(mesh, param_specs))
+    opt_state = tx.init(params)
+
+    base_rng = jax.random.PRNGKey(rc.seed + 1)
+
+    def _step(params, opt_state, aux, batch, step_idx):
+        rng = jax.random.fold_in(base_rng, step_idx) if use_rng else None
+        if aux_update is not None:
+            (loss, loss_aux), grads = jax.value_and_grad(
+                lambda p: loss_fn(p, batch, rng, aux), has_aux=True)(params)
+        else:
+            loss, grads = jax.value_and_grad(
+                lambda p: loss_fn(p, batch, rng))(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        if post_step is not None:
+            params = post_step(params)
+        if aux_update is not None:
+            aux = aux_update(aux, params, loss_aux)
+        return params, opt_state, aux, loss
+
+    aux = aux_state
+    if mesh is not None:
+        # pin state output shardings to the input shardings — without this
+        # XLA's per-call propagation can flip layouts between steps and
+        # retrigger compilation (the pretrain_gpt.py lesson)
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        repl = NamedSharding(mesh, P())
+
+        def _sh(x):
+            s = getattr(x, "sharding", None)
+            return s if isinstance(s, NamedSharding) else repl
+
+        opt_state = jax.device_put(opt_state, jax.tree.map(_sh, opt_state))
+        if aux is not None:
+            aux = jax.device_put(aux, jax.tree.map(_sh, aux))
+        step = jax.jit(_step, out_shardings=(
+            jax.tree.map(_sh, params), jax.tree.map(_sh, opt_state),
+            None if aux is None else jax.tree.map(_sh, aux), repl))
+    else:
+        step = jax.jit(_step)
+
+    # eval step compiled once (megatron evaluate(), training.py:861)
+    eval_step = None
+    if eval_loss_fn is not None or val_iter_factory is not None:
+        efn = eval_loss_fn or (lambda p, b: loss_fn(p, b, None))
+        eval_step = jax.jit(efn)
+
+    def _ckpt_state():
+        s = {"params": params, "opt_state": opt_state}
+        if aux is not None:
+            s["aux"] = aux
+        return s
+
+    start_step = 0
+    if rc.resume and rc.save and latest_checkpoint_step(rc.save) is not None:
+        tree, meta, start_step = load_checkpoint(rc.save, _ckpt_state())
+        params, opt_state = tree["params"], tree["opt_state"]
+        aux = tree.get("aux", aux)
+        print(f"[{rc.name}] resumed from {rc.save} @ step {start_step} "
+              f"(consumed_samples={meta.get('consumed_samples', 0)})",
+              flush=True)
+
+    if callable(batch_iter):
+        batch_iter = batch_iter(start_step)     # seekable factory: O(1)
+    else:
+        for _ in range(start_step):             # replay-and-discard
+            next(batch_iter)
+
+    import contextlib
+    mesh_ctx = jax.sharding.set_mesh(mesh) if mesh is not None \
+        else contextlib.nullcontext()
+    t0 = time.perf_counter()
+    loss = None
+    history = []
+    with mesh_ctx:
+        for i in range(start_step + 1, rc.train_steps + 1):
+            batch = jax.tree.map(jnp.asarray, next(batch_iter))
+            params, opt_state, aux, loss = step(params, opt_state, aux,
+                                                batch, jnp.int32(i))
+            if i % rc.log_interval == 0 or i == rc.train_steps:
+                l = float(loss)
+                history.append((i, l))
+                dt = time.perf_counter() - t0
+                ips = rc.log_interval * rc.batch_size / dt
+                extra = (f" | {ips * rc.tokens_per_sample:.0f} tok/s"
+                         if rc.tokens_per_sample else "")
+                print(f"[{rc.name}] step {i}/{rc.train_steps} | "
+                      f"loss {l:.4f} | {ips:.1f} samples/s{extra}",
+                      flush=True)
+                t0 = time.perf_counter()
+            if rc.save and rc.save_interval and i % rc.save_interval == 0:
+                save_checkpoint(rc.save, i, _ckpt_state(),
+                                {"consumed_samples": i * rc.batch_size})
+            if (rc.eval_interval and eval_step is not None
+                    and i % rc.eval_interval == 0):
+                vals = []
+                vit = (val_iter_factory() if val_iter_factory is not None
+                       else None)
+                for _ in range(rc.eval_iters):
+                    vb = (next(vit) if vit is not None else next(batch_iter))
+                    vals.append(float(eval_step(
+                        params, jax.tree.map(jnp.asarray, vb))))
+                print(f"[{rc.name}] eval @ {i}: "
+                      f"val loss {np.mean(vals):.4f}", flush=True)
+        if rc.save and (not rc.save_interval
+                        or rc.train_steps % rc.save_interval != 0) \
+                and rc.train_steps > start_step:
+            save_checkpoint(rc.save, rc.train_steps, _ckpt_state(),
+                            {"consumed_samples":
+                             rc.train_steps * rc.batch_size})
+    return {"loss": float(loss) if loss is not None else None,
+            "params": params, "aux": aux, "history": history}

@@ -1,6 +1,9 @@
 #!/usr/bin/env python
-"""BERT masked-LM pretraining (reference: pretrain_bert.py). Synthetic or
-indexed-dataset tokens with on-the-fly 15% masking."""
+"""BERT masked-LM pretraining (reference: pretrain_bert.py via
+megatron/training.py:60 pretrain()). Synthetic or indexed-dataset tokens
+with on-the-fly 15% masking; runs on the shared mesh runtime
+(training/workload.py): dp x fsdp x tp x pp, Orbax save/resume with
+consumed-samples, --eval-interval val loss."""
 import argparse
 
 import jax
@@ -15,11 +18,11 @@ def parse_args(argv=None):
     p.add_argument("--num-heads", type=int, default=12)
     p.add_argument("--seq-length", type=int, default=512)
     p.add_argument("--vocab-size", type=int, default=30592)
-    p.add_argument("--batch-size", type=int, default=8)
-    p.add_argument("--train-steps", type=int, default=20)
-    p.add_argument("--lr", type=float, default=1e-4)
-    p.add_argument("--warmup", type=int, default=10)
     p.add_argument("--precision", default="bf16")
+    p.add_argument("--attention-dropout", type=float, default=0.0)
+    p.add_argument("--hidden-dropout", type=float, default=0.0)
+    p.add_argument("--recompute-granularity",
+                   choices=["none", "selective", "full"], default="none")
     p.add_argument("--data-path", type=str, default=None,
                    help="sentence-level indexed corpus prefix (.bin/.idx, "
                         "items=sentences, doc boundaries): trains on real "
@@ -27,23 +30,35 @@ def parse_args(argv=None):
     p.add_argument("--short-seq-prob", type=float, default=0.1)
     p.add_argument("--masked-lm-prob", type=float, default=0.15)
     p.add_argument("--mask-id", type=int, default=3)
-    p.add_argument("--log-interval", type=int, default=5)
-    p.add_argument("--seed", type=int, default=0)
+    from megatron_clip_tpu.training.workload import add_runtime_args
+    add_runtime_args(p, lr=1e-4, weight_decay=0.01)
     return p.parse_args(argv)
 
 
 def run(args):
     from megatron_clip_tpu.models.bert import (
         BertCfg, init_bert, bert_loss, make_bert_masking)
-    from megatron_clip_tpu.training.simple_loop import simple_train
+    from megatron_clip_tpu.parallel.sharding import generic_param_specs
+    from megatron_clip_tpu.parallel.mesh import STAGE
+    from megatron_clip_tpu.training.workload import (
+        runtime_cfg_from_args, build_workload_mesh, run_workload)
 
     cfg = BertCfg(num_layers=args.num_layers, hidden_size=args.hidden_size,
                   num_heads=args.num_heads, vocab_size=args.vocab_size,
                   seq_length=args.seq_length)
+    tcfg = cfg.transformer(remat=args.recompute_granularity,
+                           attention_dropout=args.attention_dropout,
+                           hidden_dropout=args.hidden_dropout)
+    use_rng = args.attention_dropout > 0 or args.hidden_dropout > 0
     compute = jnp.bfloat16 if args.precision.startswith("bf") else jnp.float32
     params = init_bert(jax.random.PRNGKey(args.seed), cfg)
     print(f"BERT {sum(x.size for x in jax.tree.leaves(params))/1e6:.1f}M params",
           flush=True)
+
+    rc = runtime_cfg_from_args(args, "bert")
+    mesh, layers_fn = build_workload_mesh(rc)
+    specs = generic_param_specs(
+        params, stage_axis=STAGE if rc.pp > 1 else None)
 
     rng = np.random.RandomState(args.seed)
 
@@ -67,12 +82,12 @@ def run(args):
                 rows = [ds[(i + j) % len(ds)] for j in range(args.batch_size)]
                 i += args.batch_size
                 batch = {k: np.stack([r[k] for r in rows]) for k in rows[0]}
-                yield (jnp.asarray(batch["tokens"]),
-                       jnp.asarray(batch["labels"].clip(min=0)),
-                       jnp.asarray(batch["loss_mask"]),
-                       jnp.asarray(batch["is_next"]),
-                       jnp.asarray(batch["token_types"]),
-                       jnp.asarray(batch["pad_mask"]))
+                yield {"tokens": batch["tokens"],
+                       "labels": batch["labels"].clip(min=0),
+                       "loss_mask": batch["loss_mask"],
+                       "is_next": batch["is_next"],
+                       "token_types": batch["token_types"],
+                       "pad_mask": batch["pad_mask"]}
         else:
             while True:
                 toks = rng.randint(4, args.vocab_size,
@@ -81,18 +96,20 @@ def run(args):
                 masked, labels, mask = make_bert_masking(
                     rng, toks, args.mask_id, args.vocab_size)
                 is_next = rng.randint(0, 2, (toks.shape[0],)).astype(np.int32)
-                yield (jnp.asarray(masked), jnp.asarray(labels),
-                       jnp.asarray(mask), jnp.asarray(is_next), None, None)
+                yield {"tokens": masked, "labels": labels, "loss_mask": mask,
+                       "is_next": is_next}
 
-    def loss_fn(p, batch):
-        masked, labels, mask, is_next, token_types, pad_mask = batch
-        return bert_loss(p, masked, labels, mask, cfg, is_next=is_next,
-                         token_types=token_types, pad_mask=pad_mask,
-                         compute_dtype=compute)
+    def loss_fn(p, batch, step_rng):
+        return bert_loss(p, batch["tokens"], batch["labels"],
+                         batch["loss_mask"], cfg,
+                         is_next=batch.get("is_next"),
+                         token_types=batch.get("token_types"),
+                         pad_mask=batch.get("pad_mask"),
+                         compute_dtype=compute, tcfg=tcfg,
+                         layers_fn=layers_fn, rng=step_rng)
 
-    out = simple_train(params, loss_fn, masked_batches(), args.train_steps,
-                       lr=args.lr, warmup=args.warmup,
-                       log_interval=args.log_interval, name="bert")
+    out = run_workload(params, loss_fn, masked_batches(), rc, mesh=mesh,
+                       param_specs=specs, use_rng=use_rng)
     return {"loss": out["loss"]}
 
 

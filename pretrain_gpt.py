@@ -1,15 +1,19 @@
 #!/usr/bin/env python
 """GPT pretraining entry point (the reference's pretrain_gpt.py workload on
-a TPU mesh). Data: an indexed token dataset (--data-path, see
-megatron_clip_tpu/data/indexed_dataset.py) or synthetic tokens.
+a TPU mesh, driven by megatron/training.py:60 pretrain() semantics). Data:
+an indexed token dataset (--data-path, see
+megatron_clip_tpu/data/indexed_dataset.py) or synthetic tokens. Runs on the
+shared mesh runtime (training/workload.py): dp x fsdp x tp x pp x cp, Orbax
+save/resume with consumed-samples (megatron/checkpointing.py:241,525),
+--eval-interval val loss (training.py:861 evaluate()).
 
 Example:
   python pretrain_gpt.py --num-layers 12 --hidden-size 768 --num-heads 12 \\
       --seq-length 1024 --batch-size 32 --train-steps 100 \\
-      --tensor-model-parallel-size 2 --fsdp-parallel-size 2
+      --tensor-model-parallel-size 2 --fsdp-parallel-size 2 \\
+      --save /ckpt/gpt --save-interval 50 --resume
 """
 import argparse
-import time
 
 import jax
 import jax.numpy as jnp
@@ -38,12 +42,13 @@ def parse_args(argv=None):
                         "attention runs as a ppermute ring (the capability "
                         "megatron's --context-parallel-size plumbs but never "
                         "implements)")
-    p.add_argument("--batch-size", type=int, default=8)
-    p.add_argument("--train-steps", type=int, default=20)
-    p.add_argument("--lr", type=float, default=3e-4)
-    p.add_argument("--warmup", type=int, default=10)
-    p.add_argument("--weight-decay", type=float, default=0.1)
-    p.add_argument("--grad-clip-norm", type=float, default=1.0)
+    p.add_argument("--context-parallel-layout",
+                   choices=["contiguous", "zigzag"], default="contiguous",
+                   help="zigzag = megatron-LM's load-balanced causal CP "
+                        "chunk assignment: tokens/targets/loss-mask are "
+                        "zigzag-reordered on the host and position ids "
+                        "thread through rope/pos-embed, so every ring rank "
+                        "does ~equal causal work")
     p.add_argument("--precision", default="bf16")
     p.add_argument("--recompute-granularity",
                    choices=["none", "selective", "full"], default="none")
@@ -52,15 +57,8 @@ def parse_args(argv=None):
                    help="int8 MXU matmuls for the MLP GEMMs w/ STE backward "
                         "(the TPU equivalent of the reference's optional "
                         "TransformerEngine fp8 path)")
-    p.add_argument("--tensor-model-parallel-size", type=int, default=1)
-    p.add_argument("--fsdp-parallel-size", type=int, default=1)
-    p.add_argument("--pipeline-model-parallel-size", type=int, default=1)
-    p.add_argument("--num-microbatches", type=int, default=1)
-    p.add_argument("--virtual-pipeline-parallel-size", type=int, default=1)
     p.add_argument("--data-path", type=str, default=None,
                    help="indexed dataset prefix (.bin/.idx); synthetic if unset")
-    p.add_argument("--log-interval", type=int, default=5)
-    p.add_argument("--seed", type=int, default=0)
     p.add_argument("--loss-seq-chunk", type=int, default=0,
                    help="compute lm-head + cross-entropy in sequence chunks "
                         "of this size (recomputed in backward): caps peak "
@@ -69,18 +67,17 @@ def parse_args(argv=None):
                    help="attention-prob dropout (megatron default 0.1)")
     p.add_argument("--hidden-dropout", type=float, default=0.0,
                    help="hidden/embedding dropout (megatron default 0.1)")
+    from megatron_clip_tpu.training.workload import add_runtime_args
+    add_runtime_args(p, lr=3e-4, weight_decay=0.1)
     return p.parse_args(argv)
 
 
 def run(args):
-    import optax
-    from megatron_clip_tpu.config import ParallelCfg
     from megatron_clip_tpu.models.gpt import (
         GPTCfg, init_gpt, gpt_loss, gpt_param_specs)
-    from megatron_clip_tpu.parallel import build_mesh
     from megatron_clip_tpu.parallel.mesh import STAGE
-    from megatron_clip_tpu.parallel.sharding import make_sharding_tree
-    from megatron_clip_tpu.training.optim import make_optimizer, cosine_lr
+    from megatron_clip_tpu.training.workload import (
+        runtime_cfg_from_args, build_workload_mesh, run_workload)
 
     cfg = GPTCfg(
         num_layers=args.num_layers, hidden_size=args.hidden_size,
@@ -94,120 +91,80 @@ def run(args):
     compute_dtype = jnp.bfloat16 if args.precision in ("bf16", "amp_bf16") \
         else jnp.float32
     cp = args.context_parallel_size
+    cp_layout = args.context_parallel_layout
     tcfg = cfg.transformer(remat=args.recompute_granularity,
                            sequence_parallel=args.sequence_parallel,
                            context_parallel=cp > 1,
+                           context_parallel_layout=cp_layout,
                            quantize=args.quantize_matmuls,
                            attention_dropout=args.attention_dropout,
                            hidden_dropout=args.hidden_dropout)
     use_dropout = args.attention_dropout > 0 or args.hidden_dropout > 0
-    if use_dropout and args.pipeline_model_parallel_size > 1:
-        raise SystemExit("dropout is not yet threaded through the pipeline "
-                         "schedule; use pp=1 with dropout")
+    if cp > 1 and args.seq_length % cp != 0:
+        raise SystemExit("--seq-length must be divisible by "
+                         "--context-parallel-size")
+    if cp > 1 and cp_layout == "zigzag" and args.seq_length % (2 * cp) != 0:
+        raise SystemExit("--seq-length must be divisible by 2x "
+                         "--context-parallel-size for the zigzag layout")
 
     params = init_gpt(jax.random.PRNGKey(args.seed), cfg)
     n = sum(x.size for x in jax.tree.leaves(params))
     print(f"GPT {n/1e6:.1f}M params, seq {cfg.seq_length}", flush=True)
 
-    devices = jax.devices()
-    tp, pp, fsdp = (args.tensor_model_parallel_size,
-                    args.pipeline_model_parallel_size, args.fsdp_parallel_size)
-    if pp > 1 and args.num_experts:
-        raise SystemExit("--pipeline-model-parallel-size > 1 is incompatible "
-                         "with --num-experts (MoE aux loss is not threaded "
-                         "through the pipeline schedule)")
-    if cp > 1 and pp > 1:
-        raise SystemExit("--context-parallel-size > 1 is incompatible with "
-                         "--pipeline-model-parallel-size > 1 (the ring "
-                         "attention axis is not threaded through the "
-                         "pipeline schedule)")
-    if cp > 1 and args.seq_length % cp != 0:
-        raise SystemExit("--seq-length must be divisible by "
-                         "--context-parallel-size")
-    dp = max(1, len(devices) // (tp * pp * fsdp * cp))
-    mesh = None
-    layers_fn = None
-    if dp * fsdp * tp * pp * cp > 1:
-        mesh = build_mesh(ParallelCfg(dp=dp, fsdp=fsdp, tp=tp, pp=pp, cp=cp))
-        stage_axis = STAGE if pp > 1 else None
-        specs = gpt_param_specs(params, stage_axis=stage_axis)
-        params = jax.device_put(params, make_sharding_tree(mesh, specs))
-        if pp > 1:
-            from megatron_clip_tpu.parallel.pipeline import make_pipelined_layers_fn
-            layers_fn = make_pipelined_layers_fn(
-                mesh, args.num_microbatches,
-                args.virtual_pipeline_parallel_size)
+    rc = runtime_cfg_from_args(args, "gpt")
+    rc.beta2 = 0.95
+    rc.tokens_per_sample = args.seq_length
+    mesh, layers_fn = build_workload_mesh(rc)
+    specs = gpt_param_specs(params,
+                            stage_axis=STAGE if rc.pp > 1 else None)
 
-    schedule = cosine_lr(args.lr, args.warmup, args.train_steps)
-    tx = make_optimizer(params, schedule, weight_decay=args.weight_decay,
-                        grad_clip_norm=args.grad_clip_norm, beta2=0.95,
-                        eps=1e-8)
-    opt_state = tx.init(params)
-
-    if args.data_path:
-        from megatron_clip_tpu.data.gpt_dataset import gpt_batch_iterator
-        batches = gpt_batch_iterator(args.data_path, args.batch_size,
-                                     args.seq_length, seed=args.seed)
-    else:
-        def synthetic():
+    def batches(start_step=0):
+        if args.data_path:
+            from megatron_clip_tpu.data.gpt_dataset import gpt_batch_iterator
+            it = gpt_batch_iterator(args.data_path, args.batch_size,
+                                    args.seq_length, seed=args.seed)
+            for _ in range(start_step):
+                next(it)
+            yield from it
+        else:
             rng = np.random.RandomState(args.seed)
+            step = 0
             while True:
-                yield rng.randint(0, cfg.vocab_size,
-                                  (args.batch_size, cfg.seq_length + 1)
-                                  ).astype(np.int32)
-        batches = synthetic()
+                batch = rng.randint(0, cfg.vocab_size,
+                                    (args.batch_size, cfg.seq_length + 1)
+                                    ).astype(np.int32)
+                step += 1
+                if step > start_step:
+                    yield batch
 
-    base_rng = jax.random.PRNGKey(args.seed + 1)
+    zigzag = cp > 1 and cp_layout == "zigzag"
+    if zigzag:
+        from megatron_clip_tpu.ops.ring_attention import zigzag_shard
+        # global positions in zigzag array order: rope / learned pos-embed /
+        # loss all see the true token positions even though the array is
+        # chunk-permuted for ring load balance
+        zig_pos = zigzag_shard(jnp.arange(args.seq_length, dtype=jnp.int32),
+                               cp, axis=0)
 
-    def _step(params, opt_state, tokens, step_idx):
-        rng = (jax.random.fold_in(base_rng, step_idx) if use_dropout
-               else None)
-        loss, grads = jax.value_and_grad(
-            lambda p: gpt_loss(p, tokens, cfg, compute_dtype=compute_dtype,
-                               tcfg=tcfg, layers_fn=layers_fn,
-                               rng=rng,
-                               loss_seq_chunk=args.loss_seq_chunk))(params)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
+    def loss_fn(p, tokens, rng):
+        if zigzag:
+            # next-token shift in NATURAL order, then zigzag-reorder both
+            # sides so (input i -> target i) pairs stay aligned per slot
+            inputs = zigzag_shard(tokens[:, :-1], cp, axis=1)
+            tgt = zigzag_shard(tokens[:, 1:], cp, axis=1)
+            return gpt_loss(p, inputs, cfg, targets=tgt,
+                            position_ids=zig_pos,
+                            compute_dtype=compute_dtype, tcfg=tcfg,
+                            layers_fn=layers_fn, rng=rng,
+                            loss_seq_chunk=args.loss_seq_chunk)
+        return gpt_loss(p, tokens, cfg, compute_dtype=compute_dtype,
+                        tcfg=tcfg, layers_fn=layers_fn, rng=rng,
+                        loss_seq_chunk=args.loss_seq_chunk)
 
-    if mesh is not None:
-        # Pin state outputs to their input shardings: otherwise XLA's
-        # sharding propagation may pick different output shardings per call
-        # (especially with the shard_map ring-attention axis in the graph),
-        # retriggering compilation every step with flip-flopping layouts.
-        from jax.sharding import NamedSharding
-        repl = NamedSharding(mesh, jax.sharding.PartitionSpec())
-
-        def _sh(x):
-            s = x.sharding
-            return s if isinstance(s, NamedSharding) else repl
-
-        opt_state = jax.device_put(opt_state,
-                                   jax.tree.map(_sh, opt_state))
-        step = jax.jit(_step, out_shardings=(
-            jax.tree.map(_sh, params), jax.tree.map(_sh, opt_state), repl))
-    else:
-        step = jax.jit(_step)
-
-    import contextlib
-    mesh_ctx = jax.sharding.set_mesh(mesh) if mesh is not None \
-        else contextlib.nullcontext()
-    t0 = time.perf_counter()
-    loss = None
-    with mesh_ctx:
-        for i in range(1, args.train_steps + 1):
-            tokens = jnp.asarray(next(batches))
-            params, opt_state, loss = step(params, opt_state, tokens,
-                                           jnp.int32(i))
-            if i % args.log_interval == 0 or i == args.train_steps:
-                l = float(loss)
-                dt = time.perf_counter() - t0
-                tps = args.batch_size * args.seq_length * args.log_interval / dt
-                print(f"step {i}/{args.train_steps} | lm loss {l:.4f} | "
-                      f"ppl {np.exp(min(l, 20)):.1f} | {tps:.0f} tok/s",
-                      flush=True)
-                t0 = time.perf_counter()
-    return {"loss": float(loss)}
+    out = run_workload(params, loss_fn, batches, rc, mesh=mesh,
+                       param_specs=specs, use_rng=use_dropout,
+                       eval_loss_fn=lambda p, b: loss_fn(p, b, None))
+    return {"loss": out["loss"]}
 
 
 if __name__ == "__main__":

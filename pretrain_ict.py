@@ -22,16 +22,12 @@ def parse_args(argv=None):
     p.add_argument("--seq-length", type=int, default=64)
     p.add_argument("--vocab-size", type=int, default=30592)
     p.add_argument("--projection-dim", type=int, default=128)
-    p.add_argument("--batch-size", type=int, default=16)
-    p.add_argument("--train-steps", type=int, default=20)
-    p.add_argument("--lr", type=float, default=1e-4)
-    p.add_argument("--warmup", type=int, default=10)
     p.add_argument("--precision", default="bf16")
     p.add_argument("--data-path", type=str, default=None,
                    help="sentence-level indexed corpus prefix")
     p.add_argument("--titles-data-path", type=str, default=None)
-    p.add_argument("--log-interval", type=int, default=5)
-    p.add_argument("--seed", type=int, default=0)
+    from megatron_clip_tpu.training.workload import add_runtime_args
+    add_runtime_args(p, lr=1e-4, batch_size=16)
     return p.parse_args(argv)
 
 
@@ -39,7 +35,9 @@ def run(args):
     from megatron_clip_tpu.models.bert import BertCfg
     from megatron_clip_tpu.models.biencoder import (
         BiencoderCfg, init_biencoder, ict_loss)
-    from megatron_clip_tpu.training.simple_loop import simple_train
+    from megatron_clip_tpu.parallel.sharding import generic_param_specs
+    from megatron_clip_tpu.training.workload import (
+        runtime_cfg_from_args, build_workload_mesh, run_workload)
 
     cfg = BiencoderCfg(
         bert=BertCfg(num_layers=args.num_layers,
@@ -52,6 +50,13 @@ def run(args):
     n = sum(x.size for x in jax.tree.leaves(params))
     print(f"ICT biencoder {n/1e6:.1f}M params", flush=True)
 
+    rc = runtime_cfg_from_args(args, "ict")
+    if rc.pp > 1:
+        raise SystemExit("ICT biencoder does not support pipeline "
+                         "parallelism (two independent towers); use "
+                         "tp/fsdp/dp")
+    mesh, _ = build_workload_mesh(rc)
+    specs = generic_param_specs(params)
     rng = np.random.RandomState(args.seed)
 
     def batches():
@@ -78,14 +83,13 @@ def run(args):
                 blk[noise] = rng.randint(4, args.vocab_size, noise.sum())
                 yield jnp.asarray(q, jnp.int32), jnp.asarray(blk, jnp.int32)
 
-    def loss_fn(p, batch):
+    def loss_fn(p, batch, step_rng):
         q, blk = batch
         loss, _acc = ict_loss(p, q, blk, cfg, compute_dtype=compute)
         return loss
 
-    out = simple_train(params, loss_fn, batches(), args.train_steps,
-                       lr=args.lr, warmup=args.warmup,
-                       log_interval=args.log_interval, name="ict")
+    out = run_workload(params, loss_fn, batches(), rc, mesh=mesh,
+                       param_specs=specs)
     return {"loss": out["loss"]}
 
 

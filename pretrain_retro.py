@@ -27,15 +27,11 @@ def parse_args(argv=None):
     p.add_argument("--encoder-layers", type=int, default=2)
     p.add_argument("--cca-layers", type=int, nargs="+", default=None,
                    help="decoder layer indices with chunked cross-attn")
-    p.add_argument("--batch-size", type=int, default=4)
-    p.add_argument("--train-steps", type=int, default=20)
-    p.add_argument("--lr", type=float, default=3e-4)
-    p.add_argument("--warmup", type=int, default=5)
     p.add_argument("--precision", default="bf16")
     p.add_argument("--retro-prefix", type=str, default=None,
                    help="prefix written by tools/retro_build.py")
-    p.add_argument("--log-interval", type=int, default=5)
-    p.add_argument("--seed", type=int, default=0)
+    from megatron_clip_tpu.training.workload import add_runtime_args
+    add_runtime_args(p, lr=3e-4, batch_size=4, warmup=5)
     return p.parse_args(argv)
 
 
@@ -43,7 +39,9 @@ def run(args):
     from megatron_clip_tpu.models.gpt import GPTCfg
     from megatron_clip_tpu.models.retro import (
         RetroCfg, init_retro, retro_loss)
-    from megatron_clip_tpu.training.simple_loop import simple_train
+    from megatron_clip_tpu.parallel.sharding import generic_param_specs
+    from megatron_clip_tpu.training.workload import (
+        runtime_cfg_from_args, build_workload_mesh, run_workload)
 
     cca = tuple(args.cca_layers) if args.cca_layers else tuple(
         range(args.num_layers // 2, args.num_layers, 3)) or (args.num_layers - 1,)
@@ -60,6 +58,14 @@ def run(args):
     params = init_retro(jax.random.PRNGKey(args.seed), cfg)
     n = sum(x.size for x in jax.tree.leaves(params))
     print(f"RETRO {n/1e6:.1f}M params, cca layers {cca}", flush=True)
+
+    rc = runtime_cfg_from_args(args, "retro")
+    if rc.pp > 1:
+        raise SystemExit("RETRO does not support pipeline parallelism (the "
+                         "chunked cross-attention needs the neighbor encoder "
+                         "on every stage); use tp/fsdp/dp")
+    mesh, _ = build_workload_mesh(rc)
+    specs = generic_param_specs(params)
 
     m = args.chunk_length
     l = args.seq_length // m
@@ -99,13 +105,12 @@ def run(args):
                 yield (jnp.asarray(toks, jnp.int32),
                        jnp.asarray(nb, jnp.int32))
 
-    def loss_fn(p, batch):
+    def loss_fn(p, batch, step_rng):
         toks, nb = batch
         return retro_loss(p, toks, nb, cfg, compute_dtype=compute)
 
-    out = simple_train(params, loss_fn, batches(), args.train_steps,
-                       lr=args.lr, warmup=args.warmup,
-                       log_interval=args.log_interval, name="retro")
+    out = run_workload(params, loss_fn, batches(), rc, mesh=mesh,
+                       param_specs=specs)
     return {"loss": out["loss"]}
 
 

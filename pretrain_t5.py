@@ -1,5 +1,10 @@
 #!/usr/bin/env python
-"""T5 span-corruption pretraining (reference: pretrain_t5.py)."""
+"""T5 span-corruption pretraining (reference: pretrain_t5.py via
+megatron/training.py:60 pretrain()). Trains on a real sentence-level
+indexed corpus (--data-path, data/t5_dataset.py — the counterpart of
+megatron/data/t5_dataset.py:1-257) or synthetic tokens; runs on the shared
+mesh runtime (training/workload.py): dp x fsdp x tp, Orbax save/resume,
+--eval-interval val loss."""
 import argparse
 
 import jax
@@ -16,13 +21,14 @@ def parse_args(argv=None):
     p.add_argument("--encoder-seq-length", type=int, default=512)
     p.add_argument("--decoder-seq-length", type=int, default=128)
     p.add_argument("--vocab-size", type=int, default=30592)
-    p.add_argument("--batch-size", type=int, default=8)
-    p.add_argument("--train-steps", type=int, default=20)
-    p.add_argument("--lr", type=float, default=1e-4)
-    p.add_argument("--warmup", type=int, default=10)
     p.add_argument("--precision", default="bf16")
-    p.add_argument("--log-interval", type=int, default=5)
-    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--data-path", type=str, default=None,
+                   help="sentence-level indexed corpus prefix (.bin/.idx): "
+                        "real span-corruption samples via data/t5_dataset.py")
+    p.add_argument("--masked-lm-prob", type=float, default=0.15)
+    p.add_argument("--short-seq-prob", type=float, default=0.1)
+    from megatron_clip_tpu.training.workload import add_runtime_args
+    add_runtime_args(p, lr=1e-4, weight_decay=0.01)
     return p.parse_args(argv)
 
 
@@ -58,7 +64,9 @@ def span_corrupt(rng, tokens, vocab_size, sentinel_base, noise=0.15,
 
 def run(args):
     from megatron_clip_tpu.models.t5 import T5Cfg, init_t5, t5_loss
-    from megatron_clip_tpu.training.simple_loop import simple_train
+    from megatron_clip_tpu.parallel.sharding import generic_param_specs
+    from megatron_clip_tpu.training.workload import (
+        runtime_cfg_from_args, build_workload_mesh, run_workload)
 
     cfg = T5Cfg(num_layers=args.num_layers,
                 num_decoder_layers=args.num_decoder_layers,
@@ -70,27 +78,54 @@ def run(args):
     params = init_t5(jax.random.PRNGKey(args.seed), cfg)
     print(f"T5 {sum(x.size for x in jax.tree.leaves(params))/1e6:.1f}M params",
           flush=True)
-    rng = np.random.RandomState(args.seed)
+
+    rc = runtime_cfg_from_args(args, "t5")
+    if rc.pp > 1:
+        raise SystemExit("T5 pipeline parallelism is not supported: the "
+                         "decoder's cross-attention needs the full encoder "
+                         "output on every decoder stage (the reference uses "
+                         "a dedicated encoder/decoder split rank, "
+                         "schedules.py). Use tp/fsdp/dp.")
+    mesh, _ = build_workload_mesh(rc)
+    specs = generic_param_specs(params)
+
     sentinel_base = args.vocab_size - 100
 
-    def batches():
-        while True:
-            toks = rng.randint(4, sentinel_base,
-                               (args.batch_size, args.encoder_seq_length)
-                               ).astype(np.int32)
-            enc, dec_in, labels, mask = span_corrupt(
-                rng, toks, args.vocab_size, sentinel_base,
-                max_dec=args.decoder_seq_length)
-            yield tuple(map(jnp.asarray, (enc, dec_in, labels, mask)))
+    def batches(start_step=0):
+        if args.data_path:
+            from megatron_clip_tpu.data.t5_dataset import t5_batch_iterator
+            yield from t5_batch_iterator(
+                args.data_path, args.batch_size, start_step=start_step,
+                max_seq_length=args.encoder_seq_length,
+                max_seq_length_dec=args.decoder_seq_length,
+                masked_lm_prob=args.masked_lm_prob,
+                short_seq_prob=args.short_seq_prob,
+                vocab_size=args.vocab_size, num_epochs=1000,
+                seed=args.seed)
+        else:
+            rng = np.random.RandomState(args.seed)
+            step = 0
+            while True:
+                toks = rng.randint(4, sentinel_base,
+                                   (args.batch_size, args.encoder_seq_length)
+                                   ).astype(np.int32)
+                enc, dec_in, labels, mask = span_corrupt(
+                    rng, toks, args.vocab_size, sentinel_base,
+                    max_dec=args.decoder_seq_length)
+                step += 1
+                if step <= start_step:
+                    continue
+                yield {"enc_tokens": enc, "dec_tokens": dec_in,
+                       "labels": labels, "loss_mask": mask}
 
-    def loss_fn(p, batch):
-        enc, dec_in, labels, mask = batch
-        return t5_loss(p, enc, dec_in, labels, mask, cfg,
+    def loss_fn(p, batch, step_rng):
+        return t5_loss(p, batch["enc_tokens"], batch["dec_tokens"],
+                       batch["labels"], batch["loss_mask"], cfg,
+                       enc_pad_mask=batch.get("enc_mask"),
                        compute_dtype=compute)
 
-    out = simple_train(params, loss_fn, batches(), args.train_steps,
-                       lr=args.lr, warmup=args.warmup,
-                       log_interval=args.log_interval, name="t5")
+    out = run_workload(params, loss_fn, batches, rc, mesh=mesh,
+                       param_specs=specs)
     return {"loss": out["loss"]}
 
 

@@ -18,15 +18,11 @@ def parse_args(argv=None):
     p.add_argument("--num-classes", type=int, default=1000)
     p.add_argument("--backbone", choices=["vit", "swin", "mit"],
                    default="vit")
-    p.add_argument("--batch-size", type=int, default=32)
-    p.add_argument("--train-steps", type=int, default=20)
-    p.add_argument("--lr", type=float, default=3e-4)
-    p.add_argument("--warmup", type=int, default=10)
     p.add_argument("--precision", default="bf16")
     p.add_argument("--data-dir", type=str, default=None,
                    help="ImageFolder-style dir; synthetic if unset")
-    p.add_argument("--log-interval", type=int, default=5)
-    p.add_argument("--seed", type=int, default=0)
+    from megatron_clip_tpu.training.workload import add_runtime_args
+    add_runtime_args(p, lr=3e-4, batch_size=32)
     return p.parse_args(argv)
 
 
@@ -34,7 +30,9 @@ def run(args):
     from megatron_clip_tpu.config import VisionCfg
     from megatron_clip_tpu.models.vision_classify import (
         init_vit_classifier, classification_loss)
-    from megatron_clip_tpu.training.simple_loop import simple_train
+    from megatron_clip_tpu.parallel.sharding import generic_param_specs
+    from megatron_clip_tpu.training.workload import (
+        runtime_cfg_from_args, build_workload_mesh, run_workload)
 
     compute = jnp.bfloat16 if args.precision.startswith("bf") else jnp.float32
     if args.backbone == "swin":
@@ -61,6 +59,15 @@ def run(args):
         params = init_vit_classifier(jax.random.PRNGKey(args.seed), cfg,
                                      args.num_classes)
         _loss = None
+    rc = runtime_cfg_from_args(args, "vit-classify")
+    if rc.pp > 1 and args.backbone != "vit":
+        raise SystemExit("pipeline parallelism requires the uniform vit "
+                         "backbone (swin/mit have stage-varying widths); "
+                         "use tp/fsdp/dp")
+    mesh, layers_fn = build_workload_mesh(rc)
+    from megatron_clip_tpu.parallel.mesh import STAGE
+    specs = generic_param_specs(
+        params, stage_axis=STAGE if rc.pp > 1 else None)
     rng = np.random.RandomState(args.seed)
 
     def batches():
@@ -74,16 +81,16 @@ def run(args):
                    jnp.asarray(rng.randint(0, args.num_classes,
                                            args.batch_size).astype(np.int32)))
 
-    def loss_fn(p, batch):
+    def loss_fn(p, batch, step_rng):
         images, labels = batch
         if _loss is not None:
             return _loss(p, images, labels)
         return classification_loss(p, images, labels, cfg,
-                                   compute_dtype=compute)
+                                   compute_dtype=compute,
+                                   layers_fn=layers_fn)
 
-    out = simple_train(params, loss_fn, batches(), args.train_steps,
-                       lr=args.lr, warmup=args.warmup,
-                       log_interval=args.log_interval, name="vit-classify")
+    out = run_workload(params, loss_fn, batches(), rc, mesh=mesh,
+                       param_specs=specs)
     return {"loss": out["loss"]}
 
 

@@ -17,15 +17,11 @@ def parse_args(argv=None):
     p.add_argument("--patch-size", type=int, default=16)
     p.add_argument("--image-size", type=int, default=224)
     p.add_argument("--mask-ratio", type=float, default=0.5)
-    p.add_argument("--batch-size", type=int, default=16)
-    p.add_argument("--train-steps", type=int, default=20)
-    p.add_argument("--lr", type=float, default=1e-4)
-    p.add_argument("--warmup", type=int, default=10)
     p.add_argument("--precision", default="bf16")
     p.add_argument("--data-dir", type=str, default=None,
                    help="ImageFolder dir; synthetic if unset")
-    p.add_argument("--log-interval", type=int, default=5)
-    p.add_argument("--seed", type=int, default=0)
+    from megatron_clip_tpu.training.workload import add_runtime_args
+    add_runtime_args(p, lr=1e-4, batch_size=16)
     return p.parse_args(argv)
 
 
@@ -33,7 +29,9 @@ def run(args):
     from megatron_clip_tpu.config import VisionCfg
     from megatron_clip_tpu.models.inpaint import (
         init_inpaint, inpaint_loss, random_patch_mask)
-    from megatron_clip_tpu.training.simple_loop import simple_train
+    from megatron_clip_tpu.parallel.sharding import generic_param_specs
+    from megatron_clip_tpu.training.workload import (
+        runtime_cfg_from_args, build_workload_mesh, run_workload)
 
     cfg = VisionCfg(layers=args.num_layers, width=args.hidden_size,
                     head_width=args.head_width, patch_size=args.patch_size,
@@ -42,6 +40,12 @@ def run(args):
     params = init_inpaint(jax.random.PRNGKey(args.seed), cfg)
     n = sum(x.size for x in jax.tree.leaves(params))
     print(f"inpaint ViT {n/1e6:.1f}M params", flush=True)
+    rc = runtime_cfg_from_args(args, "inpaint")
+    if rc.pp > 1:
+        raise SystemExit("inpainting does not support pipeline parallelism "
+                         "yet; use tp/fsdp/dp")
+    mesh, _ = build_workload_mesh(rc)
+    specs = generic_param_specs(params)
     n_patches = (args.image_size // args.patch_size) ** 2
 
     def batches():
@@ -68,13 +72,12 @@ def run(args):
                                      args.mask_ratio)
             yield images, mask
 
-    def loss_fn(p, batch):
+    def loss_fn(p, batch, step_rng):
         images, mask = batch
         return inpaint_loss(p, images, mask, cfg, compute_dtype=compute)
 
-    out = simple_train(params, loss_fn, masked_batches(), args.train_steps,
-                       lr=args.lr, warmup=args.warmup,
-                       log_interval=args.log_interval, name="inpaint")
+    out = run_workload(params, loss_fn, masked_batches(), rc, mesh=mesh,
+                       param_specs=specs)
     return {"loss": out["loss"]}
 
 

@@ -1,0 +1,109 @@
+"""The shared mesh runtime for secondary workloads (training/workload.py):
+sharded training, checkpoint save/resume equivalence, and eval cadence —
+the contract of megatron's pretrain() (training.py:60) + checkpointing
+(checkpointing.py:241,525) + the resume-equivalence functional test
+(test_resume_checkpoint_pipeline.py)."""
+import numpy as np
+import pytest
+
+
+BERT_COMMON = ["--num-layers", "2", "--hidden-size", "64", "--num-heads",
+               "4", "--seq-length", "32", "--vocab-size", "256",
+               "--batch-size", "8", "--log-interval", "1",
+               "--precision", "fp32", "--seed", "7"]
+GPT_COMMON = ["--num-layers", "2", "--hidden-size", "64", "--num-heads", "4",
+              "--seq-length", "32", "--vocab-size", "256",
+              "--batch-size", "8", "--log-interval", "1",
+              "--precision", "fp32", "--seed", "3"]
+
+
+def test_bert_sharded_with_pipeline_and_dropout(devices8):
+    """BERT on the full mesh: tp2 x pp2 x dp2, mb2, hidden dropout — the
+    parallel surface megatron's pretrain_bert gets from pretrain()."""
+    from pretrain_bert import parse_args, run
+    m = run(parse_args(BERT_COMMON[:-2] + [
+        "--num-layers", "4", "--train-steps", "3",
+        "--tensor-model-parallel-size", "2",
+        "--pipeline-model-parallel-size", "2", "--num-microbatches", "2",
+        "--hidden-dropout", "0.1"]))
+    assert np.isfinite(m["loss"])
+
+
+def test_bert_resume_equivalence(devices8, tmp_path):
+    """6 straight steps == 3 + save + resume + 3 (loss-trajectory identity,
+    the reference's 100 vs 50+load+50 functional test)."""
+    from pretrain_bert import parse_args, run
+    ck = str(tmp_path / "bert_ck")
+    m_full = run(parse_args(BERT_COMMON + ["--train-steps", "6"]))
+    run(parse_args(BERT_COMMON + ["--train-steps", "3", "--save", ck,
+                                  "--save-interval", "3"]))
+    m_res = run(parse_args(BERT_COMMON + ["--train-steps", "6", "--save", ck,
+                                          "--resume"]))
+    np.testing.assert_allclose(m_res["loss"], m_full["loss"], atol=1e-6)
+
+
+def test_gpt_resume_equivalence_sharded(devices8, tmp_path):
+    """GPT checkpoint/resume (VERDICT r2 missing #4) under tp2 x fsdp2."""
+    from pretrain_gpt import parse_args, run
+    ck = str(tmp_path / "gpt_ck")
+    shard = ["--tensor-model-parallel-size", "2",
+             "--fsdp-parallel-size", "2"]
+    m_full = run(parse_args(GPT_COMMON + shard + ["--train-steps", "6"]))
+    run(parse_args(GPT_COMMON + shard + ["--train-steps", "3", "--save", ck,
+                                         "--save-interval", "3"]))
+    m_res = run(parse_args(GPT_COMMON + shard + [
+        "--train-steps", "6", "--save", ck, "--resume",
+        "--eval-interval", "6", "--eval-iters", "2"]))
+    np.testing.assert_allclose(m_res["loss"], m_full["loss"], atol=1e-6)
+
+
+def test_t5_sharded(devices8):
+    from pretrain_t5 import parse_args, run
+    m = run(parse_args([
+        "--num-layers", "2", "--num-decoder-layers", "2",
+        "--hidden-size", "64", "--num-heads", "4",
+        "--encoder-seq-length", "32", "--decoder-seq-length", "16",
+        "--vocab-size", "512", "--batch-size", "8", "--train-steps", "2",
+        "--log-interval", "1", "--precision", "fp32",
+        "--tensor-model-parallel-size", "2",
+        "--fsdp-parallel-size", "2"]))
+    assert np.isfinite(m["loss"])
+
+
+def test_ict_sharded(devices8):
+    from pretrain_ict import parse_args, run
+    m = run(parse_args([
+        "--num-layers", "2", "--hidden-size", "64", "--num-heads", "4",
+        "--seq-length", "32", "--batch-size", "8", "--train-steps", "2",
+        "--log-interval", "1", "--precision", "fp32",
+        "--tensor-model-parallel-size", "2"]))
+    assert np.isfinite(m["loss"])
+
+
+def test_vision_classify_pipeline(devices8):
+    """ViT classification pipelined over 2 stages (the vit backbone is the
+    only one with a uniform layer stack)."""
+    from pretrain_vision_classify import parse_args, run
+    m = run(parse_args([
+        "--num-layers", "4", "--hidden-size", "64", "--img-size", "32",
+        "--patch-size", "8", "--num-classes", "10", "--batch-size", "8",
+        "--train-steps", "2", "--log-interval", "1", "--precision", "fp32",
+        "--pipeline-model-parallel-size", "2", "--num-microbatches", "2",
+        "--tensor-model-parallel-size", "2"]))
+    assert np.isfinite(m["loss"])
+
+
+def test_dino_aux_state_resume(devices8, tmp_path):
+    """DINO's EMA teacher + center ride the aux-state hook: resumed run
+    reproduces the straight run exactly (teacher/center checkpointed)."""
+    from pretrain_vision_dino import parse_args, run
+    common = ["--num-layers", "2", "--hidden-size", "64", "--img-size", "32",
+              "--patch-size", "8", "--out-dim", "32", "--batch-size", "4",
+              "--log-interval", "1", "--precision", "fp32", "--seed", "5"]
+    ck = str(tmp_path / "dino_ck")
+    m_full = run(parse_args(common + ["--train-steps", "4"]))
+    run(parse_args(common + ["--train-steps", "2", "--save", ck,
+                             "--save-interval", "2"]))
+    m_res = run(parse_args(common + ["--train-steps", "4", "--save", ck,
+                                     "--resume"]))
+    np.testing.assert_allclose(m_res["loss"], m_full["loss"], atol=1e-6)
