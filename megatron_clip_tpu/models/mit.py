@@ -140,11 +140,16 @@ def _efficient_attention(blk, x, heads, sr, res):
     return out @ blk["wo"].astype(x.dtype) + blk["bo"].astype(x.dtype)
 
 
-def apply_mit(params, images, cfg: MiTCfg, *, compute_dtype=jnp.bfloat16,
-              return_features: bool = False):
+def apply_mit_features(params, images, cfg: MiTCfg, *,
+                       compute_dtype=jnp.bfloat16):
+    """Hierarchical feature maps, one per stage: [B, H/4, W/4, C1] ...
+    [B, H/32, W/32, C4] — the pyramid a SegFormer decode head consumes
+    (reference tasks/vision/segmentation/finetune_segformer.py backbone
+    contract)."""
     b = images.shape[0]
     x = images.astype(compute_dtype)
     res = cfg.image_size
+    feats = []
     for si, stage in enumerate(params["stages"]):
         stride = 4 if si == 0 else 2
         x = _conv(x, stage["embed"]["w"], stride, "SAME") \
@@ -168,7 +173,15 @@ def apply_mit(params, images, cfg: MiTCfg, *, compute_dtype=jnp.bfloat16,
                 + blk["mlp"]["b2"].astype(h.dtype)
             x = x + h
         x = x.reshape(b, res, res, c)
+        feats.append(x)
+    return feats
 
+
+def apply_mit(params, images, cfg: MiTCfg, *, compute_dtype=jnp.bfloat16,
+              return_features: bool = False):
+    x = apply_mit_features(params, images, cfg,
+                           compute_dtype=compute_dtype)[-1]
+    b, res = x.shape[0], x.shape[1]
     x = x.reshape(b, res * res, cfg.num_features)
     x = layer_norm(x, params["ln_f"]["scale"], params["ln_f"]["bias"])
     pooled = x.mean(axis=1).astype(jnp.float32)

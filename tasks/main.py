@@ -30,7 +30,8 @@ def parse_args(argv=None):
                    choices=["zeroshot-imagenet", "retrieval", "linear-probe",
                             "glue", "race", "wikitext103", "lambada",
                             "msdp-prompt", "msdp-eval-f1",
-                            "orqa", "orqa-finetune"])
+                            "orqa", "orqa-finetune",
+                            "vision-classify", "vision-segment"])
     p.add_argument("--model", default="ViT-B-32")
     p.add_argument("--pretrained", default="", help="open_CLIP .pt file")
     p.add_argument("--load", default="", help="orbax checkpoint root")
@@ -51,6 +52,15 @@ def parse_args(argv=None):
     p.add_argument("--num-heads", type=int, default=12)
     p.add_argument("--probe-lr", type=float, default=1e-2)
     p.add_argument("--seed", type=int, default=0)
+    # --- vision classify/segment (reference tasks/vision) ----------------
+    p.add_argument("--img-size", type=int, default=224)
+    p.add_argument("--patch-size", type=int, default=16)
+    p.add_argument("--ignore-index", type=int, default=255,
+                   help="segmentation ignore label (cityscapes.py)")
+    p.add_argument("--seg-embed-dim", type=int, default=256)
+    p.add_argument("--seg-dims", type=int, nargs=4, default=None,
+                   help="MiT stage widths (default 32 64 160 256)")
+    p.add_argument("--seg-depths", type=int, nargs=4, default=None)
     # --- zero-shot GPT eval (reference tasks/zeroshot_gpt) ---------------
     p.add_argument("--valid-data", help="text file (wikitext103) / "
                                         "jsonl (lambada)")
@@ -261,6 +271,14 @@ def run(args):
 
     if args.task in ("orqa", "orqa-finetune"):
         return run_orqa(args)
+
+    if args.task == "vision-classify":
+        from tasks.vision import run_vision_classify
+        return run_vision_classify(args)
+
+    if args.task == "vision-segment":
+        from tasks.vision import run_vision_segment
+        return run_vision_segment(args)
 
     if args.task in ("glue", "race"):
         from megatron_clip_tpu.models.bert import BertCfg

@@ -1,0 +1,264 @@
+"""Vision downstream tasks: classification finetune + semantic segmentation.
+
+The TPU counterpart of the reference's tasks/vision harness:
+  - classification finetune of a ViT backbone + fresh head on an
+    ImageFolder, epoch loop with per-epoch dev accuracy
+    (tasks/vision/classification/classification.py via
+    finetune_utils.finetune);
+  - SegFormer-style semantic segmentation: MiT hierarchical backbone + the
+    all-MLP decode head — per-stage linear projections, upsample to 1/4
+    resolution, concat, fuse, classify, upsample to full resolution —
+    with pixel cross-entropy (ignore-index) and mIoU eval
+    (tasks/vision/segmentation/finetune_segformer.py, seg_heads.py,
+    cityscapes.py).
+
+Both run as pure-JAX jitted steps; the backbone can start from a CLIP
+checkpoint's visual tower (classification) or random init.
+"""
+import os
+
+import numpy as np
+
+
+# --------------------------- classification ---------------------------------
+
+def run_vision_classify(args):
+    """Finetune ViT + head on an ImageFolder (train/ & optional val/)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from megatron_clip_tpu.config import VisionCfg
+    from megatron_clip_tpu.data.image_folder import (
+        image_folder_batches, scan_image_folder)
+    from megatron_clip_tpu.models.vision_classify import (
+        init_vit_classifier, classification_loss, apply_vit_classifier)
+    from megatron_clip_tpu.training.optim import make_optimizer, cosine_lr
+
+    train_dir = os.path.join(args.data_dir, "train") \
+        if os.path.isdir(os.path.join(args.data_dir, "train")) else args.data_dir
+    val_dir = os.path.join(args.data_dir, "val")
+    if not os.path.isdir(val_dir):
+        val_dir = train_dir
+    _, classes = scan_image_folder(train_dir)
+    num_classes = len(classes)    # the folder defines the label space
+
+    cfg = VisionCfg(layers=args.num_layers, width=args.hidden_size,
+                    patch_size=args.patch_size, image_size=args.img_size)
+    params = init_vit_classifier(jax.random.PRNGKey(args.seed), cfg,
+                                 num_classes)
+    if args.pretrained:
+        # warm-start the backbone from a CLIP checkpoint's visual tower
+        # (reference classification.py --pretrained-checkpoint)
+        from megatron_clip_tpu.checkpoints.torch_interop import \
+            load_openclip_checkpoint
+        from megatron_clip_tpu import factory
+        model, cparams = factory.create_model(args.model, init_params=True)
+        cparams = load_openclip_checkpoint(args.pretrained, model.cfg,
+                                           cparams)
+        vis = cparams["visual"]
+        for k in params["backbone"]:
+            if k in vis and k != "proj" and \
+                    jax.tree.structure(params["backbone"][k]) == \
+                    jax.tree.structure(vis[k]):
+                params["backbone"][k] = vis[k]
+
+    n_train = len(scan_image_folder(train_dir)[0])
+    steps_per_epoch = max(1, n_train // args.batch_size)
+    total = steps_per_epoch * args.epochs
+    tx = make_optimizer(params, cosine_lr(args.lr, min(10, total // 10),
+                                          total),
+                        weight_decay=0.05, grad_clip_norm=1.0)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, opt, images, labels):
+        loss, g = jax.value_and_grad(
+            lambda p: classification_loss(p, images, labels, cfg,
+                                          compute_dtype=jnp.float32))(params)
+        u, opt = tx.update(g, opt, params)
+        return optax.apply_updates(params, u), opt, loss
+
+    @jax.jit
+    def predict(params, images):
+        return jnp.argmax(apply_vit_classifier(
+            params, images, cfg, compute_dtype=jnp.float32), -1)
+
+    def evaluate():
+        n_ok = n = 0
+        for images, labels in image_folder_batches(
+                val_dir, args.batch_size, args.img_size, is_train=False,
+                epochs=1, seed=args.seed):
+            pred = np.asarray(predict(params, jnp.asarray(images)))
+            n_ok += int((pred == np.asarray(labels)).sum())
+            n += len(labels)
+        return n_ok / max(n, 1)
+
+    history = []
+    for epoch in range(args.epochs):
+        it = image_folder_batches(train_dir, args.batch_size, args.img_size,
+                                  is_train=True, epochs=1,
+                                  seed=args.seed + epoch)
+        loss = None
+        for images, labels in it:
+            params, opt, loss = step(params, opt, jnp.asarray(images),
+                                     jnp.asarray(labels))
+        acc = evaluate()
+        history.append(acc)
+        print(f"[vision-classify] epoch {epoch}: loss "
+              f"{float(loss):.4f} dev acc {acc:.4f}", flush=True)
+    out = {"dev_accuracy": history[-1], "history": history,
+           "num_classes": num_classes}
+    print(out)
+    return out
+
+
+# --------------------------- segmentation -----------------------------------
+
+def init_segformer_head(key, in_dims, embed_dim, num_classes,
+                        dtype=np.float32):
+    """All-MLP decode head (SegFormer): per-stage linear -> fused linear ->
+    classifier."""
+    import jax
+    import jax.numpy as jnp
+    ks = jax.random.split(key, len(in_dims) + 2)
+    def lin(k, i, o):
+        return {"w": (i ** -0.5 * jax.random.normal(k, (i, o))
+                      ).astype(dtype), "b": jnp.zeros((o,), dtype)}
+    return {
+        "proj": [lin(ks[i], d, embed_dim) for i, d in enumerate(in_dims)],
+        "fuse": lin(ks[-2], embed_dim * len(in_dims), embed_dim),
+        "cls": lin(ks[-1], embed_dim, num_classes),
+    }
+
+
+def apply_segformer(params, images, cfg, num_classes, *,
+                    compute_dtype=None):
+    """images [B,H,W,3] -> per-pixel logits [B,H,W,num_classes]."""
+    import jax
+    import jax.numpy as jnp
+    from megatron_clip_tpu.models.mit import apply_mit_features
+    compute_dtype = compute_dtype or jnp.float32
+    feats = apply_mit_features(params["backbone"], images, cfg,
+                               compute_dtype=compute_dtype)
+    head = params["head"]
+    target = feats[0].shape[1]          # 1/4 resolution
+    ups = []
+    for f, pr in zip(feats, head["proj"]):
+        y = f @ pr["w"].astype(f.dtype) + pr["b"].astype(f.dtype)
+        if y.shape[1] != target:
+            y = jax.image.resize(
+                y, (y.shape[0], target, target, y.shape[-1]), "bilinear")
+        ups.append(y)
+    y = jnp.concatenate(ups, axis=-1)
+    y = jax.nn.gelu(y @ head["fuse"]["w"].astype(y.dtype)
+                    + head["fuse"]["b"].astype(y.dtype))
+    logits = y @ head["cls"]["w"].astype(y.dtype) \
+        + head["cls"]["b"].astype(y.dtype)
+    h = images.shape[1]
+    logits = jax.image.resize(
+        logits, (logits.shape[0], h, h, num_classes), "bilinear")
+    return logits.astype(jnp.float32)
+
+
+def _load_seg_pairs(data_dir, img_size):
+    """images/*.png|jpg + masks/<same-name>.png (int label map)."""
+    from PIL import Image
+    img_dir = os.path.join(data_dir, "images")
+    mask_dir = os.path.join(data_dir, "masks")
+    names = sorted(os.listdir(img_dir))
+    xs, ys = [], []
+    for n in names:
+        im = Image.open(os.path.join(img_dir, n)).convert("RGB") \
+            .resize((img_size, img_size), Image.BILINEAR)
+        base = os.path.splitext(n)[0]
+        mp = os.path.join(mask_dir, base + ".png")
+        mk = Image.open(mp).resize((img_size, img_size), Image.NEAREST)
+        xs.append(np.asarray(im, np.float32) / 255.0)
+        ys.append(np.asarray(mk, np.int32))
+    return np.stack(xs), np.stack(ys)
+
+
+def run_vision_segment(args):
+    """SegFormer finetune on an images/+masks/ folder; reports mIoU."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from megatron_clip_tpu.models.mit import MiTCfg, init_mit
+    from megatron_clip_tpu.ops.cross_entropy import cross_entropy
+    from megatron_clip_tpu.training.optim import make_optimizer, cosine_lr
+
+    num_classes = args.num_classes or 21
+    ignore = args.ignore_index
+    cfg = MiTCfg(image_size=args.img_size,
+                 dims=tuple(args.seg_dims) if args.seg_dims else
+                 (32, 64, 160, 256),
+                 depths=tuple(args.seg_depths) if args.seg_depths else
+                 (2, 2, 2, 2))
+    key = jax.random.PRNGKey(args.seed)
+    kb, kh = jax.random.split(key)
+    params = {
+        "backbone": init_mit(kb, cfg, num_classes=0),
+        "head": init_segformer_head(kh, cfg.dims, args.seg_embed_dim,
+                                    num_classes),
+    }
+
+    xs, ys = _load_seg_pairs(args.data_dir, args.img_size)
+    n = len(xs)
+    steps_per_epoch = max(1, n // args.batch_size)
+    total = steps_per_epoch * args.epochs
+    tx = make_optimizer(params, cosine_lr(args.lr, min(10, total // 10),
+                                          total),
+                        weight_decay=0.01, grad_clip_norm=1.0)
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, opt, images, masks):
+        def lf(p):
+            logits = apply_segformer(p, images, cfg, num_classes)
+            per = cross_entropy(logits.reshape(-1, num_classes),
+                                masks.reshape(-1).clip(0))
+            valid = (masks.reshape(-1) != ignore).astype(jnp.float32)
+            return jnp.sum(per * valid) / jnp.maximum(valid.sum(), 1.0)
+        loss, g = jax.value_and_grad(lf)(params)
+        u, opt = tx.update(g, opt, params)
+        return optax.apply_updates(params, u), opt, loss
+
+    @jax.jit
+    def predict(params, images):
+        return jnp.argmax(apply_segformer(params, images, cfg, num_classes),
+                          -1)
+
+    rng = np.random.RandomState(args.seed)
+    loss = None
+    for epoch in range(args.epochs):
+        order = rng.permutation(n)
+        for i in range(steps_per_epoch):
+            idx = order[i * args.batch_size:(i + 1) * args.batch_size]
+            if len(idx) < args.batch_size:
+                idx = np.concatenate(
+                    [idx, order[:args.batch_size - len(idx)]])
+            params, opt, loss = step(params, opt, jnp.asarray(xs[idx]),
+                                     jnp.asarray(ys[idx]))
+        print(f"[vision-segment] epoch {epoch}: loss {float(loss):.4f}",
+              flush=True)
+
+    # mIoU over the (small) eval set (cityscapes.py evaluation contract)
+    inter = np.zeros(num_classes)
+    union = np.zeros(num_classes)
+    for i in range(0, n, args.batch_size):
+        b = xs[i:i + args.batch_size]
+        pred = np.asarray(predict(params, jnp.asarray(b)))
+        gt = ys[i:i + args.batch_size]
+        valid = gt != ignore
+        for c in range(num_classes):
+            pi = (pred == c) & valid
+            gi = (gt == c) & valid
+            inter[c] += (pi & gi).sum()
+            union[c] += (pi | gi).sum()
+    present = union > 0
+    miou = float((inter[present] / union[present]).mean()) if present.any() \
+        else 0.0
+    out = {"train_loss": float(loss), "miou": round(miou, 4),
+           "num_classes": num_classes}
+    print(out)
+    return out

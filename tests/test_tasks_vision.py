@@ -1,0 +1,69 @@
+"""tasks/vision: classification finetune + SegFormer segmentation
+(reference tasks/vision/classification/classification.py,
+segmentation/finetune_segformer.py). Synthetic easily-separable data: the
+finetunes must actually learn (accuracy / mIoU well above chance)."""
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def image_folder(tmp_path_factory):
+    """3-class ImageFolder: each class is a distinct solid color + noise."""
+    from PIL import Image
+    root = tmp_path_factory.mktemp("imgs")
+    rng = np.random.RandomState(0)
+    colors = [(220, 40, 40), (40, 220, 40), (40, 40, 220)]
+    for ci, col in enumerate(colors):
+        d = root / f"class{ci}"
+        d.mkdir()
+        for i in range(12):
+            img = np.clip(np.asarray(col, np.float32)[None, None]
+                          + rng.randn(32, 32, 3) * 20, 0, 255
+                          ).astype(np.uint8)
+            Image.fromarray(img).save(d / f"{i}.png")
+    return str(root)
+
+
+def test_vision_classify_learns(image_folder):
+    from tasks.main import parse_args, run
+    out = run(parse_args([
+        "--task", "vision-classify", "--data-dir", image_folder,
+        "--num-layers", "2", "--hidden-size", "64", "--patch-size", "8",
+        "--img-size", "32", "--batch-size", "12", "--epochs", "4",
+        "--lr", "1e-3"]))
+    assert out["num_classes"] == 3
+    assert out["dev_accuracy"] > 0.6, out   # chance = 1/3
+
+
+@pytest.fixture(scope="module")
+def seg_folder(tmp_path_factory):
+    """images/ + masks/: left half class 0 (dark), right half class 1
+    (bright); a strip of ignore labels along the boundary."""
+    from PIL import Image
+    root = tmp_path_factory.mktemp("seg")
+    (root / "images").mkdir()
+    (root / "masks").mkdir()
+    rng = np.random.RandomState(0)
+    for i in range(8):
+        img = np.zeros((32, 32, 3), np.float32)
+        img[:, :16] = 40 + rng.randn(32, 16, 3) * 10
+        img[:, 16:] = 210 + rng.randn(32, 16, 3) * 10
+        mask = np.zeros((32, 32), np.uint8)
+        mask[:, 16:] = 1
+        mask[:, 15:17] = 255          # ignore strip
+        Image.fromarray(np.clip(img, 0, 255).astype(np.uint8)
+                        ).save(root / "images" / f"{i}.png")
+        Image.fromarray(mask).save(root / "masks" / f"{i}.png")
+    return str(root)
+
+
+def test_vision_segment_learns(seg_folder):
+    from tasks.main import parse_args, run
+    out = run(parse_args([
+        "--task", "vision-segment", "--data-dir", seg_folder,
+        "--num-classes", "2", "--img-size", "32", "--batch-size", "4",
+        "--epochs", "6", "--lr", "1e-3", "--seg-embed-dim", "32",
+        "--seg-depths", "1", "1", "1", "1"]))
+    assert out["miou"] > 0.6, out           # trivially separable halves
