@@ -176,9 +176,41 @@ def tokenize(texts, context_length: int = CONTEXT_LENGTH) -> np.ndarray:
     return _default_tokenizer()(texts, context_length)
 
 
+class HFTokenizer:
+    """HuggingFace tokenizer wrapper for HF text towers — the analogue of
+    open_CLIP's HFTokenizer (tokenizer.py:191): __call__(texts,
+    context_length) -> [B, context_length] int32 ids, padded/truncated,
+    matching the padding mask the HF tower derives from pad_token_id."""
+
+    def __init__(self, tokenizer_name: str):
+        from transformers import AutoTokenizer
+        self.tokenizer = AutoTokenizer.from_pretrained(tokenizer_name)
+
+    def save_pretrained(self, dest):
+        self.tokenizer.save_pretrained(dest)
+
+    def __call__(self, texts, context_length: int = 77):
+        import numpy as np
+        if isinstance(texts, str):
+            texts = [texts]
+        enc = self.tokenizer(
+            list(texts), return_tensors="np", max_length=context_length,
+            padding="max_length", truncation=True)
+        return np.asarray(enc["input_ids"], np.int32)
+
+
 def get_tokenizer(model_name: str = ""):
-    """open_CLIP get_tokenizer analogue: CLIP BPE for all built-in models
-    (HF tokenizers for hf-text-tower models are on the roadmap)."""
+    """open_CLIP get_tokenizer analogue (factory.py get_tokenizer): models
+    with an HF text tower get the matching HF tokenizer; everything else
+    gets the CLIP BPE tokenizer."""
     if model_name.startswith("hf-hub:"):
-        raise NotImplementedError("HF-hub tokenizers not yet supported")
+        return HFTokenizer(model_name[len("hf-hub:"):])
+    if model_name:
+        from megatron_clip_tpu import factory
+        cfg = factory.get_model_config(model_name.replace("/", "-"))
+        if cfg:
+            tcfg = cfg.get("text_cfg", {})
+            name = tcfg.get("hf_tokenizer_name") or tcfg.get("hf_model_name")
+            if name and name != "__random_tiny__":
+                return HFTokenizer(name)
     return _default_tokenizer()

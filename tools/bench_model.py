@@ -50,7 +50,7 @@ def bench_gpt(args):
     pdtype = jnp.bfloat16 if args.params_dtype == "bf16" else jnp.float32
     params = init_gpt(jax.random.PRNGKey(0), cfg, dtype=pdtype)
     n_params = sum(x.size for x in jax.tree.leaves(params))
-    tcfg = cfg.transformer(remat=args.remat, scan_layers=True)
+    tcfg = cfg.transformer(remat=args.remat, scan_layers=args.scan_layers)
     tx = optax.chain(optax.clip_by_global_norm(1.0),
                      optax.adamw(1e-4, b1=0.9, b2=0.95,
                                  mu_dtype=jnp.bfloat16))
