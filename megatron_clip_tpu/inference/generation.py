@@ -34,7 +34,28 @@ class KVCache(NamedTuple):
         t = cfg.transformer()
         hkv = t.kv_heads or t.heads
         shape = (t.layers, batch, hkv, max_len, t.head_dim)
-        return cls(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+        k = jnp.zeros(shape, dtype)
+        return cls(_cache_constraint(k), _cache_constraint(jnp.zeros_like(k)))
+
+
+def _cache_constraint(c):
+    """Serving under a mesh (megatron's TP inference,
+    text_generation/communication.py): pin the KV cache to kv-heads over
+    `tensor` and batch over the data axes so the decode scan keeps the same
+    layout as the TP-sharded attention instead of gathering per step. No-op
+    without an active mesh."""
+    amesh = jax.sharding.get_abstract_mesh()
+    names = set(amesh.axis_names) if amesh is not None else set()
+    from megatron_clip_tpu.parallel.mesh import DATA, FSDP, TENSOR
+    if TENSOR not in names:
+        return c
+    from jax.sharding import PartitionSpec as P
+    batch_axes = tuple(a for a in (DATA, FSDP) if a in names) or None
+    hkv = c.shape[2]
+    tp = amesh.shape[TENSOR]
+    head_axis = TENSOR if hkv % tp == 0 else None
+    return jax.lax.with_sharding_constraint(
+        c, P(None, batch_axes, head_axis, None, None))
 
 
 def _block_decode(block, x, cache_k, cache_v, pos, cfg: TransformerCfg, rope):

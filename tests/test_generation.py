@@ -93,3 +93,33 @@ def test_eos_stops_generation():
     arr = np.asarray(out)[0, 4:]
     # first generated token is the eos itself; everything after is padding 0
     assert (arr[1:] == 0).all()
+
+
+def test_generation_under_tp_mesh(devices8):
+    """Serving under a TP-sharded mesh (megatron's TP inference,
+    text_generation/communication.py): greedy decode with tensor-parallel
+    params + sharded KV cache must match the single-device decode
+    token-for-token."""
+    import jax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from megatron_clip_tpu.config import ParallelCfg
+    from megatron_clip_tpu.models.gpt import GPTCfg, init_gpt, gpt_param_specs
+    from megatron_clip_tpu.inference.generation import greedy_generate
+    from megatron_clip_tpu.parallel import build_mesh
+    from megatron_clip_tpu.parallel.sharding import make_sharding_tree
+
+    cfg = GPTCfg(num_layers=2, hidden_size=64, num_heads=4, vocab_size=256,
+                 seq_length=64)
+    params = init_gpt(jax.random.PRNGKey(0), cfg)
+    prompt = jax.random.randint(jax.random.PRNGKey(1), (4, 8), 1,
+                                255).astype(jnp.int32)
+    want = np.asarray(greedy_generate(params, prompt, cfg,
+                                      max_new_tokens=12))
+
+    mesh = build_mesh(ParallelCfg(dp=2, tp=2, fsdp=2))
+    sparams = jax.device_put(params,
+                             make_sharding_tree(mesh, gpt_param_specs(params)))
+    with jax.sharding.set_mesh(mesh):
+        got = np.asarray(greedy_generate(sparams, prompt, cfg,
+                                         max_new_tokens=12))
+    np.testing.assert_array_equal(got, want)
