@@ -116,7 +116,7 @@ def apply_gpt(params, tokens, cfg: GPTCfg, *, compute_dtype=jnp.bfloat16,
 def gpt_loss(params, tokens, cfg: GPTCfg, *, loss_mask=None,
              compute_dtype=jnp.bfloat16, tcfg=None, layers_fn=None,
              rng=None, loss_seq_chunk: int = 0, position_ids=None,
-             targets=None):
+             targets=None, fused_ce: bool = False):
     """Next-token LM loss: predict tokens[:, 1:] from tokens[:, :-1]
     (pretrain_gpt.py loss_func semantics, with loss-mask averaging).
 
@@ -140,6 +140,25 @@ def gpt_loss(params, tokens, cfg: GPTCfg, *, loss_mask=None,
     else:
         inputs = tokens
         mask = None if loss_mask is None else loss_mask.astype(jnp.float32)
+    if fused_ce and not cfg.num_experts:
+        # fused lm-head + CE Pallas kernel: logits never hit HBM
+        # (ops/pallas/fused_ce.py — the single-chip answer to megatron's
+        # vocab-parallel cross-entropy memory relief)
+        from megatron_clip_tpu.ops.pallas.fused_ce import \
+            fused_linear_cross_entropy
+        h = apply_gpt(params, inputs, cfg,
+                      compute_dtype=compute_dtype, tcfg=tcfg,
+                      layers_fn=layers_fn, rng=rng, return_hidden=True,
+                      position_ids=position_ids)
+        b, s, wd = h.shape
+        wh = (params["tok_embed"].T if cfg.tie_embeddings
+              else params["lm_head"]).astype(h.dtype)
+        per = fused_linear_cross_entropy(
+            h.reshape(b * s, wd), wh, targets.reshape(-1))
+        m = (jnp.ones((b * s,), jnp.float32) if mask is None
+             else mask.reshape(-1))
+        return jnp.sum(per * m) / jnp.maximum(jnp.sum(m), 1.0)
+
     if loss_seq_chunk and not cfg.num_experts:
         h = apply_gpt(params, inputs, cfg,
                       compute_dtype=compute_dtype, tcfg=tcfg,

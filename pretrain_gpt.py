@@ -63,6 +63,10 @@ def parse_args(argv=None):
                    help="compute lm-head + cross-entropy in sequence chunks "
                         "of this size (recomputed in backward): caps peak "
                         "logits memory at [B,chunk,V]")
+    p.add_argument("--fused-ce", action="store_true",
+                   help="fused lm-head+CE Pallas kernel: logits never "
+                        "materialize in HBM (ops/pallas/fused_ce.py; "
+                        "TPU only)")
     p.add_argument("--attention-dropout", type=float, default=0.0,
                    help="attention-prob dropout (megatron default 0.1)")
     p.add_argument("--hidden-dropout", type=float, default=0.0,
@@ -156,9 +160,11 @@ def run(args):
                             position_ids=zig_pos,
                             compute_dtype=compute_dtype, tcfg=tcfg,
                             layers_fn=layers_fn, rng=rng,
+                            fused_ce=args.fused_ce,
                             loss_seq_chunk=args.loss_seq_chunk)
         return gpt_loss(p, tokens, cfg, compute_dtype=compute_dtype,
                         tcfg=tcfg, layers_fn=layers_fn, rng=rng,
+                        fused_ce=args.fused_ce,
                         loss_seq_chunk=args.loss_seq_chunk)
 
     out = run_workload(params, loss_fn, batches, rc, mesh=mesh,

@@ -60,6 +60,7 @@ def bench_gpt(args):
     def step(params, opt, tokens):
         loss, g = jax.value_and_grad(
             lambda p: gpt_loss(p, tokens, cfg, tcfg=tcfg,
+                               fused_ce=args.fused_ce,
                                loss_seq_chunk=args.loss_chunk))(params)
         upd, opt = tx.update(g, opt, params)
         return optax.apply_updates(params, upd), opt, loss
@@ -99,6 +100,9 @@ def main():
     p.add_argument("--seq-len", type=int, default=2048)
     p.add_argument("--loss-chunk", type=int, default=512,
                    help="sequence-chunked lm-head loss (0 = full logits)")
+    p.add_argument("--fused-ce", action="store_true",
+                   help="fused lm-head+CE Pallas kernel (logits never in "
+                        "HBM; ops/pallas/fused_ce.py)")
     p.add_argument("--params-dtype", choices=["fp32", "bf16"], default="fp32",
                    help="bf16 = pure-bf16 params/optimizer state (fits "
                         "760m-class models on one 16G chip)")
