@@ -35,6 +35,46 @@ def _convnext_cfg(cfg: CLIPCfg):
                        drop_path=cfg.convnext_drop_path)
 
 
+def _hf_is_t5(d: dict) -> bool:
+    """T5/mT5-family text tower? (open_CLIP hf_configs.py arch_dict keys
+    't5'/'mt5')."""
+    if d.get("arch"):
+        return d["arch"] == "t5"
+    name = (d.get("model_name") or "").lower()
+    return "t5" in name.split("/")[-1]
+
+
+def _hf_t5_cfg(cfg: CLIPCfg):
+    from megatron_clip_tpu.models.hf_t5_text import T5TextCfg
+    d = cfg.hf_text
+    t = cfg.text
+    fields = ("vocab_size", "d_model", "d_kv", "d_ff", "heads", "layers",
+              "layer_norm_eps", "rel_buckets", "rel_max_distance",
+              "gated_ff", "pad_token_id")
+    kw = {f: d[f] for f in fields if f in d}
+    return T5TextCfg(
+        vocab_size=kw.get("vocab_size", t.vocab_size),
+        d_model=kw.get("d_model", t.width),
+        d_kv=kw.get("d_kv", t.width // t.heads),
+        d_ff=kw.get("d_ff", 4 * t.width),
+        heads=kw.get("heads", t.heads), layers=kw.get("layers", t.layers),
+        layer_norm_eps=kw.get("layer_norm_eps", 1e-6),
+        rel_buckets=kw.get("rel_buckets", 32),
+        rel_max_distance=kw.get("rel_max_distance", 128),
+        gated_ff=kw.get("gated_ff", True),
+        pad_token_id=kw.get("pad_token_id", 0),
+        pooler=d.get("pooler", "mean_pooler"),
+        proj=d.get("proj", "linear"), output_dim=cfg.embed_dim)
+
+
+def _persist_t5(d: dict, tcfg) -> None:
+    d["arch"] = "t5"
+    for f in ("vocab_size", "d_model", "d_kv", "d_ff", "heads", "layers",
+              "layer_norm_eps", "rel_buckets", "rel_max_distance",
+              "gated_ff", "pad_token_id"):
+        d[f] = getattr(tcfg, f)
+
+
 def _hf_text_cfg(cfg: CLIPCfg):
     from megatron_clip_tpu.models.hf_text import (
         HFTextCfg, hf_text_cfg_from_dict)
@@ -67,16 +107,29 @@ def init_clip(key, cfg: CLIPCfg, dtype=jnp.float32):
                           dtype=dtype)
     if cfg.hf_text is not None:
         name = cfg.hf_text.get("model_name", "")
+        is_t5 = _hf_is_t5(cfg.hf_text)
         if cfg.hf_text.get("pretrained") and name:
-            from megatron_clip_tpu.models.hf_text import (
-                load_hf_text_tower, persist_hf_text_cfg)
-            hcfg, text = load_hf_text_tower(
-                name, output_dim=cfg.embed_dim,
-                proj=cfg.hf_text.get("proj", "linear"),
-                pooler=cfg.hf_text.get("pooler"))
-            # record the checkpoint's true architecture so encode_text
-            # rebuilds the same HFTextCfg (not text_cfg-derived defaults)
-            persist_hf_text_cfg(cfg.hf_text, hcfg)
+            if is_t5:
+                from megatron_clip_tpu.models.hf_t5_text import \
+                    load_hf_t5_text_tower
+                tcfg5, text = load_hf_t5_text_tower(
+                    name, output_dim=cfg.embed_dim,
+                    proj=cfg.hf_text.get("proj", "linear"),
+                    pooler=cfg.hf_text.get("pooler"))
+                _persist_t5(cfg.hf_text, tcfg5)
+            else:
+                from megatron_clip_tpu.models.hf_text import (
+                    load_hf_text_tower, persist_hf_text_cfg)
+                hcfg, text = load_hf_text_tower(
+                    name, output_dim=cfg.embed_dim,
+                    proj=cfg.hf_text.get("proj", "linear"),
+                    pooler=cfg.hf_text.get("pooler"))
+                # record the checkpoint's true architecture so encode_text
+                # rebuilds the same HFTextCfg (not text_cfg defaults)
+                persist_hf_text_cfg(cfg.hf_text, hcfg)
+        elif is_t5:
+            from megatron_clip_tpu.models.hf_t5_text import init_hf_t5_text
+            text = init_hf_t5_text(kt, _hf_t5_cfg(cfg), dtype)
         else:
             from megatron_clip_tpu.models.hf_text import init_hf_text
             text = init_hf_text(kt, _hf_text_cfg(cfg), dtype)
@@ -140,9 +193,14 @@ def encode_text(params, text_ids, cfg: CLIPCfg, *, normalize: bool = True,
             raise ValueError("pipeline parallelism (layers_fn) is not "
                              "supported for HF text towers (post-LN stack "
                              "outside the stacked-pytree layer format)")
-        from megatron_clip_tpu.models.hf_text import apply_hf_text
-        f = apply_hf_text(params["text"], text_ids, _hf_text_cfg(cfg),
-                          compute_dtype=compute_dtype)
+        if _hf_is_t5(cfg.hf_text):
+            from megatron_clip_tpu.models.hf_t5_text import apply_hf_t5_text
+            f = apply_hf_t5_text(params["text"], text_ids, _hf_t5_cfg(cfg),
+                                 compute_dtype=compute_dtype)
+        else:
+            from megatron_clip_tpu.models.hf_text import apply_hf_text
+            f = apply_hf_text(params["text"], text_ids, _hf_text_cfg(cfg),
+                              compute_dtype=compute_dtype)
         return _l2_normalize(f) if normalize else f.astype(jnp.float32)
     f = apply_text(params["text"], text_ids, cfg.text, cfg.embed_dim,
                    act=cfg.act, compute_dtype=compute_dtype,

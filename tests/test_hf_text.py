@@ -103,3 +103,73 @@ def test_factory_hf_text_clip():
     assert out["text_features"].shape == (2, 64)
     n = np.linalg.norm(np.asarray(out["text_features"]), axis=-1)
     np.testing.assert_allclose(n, 1.0, atol=1e-5)
+
+
+# ------------------------- T5/mT5 encoder family ----------------------------
+
+def _tiny_t5(ff_proj):
+    cfg = transformers.T5Config(
+        vocab_size=120, d_model=32, d_kv=8, d_ff=64, num_layers=2,
+        num_heads=4, relative_attention_num_buckets=8,
+        relative_attention_max_distance=20, feed_forward_proj=ff_proj,
+        pad_token_id=0, decoder_start_token_id=0)
+    torch.manual_seed(0)
+    return transformers.T5EncoderModel(cfg).eval(), cfg
+
+
+@pytest.mark.parametrize("ff_proj", ["gated-gelu", "relu"])
+def test_t5_encoder_matches_transformers(ff_proj):
+    """Native T5 encoder (models/hf_t5_text.py: RMS norms, relative
+    position buckets, gated/relu FF, no attention scaling) vs the actual
+    transformers T5EncoderModel."""
+    from megatron_clip_tpu.models.hf_t5_text import (
+        t5_cfg_from_transformers, convert_t5_state_dict, apply_hf_t5_text)
+
+    model, hcfg = _tiny_t5(ff_proj)
+    cfg = t5_cfg_from_transformers(hcfg, proj="none")
+    sd = {k: v.detach().numpy() for k, v in model.state_dict().items()}
+    params = convert_t5_state_dict(sd, cfg)
+
+    rng = np.random.RandomState(0)
+    ids = rng.randint(3, 119, (2, 10)).astype(np.int64)
+    ids[0, 7:] = 0
+    mask = (ids != 0).astype(np.int64)
+    with torch.no_grad():
+        hid = model(input_ids=torch.tensor(ids),
+                    attention_mask=torch.tensor(mask)
+                    ).last_hidden_state.numpy()
+    want = (hid * mask[..., None]).sum(1) / mask.sum(1, keepdims=True)
+    got = np.asarray(apply_hf_t5_text(
+        params, jnp.asarray(ids.astype(np.int32)), cfg,
+        compute_dtype=jnp.float32))
+    np.testing.assert_allclose(got, want, atol=1e-4)
+
+
+def test_clip_with_t5_text_tower():
+    """A CLIP model whose text tower is a (random-init) mT5-style encoder
+    runs end-to-end through the factory config path (the reference's
+    mt5-base-ViT-B-32 config family)."""
+    from megatron_clip_tpu import factory
+
+    cfgd = {
+        "embed_dim": 32,
+        "vision_cfg": {"image_size": 32, "layers": 2, "width": 32,
+                       "head_width": 16, "patch_size": 8},
+        "text_cfg": {"hf_model_name": "google/mt5-tiny-nonexistent",
+                     "hf_model_pretrained": False,
+                     "context_length": 16, "vocab_size": 250,
+                     "width": 32, "heads": 4, "layers": 2,
+                     "proj": "linear", "pooler_type": "mean_pooler"},
+    }
+    cfg = factory.parse_model_cfg(cfgd)
+    model = factory.CLIPModel(cfg=cfg,
+                              precision=factory.Precision("float32",
+                                                          "float32"))
+    params = model.init(jax.random.PRNGKey(0))
+    ids = jnp.asarray(np.random.RandomState(0).randint(
+        1, 249, (2, 16)).astype(np.int32))
+    out = model(params, jnp.zeros((2, 32, 32, 3)), ids)
+    assert out["text_features"].shape == (2, 32)
+    np.testing.assert_allclose(
+        np.asarray(jnp.linalg.norm(out["text_features"], axis=-1)),
+        np.ones(2), rtol=1e-5)
