@@ -104,3 +104,45 @@ def test_retro_build_tool(tmp_path):
     # exist in a different document (check via token match impossible -> use
     # doc structure: 70 tokens -> 5 chunks/doc; neighbor rows are nonzero)
     assert nbrs.any(axis=(1, 2)).all()
+
+
+def test_retro_build_staged_ivf(tmp_path):
+    """The staged pipeline (chunks -> embed shards -> k-means IVF index ->
+    probed query) — the reference's tools/retro db/index/query structure —
+    produces valid doc-filtered neighbors, and the IVF-probed results are
+    well-formed at small scale."""
+    from megatron_clip_tpu.data.indexed_dataset import MMapIndexedDatasetBuilder
+    rng = np.random.RandomState(1)
+    prefix = str(tmp_path / "corpus")
+    b = MMapIndexedDatasetBuilder(prefix, dtype=np.int32)
+    for _d in range(8):
+        b.add_item(rng.randint(4, 200, size=64).astype(np.int32))
+        b.end_document()
+    b.finalize()
+
+    import sys
+    sys.path.insert(0, "/root/repo/tools")
+    from retro_build import parse_args as rb_args, run as rb_run
+    out = str(tmp_path / "retro")
+    common = ["--data-path", prefix, "--out", out, "--chunk-length", "16",
+              "--num-neighbors", "2", "--embed-dim", "16",
+              "--encoder-layers", "1", "--encoder-width", "32",
+              "--vocab-size", "256", "--batch-size", "8",
+              "--embed-shard-size", "16", "--num-centroids", "4",
+              "--nprobe", "2"]
+    for stage in ("chunks", "embed", "index", "query"):
+        m = rb_run(rb_args(common + ["--stage", stage]))
+    chunks = np.load(out + "_chunks.npy")
+    docs = np.load(out + "_chunk_docs.npy")
+    nbrs = np.load(out + "_neighbors.npy")
+    cents = np.load(out + "_centroids.npy")
+    assert m["num_chunks"] == len(chunks)
+    assert cents.shape == (4, 16)
+    assert nbrs.shape == (len(chunks), 2, 32)
+    # embed stage is resumable: shards on disk, consolidated file matches
+    emb = np.load(out + "_emb.npy")
+    assert emb.shape == (len(chunks), 16)
+    # doc filter: no neighbor equals the query chunk itself
+    for i in range(0, len(chunks), 7):
+        assert not np.array_equal(nbrs[i, 0, :16], chunks[i]) or \
+            not chunks[i].any()

@@ -1,20 +1,29 @@
 #!/usr/bin/env python
-"""Build the RETRO retrieval database: chunk the corpus, embed chunks,
-query k neighbors per chunk, store neighbor+continuation token arrays.
+"""Build the RETRO retrieval database — staged, corpus-scale.
 
-Reference: tools/retro/ (~2200 LoC: db build -> FAISS index -> query).
-Here: chunks come from a GPT indexed dataset; embeddings from the
-biencoder context tower (random-init by default — pass --load for a
-trained encoder); search is the exact TPU MIPS index (indexer.py);
-same-document neighbors are filtered like the reference's query stage.
+Reference: tools/retro/ (~2200 LoC): db build -> FAISS IVF index train/add
+-> neighbor query, run as separate resumable jobs over on-disk
+intermediates. Same structure here, TPU-native:
 
-Outputs:
-  <out>_chunks.npy     [N, m] int32 chunk tokens
-  <out>_chunk_docs.npy [N]    int64 source document ids
-  <out>_neighbors.npy  [N, k, 2m] int32 neighbor + continuation tokens
+  --stage chunks  corpus -> <out>_chunks.npy [N, m] + <out>_chunk_docs.npy
+  --stage embed   chunks -> <out>_emb/shard_XXXX.npy (batched encoder
+                  forwards on the chip; resumable — existing shards are
+                  skipped), then consolidated <out>_emb.npy
+  --stage index   k-means coarse quantizer (the IVF analogue of the
+                  reference's faiss.index_factory "IVF*,Flat"):
+                  <out>_centroids.npy + <out>_assign.npy; clustering runs
+                  as jitted Lloyd iterations on the device
+  --stage query   per chunk: probe the nearest --nprobe centroids, exact
+                  MIPS within their inverted lists (indexer.py kernel),
+                  filter same-document hits, attach continuations ->
+                  <out>_neighbors.npy [N, k, 2m]
+  --stage all     everything in sequence (default; small-corpus one-shot)
+
+Embeddings come from the biencoder context tower (random-init by default —
+pass --load for a trained encoder, tools/bert_embedding.py to train one).
 
   python tools/retro_build.py --data-path corpus --out /data/retro \
-      --chunk-length 64 --num-neighbors 2
+      --chunk-length 64 --num-neighbors 2 --num-centroids 1024
 """
 import argparse
 import os
@@ -29,6 +38,8 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser("retro db build")
     p.add_argument("--data-path", required=True)
     p.add_argument("--out", required=True)
+    p.add_argument("--stage", choices=["chunks", "embed", "index", "query",
+                                       "all"], default="all")
     p.add_argument("--chunk-length", type=int, default=64)
     p.add_argument("--num-neighbors", type=int, default=2)
     p.add_argument("--embed-dim", type=int, default=64)
@@ -36,6 +47,13 @@ def parse_args(argv=None):
     p.add_argument("--encoder-width", type=int, default=128)
     p.add_argument("--vocab-size", type=int, default=50304)
     p.add_argument("--batch-size", type=int, default=64)
+    p.add_argument("--embed-shard-size", type=int, default=65536,
+                   help="chunks per embedding shard file (resume unit)")
+    p.add_argument("--num-centroids", type=int, default=0,
+                   help="IVF coarse centroids; 0 = exact MIPS over the "
+                        "full db (small corpora)")
+    p.add_argument("--nprobe", type=int, default=8)
+    p.add_argument("--kmeans-iters", type=int, default=10)
     p.add_argument("--load", default=None, help="biencoder checkpoint root")
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args(argv)
@@ -55,20 +73,12 @@ def build_chunks(ds, m):
     return np.stack(chunks), np.asarray(docs, np.int64)
 
 
-def run(args):
+def _encoder(args, m):
     import jax
     import jax.numpy as jnp
-    from megatron_clip_tpu.data.indexed_dataset import MMapIndexedDataset
-    from megatron_clip_tpu.indexer import MIPSIndex
     from megatron_clip_tpu.models.bert import BertCfg
     from megatron_clip_tpu.models.biencoder import (
         BiencoderCfg, init_biencoder, encode_context)
-
-    ds = MMapIndexedDataset(args.data_path)
-    m = args.chunk_length
-    chunks, chunk_docs = build_chunks(ds, m)
-    n = len(chunks)
-    print(f"{n} chunks of {m} tokens from {len(ds)} docs", flush=True)
 
     cfg = BiencoderCfg(
         bert=BertCfg(num_layers=args.encoder_layers,
@@ -88,22 +98,110 @@ def run(args):
         return encode_context(params, tokens, cfg, pad_mask=(tokens != 0),
                               compute_dtype=jnp.float32)
 
-    embs = []
-    for lo in range(0, n, args.batch_size):
-        batch = chunks[lo:lo + args.batch_size]
-        if len(batch) < args.batch_size:
-            batch = np.concatenate(
-                [batch, np.zeros((args.batch_size - len(batch), m),
-                                 np.int32)])
-        embs.append(np.asarray(encode(jnp.asarray(batch))))
-    emb = np.concatenate(embs)[:n]
+    return encode
 
-    index = MIPSIndex(emb)
-    # over-query so same-doc filtering still leaves k neighbors
-    kq = args.num_neighbors + 8
-    _, nbr_idx = index.search(emb, k=min(kq, n))
 
+def stage_chunks(args):
+    from megatron_clip_tpu.data.indexed_dataset import MMapIndexedDataset
+    ds = MMapIndexedDataset(args.data_path)
+    chunks, chunk_docs = build_chunks(ds, args.chunk_length)
+    np.save(args.out + "_chunks.npy", chunks)
+    np.save(args.out + "_chunk_docs.npy", chunk_docs)
+    print(f"[chunks] {len(chunks)} chunks of {args.chunk_length} tokens "
+          f"from {len(ds)} docs", flush=True)
+    return chunks, chunk_docs
+
+
+def stage_embed(args):
+    import jax.numpy as jnp
+    chunks = np.load(args.out + "_chunks.npy")
+    n, m = chunks.shape
+    encode = _encoder(args, m)
+    shard_dir = args.out + "_emb"
+    os.makedirs(shard_dir, exist_ok=True)
+    bs, ss = args.batch_size, args.embed_shard_size
+    n_shards = -(-n // ss)
+    for si in range(n_shards):
+        path = os.path.join(shard_dir, f"shard_{si:04d}.npy")
+        if os.path.exists(path):
+            continue            # resumable: skip completed shards
+        lo_s, hi_s = si * ss, min((si + 1) * ss, n)
+        embs = []
+        for lo in range(lo_s, hi_s, bs):
+            batch = chunks[lo:lo + bs]
+            if len(batch) < bs:
+                batch = np.concatenate(
+                    [batch, np.zeros((bs - len(batch), m), np.int32)])
+            embs.append(np.asarray(encode(jnp.asarray(batch))))
+        np.save(path, np.concatenate(embs)[: hi_s - lo_s])
+        print(f"[embed] shard {si + 1}/{n_shards}", flush=True)
+    emb = np.concatenate([
+        np.load(os.path.join(shard_dir, f"shard_{si:04d}.npy"))
+        for si in range(n_shards)])
+    np.save(args.out + "_emb.npy", emb)
+    print(f"[embed] {emb.shape} consolidated", flush=True)
+    return emb
+
+
+def stage_index(args):
+    """K-means coarse quantizer (Lloyd iterations, jitted)."""
+    import jax
+    import jax.numpy as jnp
+    emb = np.load(args.out + "_emb.npy")
+    n, d = emb.shape
+    c = min(args.num_centroids or 0, n)
+    if c <= 1:
+        print("[index] exact-MIPS mode (no centroids)", flush=True)
+        return None, None
+    rng = np.random.RandomState(args.seed)
+    centroids = emb[rng.choice(n, c, replace=False)].copy()
+
+    @jax.jit
+    def assign(e, cen):
+        # max inner product (embeddings are what the MIPS index searches)
+        return jnp.argmax(e @ cen.T, axis=1)
+
+    e = jnp.asarray(emb)
+    for it in range(args.kmeans_iters):
+        a = np.asarray(assign(e, jnp.asarray(centroids)))
+        sums = np.zeros((c, d), np.float64)
+        np.add.at(sums, a, emb)
+        counts = np.bincount(a, minlength=c)[:, None].clip(min=1)
+        centroids = (sums / counts).astype(np.float32)
+    a = np.asarray(assign(e, jnp.asarray(centroids)))
+    np.save(args.out + "_centroids.npy", centroids)
+    np.save(args.out + "_assign.npy", a)
+    print(f"[index] {c} centroids, {args.kmeans_iters} iters", flush=True)
+    return centroids, a
+
+
+def stage_query(args):
+    from megatron_clip_tpu.indexer import MIPSIndex
+    chunks = np.load(args.out + "_chunks.npy")
+    chunk_docs = np.load(args.out + "_chunk_docs.npy")
+    emb = np.load(args.out + "_emb.npy")
+    n, m = chunks.shape
     k = args.num_neighbors
+    kq = k + 8                  # over-query so doc filtering leaves k
+
+    cen_path = args.out + "_centroids.npy"
+    if os.path.exists(cen_path) and args.num_centroids:
+        centroids = np.load(cen_path)
+        assign = np.load(args.out + "_assign.npy")
+        lists = [np.nonzero(assign == ci)[0] for ci in range(len(centroids))]
+        probe = np.argsort(-(emb @ centroids.T), axis=1)[:, :args.nprobe]
+        nbr_idx = np.zeros((n, kq), np.int64)
+        for i in range(n):
+            cand = np.concatenate([lists[ci] for ci in probe[i]])
+            scores = emb[cand] @ emb[i]
+            top = cand[np.argsort(-scores)[:kq]]
+            nbr_idx[i, : len(top)] = top
+            if len(top) < kq:
+                nbr_idx[i, len(top):] = top[-1] if len(top) else i
+    else:
+        index = MIPSIndex(emb)
+        _, nbr_idx = index.search(emb, k=min(kq, n))
+
     neighbors = np.zeros((n, k, 2 * m), np.int32)
     for i in range(n):
         got = 0
@@ -117,12 +215,23 @@ def run(args):
             got += 1
             if got == k:
                 break
-    np.save(args.out + "_chunks.npy", chunks)
-    np.save(args.out + "_chunk_docs.npy", chunk_docs)
     np.save(args.out + "_neighbors.npy", neighbors)
-    print(f"wrote {args.out}_chunks/_chunk_docs/_neighbors "
-          f"({n} x {k} x {2 * m})", flush=True)
+    print(f"[query] wrote {args.out}_neighbors ({n} x {k} x {2 * m})",
+          flush=True)
     return {"num_chunks": n, "num_neighbors": k}
+
+
+def run(args):
+    res = {"num_chunks": 0, "num_neighbors": args.num_neighbors}
+    if args.stage in ("chunks", "all"):
+        stage_chunks(args)
+    if args.stage in ("embed", "all"):
+        stage_embed(args)
+    if args.stage in ("index", "all"):
+        stage_index(args)
+    if args.stage in ("query", "all"):
+        res = stage_query(args)
+    return res
 
 
 if __name__ == "__main__":
