@@ -121,11 +121,21 @@ def main():
                        mu_dtype=mu)
         extra = {}
         if os.environ.get("MCT_BENCH_SKIP_VITL") != "1":
+            import signal
+
+            def _alarm(signum, frame):
+                raise TimeoutError("ViT-L pass exceeded its time budget")
+
             try:
                 # north-star model: bs48 sweet spot (HBM headroom beats batch
                 # size: 56.6% @48 vs 47% @56); MCT_MHA_SAVE_PROBS=0 switches
-                # to the recompute-bwd attention kernel (frees ~3.3 GB)
+                # to the recompute-bwd attention kernel (frees ~3.3 GB).
+                # Bounded by an alarm so the primary metric always prints
+                # even if the secondary compile stalls under a driver timeout.
                 os.environ["MCT_MHA_SAVE_PROBS"] = "0"
+                prev = signal.signal(signal.SIGALRM, _alarm)
+                signal.alarm(int(os.environ.get("MCT_BENCH_VITL_BUDGET",
+                                                "420")))
                 rl = bench_clip("ViT-L-14", batch=48, iters=10, warmup=2)
                 extra = {
                     "vit_l14_mfu": round(rl["mfu"], 4),
@@ -137,6 +147,12 @@ def main():
                 sys.stderr.write("bench: ViT-L/14 pass failed\n")
                 import traceback
                 traceback.print_exc()
+            finally:
+                signal.alarm(0)
+                try:
+                    signal.signal(signal.SIGALRM, prev)
+                except Exception:  # noqa: BLE001
+                    pass
 
     print(json.dumps({
         "metric": "CLIP ViT-B/32 train MFU (1 chip, bs%d)" % batch,

@@ -39,6 +39,7 @@ GPT_SIZES = {  # megatron paper ladder rungs that fit one 16G chip
     "124m": dict(num_layers=12, hidden_size=768, num_heads=12),
     "345m": dict(num_layers=24, hidden_size=1024, num_heads=16),
     "760m": dict(num_layers=24, hidden_size=1536, num_heads=16),
+    "1.3b": dict(num_layers=24, hidden_size=2048, num_heads=16),
 }
 
 
@@ -79,11 +80,27 @@ def bench_gpt(args):
 
     from bench import peak_flops_for
     toks_per_sec = args.batch * cfg.seq_length * args.iters / dt
-    mfu = 6 * n_params * toks_per_sec / peak_flops_for(jax.devices()[0])
+    peak = peak_flops_for(jax.devices()[0])
+    mfu = 6 * n_params * toks_per_sec / peak
+    # HFU (megatron README reports MFU/HFU pairs): hardware FLOPs actually
+    # executed per token — 6N plus the work 6N*T does not credit:
+    #   tied lm-head reuse: the embedding matrix runs as a matmul too
+    #   (fwd 2wV + bwd 4wV per token),
+    #   causal attention score/apply: avg s/2 keys -> 6*s*w per layer
+    #   (fwd 2sw, bwd 4sw),
+    #   selective remat: attention internals recomputed in bwd (+2sw/layer).
+    w, s, L = cfg.hidden_size, cfg.seq_length, cfg.num_layers
+    extra = (6 * w * cfg.vocab_size if cfg.tie_embeddings else 0)
+    extra += 6 * s * w * L
+    if args.remat == "selective":
+        extra += 2 * s * w * L
+    elif args.remat == "full":
+        extra += 2 * n_params + 2 * s * w * L
+    hfu = (6 * n_params + extra) * toks_per_sec / peak
     print(json.dumps({
         "model": f"gpt-{args.gpt_size}", "batch": args.batch,
         "seq": cfg.seq_length, "params_m": round(n_params / 1e6, 1),
-        "remat": args.remat, "mfu": round(mfu, 4),
+        "remat": args.remat, "mfu": round(mfu, 4), "hfu": round(hfu, 4),
         "tokens_per_sec": round(toks_per_sec, 0),
         "step_ms": round(1000 * dt / args.iters, 2), "loss": loss,
         "device": str(jax.devices()[0].device_kind),
