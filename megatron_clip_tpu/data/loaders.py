@@ -53,8 +53,13 @@ class SyntheticData:
             self._txt_bank = np.asarray(
                 tokenizer(self.CAPTIONS, context_length), np.int32)
 
+    def skip_batches(self, n: int) -> None:
+        self._skip = max(0, int(n))
+
     def __iter__(self):
-        for i in range(self.num_batches):
+        start = getattr(self, "_skip", 0)
+        self._skip = 0
+        for i in range(start, self.num_batches):
             idx = (np.arange(self.batch_size) + i) % len(self._txt_bank)
             yield self._img, self._txt_bank[idx]
 
@@ -87,13 +92,18 @@ class CsvData:
         self.seed = seed
         self.epoch = 0
 
+    def skip_batches(self, n: int) -> None:
+        self._skip = max(0, int(n))
+
     def __iter__(self):
         from PIL import Image
         order = list(range(self.num_samples))
         if self.shuffle:
             random.Random(self.seed + self.epoch).shuffle(order)
         self.epoch += 1
-        for b in range(self.num_batches):
+        start = getattr(self, "_skip", 0)
+        self._skip = 0
+        for b in range(start, self.num_batches):
             batch = order[b * self.batch_size:(b + 1) * self.batch_size]
             if len(batch) < self.batch_size:
                 break

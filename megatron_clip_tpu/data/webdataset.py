@@ -128,16 +128,22 @@ def split_by_worker(shards: List[str], worker_id: int,
 
 
 def _worker_loop(shards, seed, shuffle, shuffle_buffer, preprocess,
-                 tokenizer, context_length, batch_size, out_q):
+                 tokenizer, context_length, batch_size, out_q,
+                 skip_samples: int = 0):
     """Decode worker: stream its shard slice, emit ready (images, texts)
     batches. Runs in a separate process (real decode parallelism — PIL is
-    CPU-bound) or inline."""
+    CPU-bound) or inline. `skip_samples` raw samples are skipped BEFORE
+    decode — the cheap consumed-samples fast-forward on resume (megatron
+    data_samplers.py:14-48 semantics; tar read is ~free vs PIL decode)."""
     rng = random.Random(seed)
     imgs, caps = [], []
     try:
         buf = []
         for shard in shards:
             for raw in iterate_tar_samples(shard):
+                if skip_samples > 0:
+                    skip_samples -= 1
+                    continue
                 decoded = decode_sample(raw)
                 if decoded is None:
                     continue
@@ -230,6 +236,13 @@ class WdsData:
         self.shuffle_buffer = shuffle_buffer
         self.workers = max(1, workers)
         self.resampled = resampled
+        self._skip_batches = 0
+
+    def skip_batches(self, n: int) -> None:
+        """Fast-forward the NEXT epoch iteration by n batches without
+        decoding (mid-epoch resume). The skip happens on raw tar entries
+        inside the workers; the epoch yields num_batches - n batches."""
+        self._skip_batches = max(0, int(n))
 
     def _epoch_shards(self) -> List[str]:
         rng = random.Random(self.seed + self.epoch)
@@ -250,6 +263,9 @@ class WdsData:
         shards = self._epoch_shards()
         n_workers = min(self.workers, len(shards))
         base_seed = self.seed * 100003 + self.epoch
+        skip_b = self._skip_batches
+        self._skip_batches = 0
+        skip_per_worker = (skip_b * self.batch_size) // max(n_workers, 1)
 
         if n_workers <= 1:
             # inline: one background thread keeps decode off the train loop
@@ -258,7 +274,7 @@ class WdsData:
                 target=_worker_loop,
                 args=(shards, base_seed, self.shuffle, self.shuffle_buffer,
                       self.preprocess, self.tokenizer, self.context_length,
-                      self.batch_size, q),
+                      self.batch_size, q, skip_per_worker),
                 daemon=True)
             t.start()
             queues, live = [q], 1
@@ -273,15 +289,17 @@ class WdsData:
                     args=(slice_w, base_seed + w, self.shuffle,
                           max(1, self.shuffle_buffer // n_workers),
                           self.preprocess, self.tokenizer,
-                          self.context_length, self.batch_size, wq),
+                          self.context_length, self.batch_size, wq,
+                          skip_per_worker),
                     daemon=True)
                 p.start()
                 queues.append(wq)
             live = n_workers
 
         produced, w = 0, 0
+        target = max(0, self.num_batches - skip_b)
         alive = [True] * len(queues)
-        while produced < self.num_batches and live > 0:
+        while produced < target and live > 0:
             if not alive[w]:
                 w = (w + 1) % len(queues)
                 continue

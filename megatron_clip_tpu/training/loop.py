@@ -207,12 +207,21 @@ def run_training(args) -> dict:
     nan_iters = 0  # NaN surveillance (megatron training.py:527-539)
     final_metrics = {}
     # consumed-samples resume: fast-forward within the interrupted epoch
-    # (megatron/training.py:1031-1038 dataloader resume semantics)
+    # (megatron/training.py:1031-1038 dataloader resume semantics). Loaders
+    # with skip_batches() seek without decoding (tar entries skipped raw);
+    # others are replayed-and-discarded.
     start_epoch = start_step // steps_per_epoch
     skip_batches = start_step % steps_per_epoch
     for epoch in range(start_epoch, args.epochs):
-        for batch_i, (images, texts) in enumerate(data["train"]):
-            if epoch == start_epoch and batch_i < skip_batches:
+        loader = data["train"]
+        pre_skipped = 0
+        if epoch == start_epoch and skip_batches and \
+                hasattr(loader, "skip_batches"):
+            loader.skip_batches(skip_batches)
+            pre_skipped = skip_batches
+        for batch_i, (images, texts) in enumerate(loader):
+            if epoch == start_epoch and \
+                    batch_i < skip_batches - pre_skipped:
                 continue
             if step >= total_steps or (args.exit_interval and
                                        step >= args.exit_interval):

@@ -96,3 +96,35 @@ def test_device_prefetch_preserves_order():
     assert len(out) == 5
     for i, (a, b) in enumerate(out):
         assert int(np.asarray(a)[0, 0]) == i
+
+
+def test_skip_batches_fast_forward(tmp_path):
+    """Mid-epoch resume: skip_batches(n) skips raw tar entries before
+    decode and the epoch yields num_batches - n batches, continuing at
+    the right stream position (no-shuffle determinism)."""
+    from megatron_clip_tpu.data.webdataset import WdsData
+
+    spec = _make_shards(tmp_path, n_shards=1, per_shard=16)
+    tok = lambda caps, n: np.zeros((len(caps), n), np.int32)
+    pp = lambda im: np.zeros((4, 4, 3), np.float32)
+
+    def captions(ds):
+        # caption text rides through the tokenizer; capture via a probe
+        seen = []
+        probe = lambda caps, n: (seen.extend(caps),
+                                 np.zeros((len(caps), n), np.int32))[1]
+        ds.tokenizer = probe
+        for _ in ds:
+            pass
+        return seen
+
+    full = WdsData(spec, 4, pp, tok, num_samples=16,
+                   workers=1, shuffle=False, seed=3)
+    all_caps = captions(full)
+    assert len(all_caps) == 16
+
+    resumed = WdsData(spec, 4, pp, tok, num_samples=16,
+                      workers=1, shuffle=False, seed=3)
+    resumed.skip_batches(2)
+    tail_caps = captions(resumed)
+    assert tail_caps == all_caps[8:]
