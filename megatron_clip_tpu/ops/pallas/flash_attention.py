@@ -280,8 +280,145 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, seed_ref,
         dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
 
 
+def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                      seed_ref, dqp_ref, dk_ref, dv_ref, dk_scr, dv_scr,
+                      *, scale, causal, block_q, block_k, num_q_blocks,
+                      kv_len, rate):
+    """One pass over (k-block, q-block) tiles producing dk/dv (VMEM
+    accumulators over the inner q sweep) AND per-k-block dq partials
+    (summed outside). vs the split dq/dkv kernels this recomputes the
+    score matrix and dP once instead of twice — 5 MXU passes per tile
+    instead of 7 — and reads q/k/v/do from HBM once instead of twice."""
+    qi = pl.program_id(2)
+    kj = pl.program_id(1)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_scr[:] = jnp.zeros_like(dk_scr)
+        dv_scr[:] = jnp.zeros_like(dv_scr)
+
+    def _compute():
+        q = q_ref[0]                                              # [BQ, D]
+        k = k_ref[0]                                              # [BK, D]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32,
+                                precision=_prec(q.dtype)) * scale
+        col = kj * block_k + jax.lax.broadcasted_iota(
+            jnp.int32, (block_q, block_k), 1)
+        if causal:
+            row = qi * block_q + jax.lax.broadcasted_iota(
+                jnp.int32, (block_q, block_k), 0)
+            s = jnp.where(row >= col, s, NEG_INF)
+        if kv_len % block_k:
+            s = jnp.where(col < kv_len, s, NEG_INF)
+        lse_q = lse_ref[0, 0, pl.ds(qi * block_q, block_q)].reshape(block_q, 1)
+        delta_q = delta_ref[0, 0, pl.ds(qi * block_q, block_q)].reshape(
+            block_q, 1)
+        p = jnp.exp(s - lse_q)                                    # [BQ, BK]
+        do = do_ref[0]                                            # [BQ, D]
+        pd = p
+        keep = None
+        if rate > 0.0:
+            keep = _drop_keep(seed_ref, pl.program_id(0), qi, kj,
+                              (block_q, block_k), rate)
+            pd = p * keep
+        dv_scr[:] += jax.lax.dot_general(
+            pd.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_prec(do.dtype))                            # [BK, D]
+        dp = jax.lax.dot_general(do, v_ref[0], (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32,
+                                 precision=_prec(do.dtype))
+        if rate > 0.0:
+            dp = dp * keep
+        ds = p * (dp - delta_q) * scale                           # [BQ, BK]
+        dk_scr[:] += jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_prec(q.dtype))                             # [BK, D]
+        dqp_ref[0, 0] = jax.lax.dot_general(
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=_prec(k.dtype))                             # [BQ, D]
+
+    if causal:
+        live = qi * block_q + block_q - 1 >= kj * block_k
+
+        @pl.when(live)
+        def _():
+            _compute()
+
+        # skipped tiles above the diagonal must still zero their dq partial
+        @pl.when(jnp.logical_not(live))
+        def _zero():
+            dqp_ref[0, 0] = jnp.zeros_like(dqp_ref[0, 0])
+    else:
+        _compute()
+
+    @pl.when(qi == num_q_blocks - 1)
+    def _finalize():
+        dk_ref[0] = dk_scr[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[:].astype(dv_ref.dtype)
+
+
+def _flash_bwd_fused(q, k, v, out, lse, do, seed, *, scale, causal, block_q,
+                     block_k, kv_len, rate=0.0):
+    bh, sq, d = q.shape
+    sk = k.shape[1]
+    nq, nk = sq // block_q, sk // block_k
+    delta = jnp.sum(do.astype(jnp.float32) * out.astype(jnp.float32),
+                    axis=-1)[:, None, :]                           # [BH, 1, S]
+
+    dqp, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_fused_kernel, scale=scale, causal=causal,
+                          block_q=block_q, block_k=block_k, num_q_blocks=nq,
+                          kv_len=kv_len, rate=rate),
+        grid=(bh, nk, nq),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, block_q, d), lambda b, j, i: (b, i, 0)),
+            pl.BlockSpec((1, 1, sq), lambda b, j, i: (b, 0, 0)),
+            pl.BlockSpec((1, 1, sq), lambda b, j, i: (b, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, block_q, d), lambda b, j, i: (b, j, i, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),
+            pl.BlockSpec((1, block_k, d), lambda b, j, i: (b, j, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, nk, sq, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, sk, d), k.dtype),
+            jax.ShapeDtypeStruct((bh, sk, d), v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, d), jnp.float32),
+            pltpu.VMEM((block_k, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        interpret=_interpret(),
+    )(q, k, v, do, lse, delta, seed)
+    dq = jnp.sum(dqp, axis=1).astype(q.dtype)
+    return dq, dk, dv
+
+
+def _use_fused_bwd() -> bool:
+    import os
+    return os.environ.get("MCT_FLASH_SPLIT_BWD", "0") != "1"
+
+
 def _flash_bwd(q, k, v, out, lse, do, seed, *, scale, causal, block_q,
                block_k, kv_len, rate=0.0):
+    # the fused kernel's fp32 dq-partials buffer is nk x the dq size; gate
+    # on nk so very long sequences (s 8k+ at small blocks) fall back to the
+    # split kernels instead of ballooning transient HBM
+    if _use_fused_bwd() and k.shape[1] // block_k <= 4:
+        return _flash_bwd_fused(q, k, v, out, lse, do, seed, scale=scale,
+                                causal=causal, block_q=block_q,
+                                block_k=block_k, kv_len=kv_len, rate=rate)
     bh, sq, d = q.shape
     sk = k.shape[1]
     nq, nk = sq // block_q, sk // block_k
@@ -390,10 +527,17 @@ def flash_attention(q, k, v, *, causal: bool = False, scale=None,
     sk = k.shape[2]
     if scale is None:
         scale = d ** -0.5
+    # Causal grids waste less on smaller blocks (the triangle is tiled more
+    # tightly: 1024-blocks at s2048 compute 3/4 of the square vs 10/16 at
+    # 512); non-causal favors the big block (fewer grid steps, docstring
+    # measurement). MCT_FLASH_BLOCK overrides for tuning.
+    import os
+    env_blk = int(os.environ.get("MCT_FLASH_BLOCK", "0"))
+    default_blk = env_blk if env_blk else (512 if causal else 1024)
     if not block_q:
-        block_q = min(1024, _cdiv(sq, DEFAULT_BLOCK) * DEFAULT_BLOCK)
+        block_q = min(default_blk, _cdiv(sq, DEFAULT_BLOCK) * DEFAULT_BLOCK)
     if not block_k:
-        block_k = min(1024, _cdiv(sk, DEFAULT_BLOCK) * DEFAULT_BLOCK)
+        block_k = min(default_blk, _cdiv(sk, DEFAULT_BLOCK) * DEFAULT_BLOCK)
 
     sq_pad = _cdiv(sq, block_q) * block_q
     sk_pad = _cdiv(sk, block_k) * block_k

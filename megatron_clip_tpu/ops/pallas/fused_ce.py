@@ -139,13 +139,27 @@ def _dw_kernel(x_ref, w_ref, lbl_ref, lse_ref, dloss_ref, dw_ref, acc_scr,
 # ------------------------------ wrapper -------------------------------------
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def fused_linear_cross_entropy(x, w, labels, block_t: int = 256,
-                               block_v: int = 512):
-    """x: [T, W] hidden states; w: [W, V] head weights; labels: [T] int32.
-    Returns per-token loss [T] (fp32) without ever materializing [T, V]
-    logits. Differentiable in x and w (labels are constants)."""
+def _flce(x, w, labels, block_t: int, block_v: int):
     loss, _ = _fwd(x, w, labels, block_t, block_v)
     return loss
+
+
+def fused_linear_cross_entropy(x, w, labels, block_t: int = 0,
+                               block_v: int = 0):
+    """x: [T, W] hidden states; w: [W, V] head weights; labels: [T] int32.
+    Returns per-token loss [T] (fp32) without ever materializing [T, V]
+    logits. Differentiable in x and w (labels are constants).
+
+    Default blocks adapt to the hidden width: the dW kernel's live VMEM is
+    ~ x(bt*wd) + w/dw tiles + fp32 acc(wd*bv), so wd*bv is capped at 512K
+    elements (bv 512 up to wd 1024, 256 at 2048, 128 at 4096) to stay
+    under the 16M scoped-vmem limit with double buffering."""
+    wd = x.shape[1]
+    if not block_t:
+        block_t = 256
+    if not block_v:
+        block_v = max(128, min(512, (512 * 1024 // wd) // 128 * 128))
+    return _flce(x, w, labels, block_t, block_v)
 
 
 def _pad_t(a, t_pad, value=0):
@@ -256,4 +270,4 @@ def _vjp_bwd(block_t, block_v, res, dloss):
     return dx[:t], dw[:, :v], None
 
 
-fused_linear_cross_entropy.defvjp(_vjp_fwd, _vjp_bwd)
+_flce.defvjp(_vjp_fwd, _vjp_bwd)

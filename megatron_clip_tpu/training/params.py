@@ -43,7 +43,7 @@ def parse_args(args=None):
                    help="full activation recompute (megatron "
                         "--recompute-granularity full)")
     p.add_argument("--recompute-granularity",
-                   choices=["none", "selective", "full"], default="none")
+                   choices=["none", "selective", "mlp", "full"], default="none")
     p.add_argument("--siglip", action="store_true",
                    help="use SigLIP sigmoid pairwise loss")
     # LiT-style tower locking (open_CLIP --lock-image/--lock-text,

@@ -22,7 +22,7 @@ def parse_args(argv=None):
     p.add_argument("--attention-dropout", type=float, default=0.0)
     p.add_argument("--hidden-dropout", type=float, default=0.0)
     p.add_argument("--recompute-granularity",
-                   choices=["none", "selective", "full"], default="none")
+                   choices=["none", "selective", "mlp", "full"], default="none")
     p.add_argument("--data-path", type=str, default=None,
                    help="sentence-level indexed corpus prefix (.bin/.idx, "
                         "items=sentences, doc boundaries): trains on real "

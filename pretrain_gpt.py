@@ -51,7 +51,7 @@ def parse_args(argv=None):
                         "does ~equal causal work")
     p.add_argument("--precision", default="bf16")
     p.add_argument("--recompute-granularity",
-                   choices=["none", "selective", "full"], default="none")
+                   choices=["none", "selective", "mlp", "full"], default="none")
     p.add_argument("--quantize-matmuls", choices=["none", "int8"],
                    default="none",
                    help="int8 MXU matmuls for the MLP GEMMs w/ STE backward "

@@ -87,8 +87,10 @@ def test_remat_matches_no_remat():
                              tcfg=TINY.vision.transformer(remat=remat),
                              compute_dtype=jnp.float32)
 
-    a, b = feats("none"), feats("full")
-    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-6)
+    a = feats("none")
+    for mode in ("full", "selective", "mlp"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(feats(mode)),
+                                   rtol=1e-6, atol=1e-6)
 
 
 def test_logit_scale_clamp():

@@ -59,6 +59,28 @@ def test_gradients_match_sdpa(causal):
                                    err_msg=f"d{name} mismatch")
 
 
+@pytest.mark.parametrize("causal", [False, True])
+def test_fused_bwd_matches_split(causal, monkeypatch):
+    """The single-pass fused backward kernel (dq partials + dk/dv in one
+    grid) must be bit-comparable to the split dq/dkv kernels, including the
+    zeroed above-diagonal dq tiles on a multi-block causal grid."""
+    q, k, v = _qkv(jax.random.PRNGKey(7), b=1, h=2, sq=384, sk=384, d=64)
+    do = jax.random.normal(jax.random.PRNGKey(8), q.shape, q.dtype)
+
+    def f(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, causal=causal,
+                                       block_q=128, block_k=128) * do)
+
+    monkeypatch.setenv("MCT_FLASH_SPLIT_BWD", "1")
+    g_split = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+    monkeypatch.setenv("MCT_FLASH_SPLIT_BWD", "0")
+    g_fused = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_fused, g_split, "qkv"):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5,
+                                   err_msg=f"d{name} mismatch")
+
+
 def test_gradients_match_padded():
     q, k, v = _qkv(jax.random.PRNGKey(3), b=1, h=1, sq=77, sk=77, d=64)
 

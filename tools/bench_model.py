@@ -94,6 +94,9 @@ def bench_gpt(args):
     extra += 6 * s * w * L
     if args.remat == "selective":
         extra += 2 * s * w * L
+    elif args.remat == "mlp":
+        # attention internals (as selective) + both MLP matmuls replayed
+        extra += 2 * s * w * L + 16 * w * w * L
     elif args.remat == "full":
         extra += 2 * n_params + 2 * s * w * L
     hfu = (6 * n_params + extra) * toks_per_sec / peak
@@ -124,7 +127,7 @@ def main():
                    help="bf16 = pure-bf16 params/optimizer state (fits "
                         "760m-class models on one 16G chip)")
     p.add_argument("--batch", type=int, default=64)
-    p.add_argument("--remat", choices=["none", "selective", "full"],
+    p.add_argument("--remat", choices=["none", "selective", "mlp", "full"],
                    default="selective")
     p.add_argument("--scan-layers", action="store_true")
     p.add_argument("--iters", type=int, default=20)
