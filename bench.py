@@ -96,6 +96,52 @@ def bench_clip(model_name: str, *, batch: int, iters: int, warmup: int,
             "step_ms": 1000 * dt / iters, "loss": final_loss}
 
 
+def bench_gpt_345m(batch: int = 8, iters: int = 15, warmup: int = 2) -> dict:
+    """GPT-345m seq2048 train step (megatron ladder rung): pure-bf16 state,
+    selective remat, unrolled layers, fused flash backward. Matches
+    `tools/bench_model.py --family gpt --gpt-size 345m --batch 8
+    --params-dtype bf16 --remat selective` (see README perf table)."""
+    import optax
+    from megatron_clip_tpu.models.gpt import GPTCfg, init_gpt, gpt_loss
+
+    cfg = GPTCfg(num_layers=24, hidden_size=1024, num_heads=16,
+                 seq_length=2048, vocab_size=50304)
+    params = init_gpt(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
+    n_params = sum(x.size for x in jax.tree.leaves(params))
+    tcfg = cfg.transformer(remat="selective", scan_layers=False)
+    tx = optax.chain(optax.clip_by_global_norm(1.0),
+                     optax.adamw(1e-4, b1=0.9, b2=0.95,
+                                 mu_dtype=jnp.bfloat16))
+    opt = tx.init(params)
+
+    @jax.jit
+    def step(params, opt, tokens):
+        loss, g = jax.value_and_grad(
+            lambda p: gpt_loss(p, tokens, cfg, tcfg=tcfg,
+                               loss_seq_chunk=512))(params)
+        upd, opt = tx.update(g, opt, params)
+        return optax.apply_updates(params, upd), opt, loss
+
+    tokens = jax.random.randint(jax.random.PRNGKey(1),
+                                (batch, cfg.seq_length + 1), 1,
+                                cfg.vocab_size - 1).astype(jnp.int32)
+    for _ in range(warmup):
+        params, opt, loss = step(params, opt, tokens)
+    float(loss)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        params, opt, loss = step(params, opt, tokens)
+    float(loss)
+    dt = time.perf_counter() - t0
+    toks = batch * cfg.seq_length * iters / dt
+    peak = peak_flops_for(jax.devices()[0])
+    w, s, L = cfg.hidden_size, cfg.seq_length, cfg.num_layers
+    extra = 6 * w * cfg.vocab_size + 6 * s * w * L + 2 * s * w * L
+    return {"mfu": 6 * n_params * toks / peak,
+            "hfu": (6 * n_params + extra) * toks / peak,
+            "tokens_per_sec": toks}
+
+
 def main():
     on_cpu = jax.default_backend() == "cpu"
 
@@ -145,6 +191,35 @@ def main():
                 }
             except Exception:  # noqa: BLE001 — keep the primary metric
                 sys.stderr.write("bench: ViT-L/14 pass failed\n")
+                import traceback
+                traceback.print_exc()
+            finally:
+                signal.alarm(0)
+                try:
+                    signal.signal(signal.SIGALRM, prev)
+                except Exception:  # noqa: BLE001
+                    pass
+        if os.environ.get("MCT_BENCH_SKIP_GPT") != "1":
+            import signal
+
+            def _alarm2(signum, frame):
+                raise TimeoutError("GPT pass exceeded its time budget")
+
+            try:
+                # the megatron-workload rung (gpt-345m seq2048, pure-bf16
+                # state, selective remat, fused flash backward), alarm-
+                # bounded like the ViT-L leg so the primary always prints
+                prev = signal.signal(signal.SIGALRM, _alarm2)
+                signal.alarm(int(os.environ.get("MCT_BENCH_GPT_BUDGET",
+                                                "540")))
+                rg = bench_gpt_345m()
+                extra.update({
+                    "gpt_345m_mfu": round(rg["mfu"], 4),
+                    "gpt_345m_hfu": round(rg["hfu"], 4),
+                    "gpt_345m_tokens_per_sec": round(rg["tokens_per_sec"], 0),
+                })
+            except Exception:  # noqa: BLE001 — keep the primary metric
+                sys.stderr.write("bench: gpt-345m pass failed\n")
                 import traceback
                 traceback.print_exc()
             finally:

@@ -527,13 +527,13 @@ def flash_attention(q, k, v, *, causal: bool = False, scale=None,
     sk = k.shape[2]
     if scale is None:
         scale = d ** -0.5
-    # Causal grids waste less on smaller blocks (the triangle is tiled more
-    # tightly: 1024-blocks at s2048 compute 3/4 of the square vs 10/16 at
-    # 512); non-causal favors the big block (fewer grid steps, docstring
-    # measurement). MCT_FLASH_BLOCK overrides for tuning.
+    # 1024 blocks win at every measured config, including causal: the
+    # tighter triangle tiling of 512 blocks (10/16 of the square vs 3/4)
+    # does NOT pay for the smaller MXU tiles — measured 32.4% vs 37.2% MFU
+    # on GPT-345m/seq2048/v5e. MCT_FLASH_BLOCK overrides for tuning.
     import os
     env_blk = int(os.environ.get("MCT_FLASH_BLOCK", "0"))
-    default_blk = env_blk if env_blk else (512 if causal else 1024)
+    default_blk = env_blk if env_blk else 1024
     if not block_q:
         block_q = min(default_blk, _cdiv(sq, DEFAULT_BLOCK) * DEFAULT_BLOCK)
     if not block_k:
