@@ -35,3 +35,42 @@ def test_pure_bf16_stores_bf16_weights():
 def test_unknown_precision_raises():
     with pytest.raises(ValueError):
         create_model("test-tiny", precision="int4")
+
+
+def test_adamw_lowbits_matches_adamw_in_fp32():
+    """With fp32 moment storage the custom kernel must match optax.adamw
+    step-for-step; with bf16 nu the trajectory stays close (the 1.3b-rung
+    memory mode, training/optim.py adamw_lowbits)."""
+    import numpy as np
+    import optax
+    from megatron_clip_tpu.training.optim import adamw_lowbits
+
+    params = {"w": jnp.linspace(-1.0, 1.0, 64).reshape(8, 8),
+              "b": jnp.ones((8,))}
+    grads = {"w": jnp.cos(jnp.arange(64.0)).reshape(8, 8) * 0.1,
+             "b": jnp.full((8,), 0.05)}
+
+    def run(tx, n=5):
+        p, s = params, tx.init(params)
+        for _ in range(n):
+            u, s = tx.update(grads, s, p)
+            p = optax.apply_updates(p, u)
+        return p
+
+    ref = run(optax.adamw(1e-2, b1=0.9, b2=0.95, weight_decay=0.1))
+    exact = run(adamw_lowbits(1e-2, b1=0.9, b2=0.95, weight_decay=0.1,
+                              mu_dtype=jnp.float32, nu_dtype=jnp.float32))
+    for k in ref:
+        np.testing.assert_allclose(np.asarray(ref[k]), np.asarray(exact[k]),
+                                   rtol=1e-6, atol=1e-6)
+
+    low = run(adamw_lowbits(1e-2, b1=0.9, b2=0.95, weight_decay=0.1))
+    for k in ref:
+        np.testing.assert_allclose(np.asarray(ref[k]), np.asarray(low[k]),
+                                   rtol=2e-2, atol=2e-3)
+    # and the state really is bf16
+    tx = adamw_lowbits(1e-2)
+    st = tx.init(params)
+    adam_state = st[0]
+    assert adam_state.mu["w"].dtype == jnp.bfloat16
+    assert adam_state.nu["w"].dtype == jnp.bfloat16

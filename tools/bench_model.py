@@ -52,9 +52,14 @@ def bench_gpt(args):
     params = init_gpt(jax.random.PRNGKey(0), cfg, dtype=pdtype)
     n_params = sum(x.size for x in jax.tree.leaves(params))
     tcfg = cfg.transformer(remat=args.remat, scan_layers=args.scan_layers)
-    tx = optax.chain(optax.clip_by_global_norm(1.0),
-                     optax.adamw(1e-4, b1=0.9, b2=0.95,
-                                 mu_dtype=jnp.bfloat16))
+    if args.nu_dtype == "bf16":
+        # fully-bf16 optimizer state: the 1.3b rung's fp32 nu alone is
+        # 5.3 GB (training/optim.py adamw_lowbits)
+        from megatron_clip_tpu.training.optim import adamw_lowbits
+        inner = adamw_lowbits(1e-4, b1=0.9, b2=0.95)
+    else:
+        inner = optax.adamw(1e-4, b1=0.9, b2=0.95, mu_dtype=jnp.bfloat16)
+    tx = optax.chain(optax.clip_by_global_norm(1.0), inner)
     opt = tx.init(params)
 
     @jax.jit
@@ -72,11 +77,15 @@ def bench_gpt(args):
     for _ in range(args.warmup):
         params, opt, loss = step(params, opt, tokens)
     float(loss)
+    if args.trace:
+        jax.profiler.start_trace(args.trace)
     t0 = time.perf_counter()
     for _ in range(args.iters):
         params, opt, loss = step(params, opt, tokens)
     loss = float(loss)
     dt = time.perf_counter() - t0
+    if args.trace:
+        jax.profiler.stop_trace()
 
     from bench import peak_flops_for
     toks_per_sec = args.batch * cfg.seq_length * args.iters / dt
@@ -123,6 +132,9 @@ def main():
     p.add_argument("--fused-ce", action="store_true",
                    help="fused lm-head+CE Pallas kernel (logits never in "
                         "HBM; ops/pallas/fused_ce.py)")
+    p.add_argument("--nu-dtype", choices=["fp32", "bf16"], default="fp32",
+                   help="adam second-moment storage (bf16 halves it; "
+                        "needed for the 1.3b rung on one chip)")
     p.add_argument("--params-dtype", choices=["fp32", "bf16"], default="fp32",
                    help="bf16 = pure-bf16 params/optimizer state (fits "
                         "760m-class models on one 16G chip)")
