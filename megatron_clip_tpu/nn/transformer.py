@@ -205,6 +205,24 @@ def apply_block(block, x, cfg: TransformerCfg, *, causal: bool = False,
     return x + h
 
 
+def _flash_residuals_policy():
+    """Save the flash-attention kernel's named (out, lse) outputs so its
+    backward does not replay the forward kernel (see
+    ops/pallas/flash_attention._flash_fwd_rule)."""
+    return jax.checkpoint_policies.save_only_these_names(
+        "flash_out", "flash_lse")
+
+
+def _selective_policy():
+    """megatron --recompute-granularity selective on TPU: save all
+    activation matmul outputs (dots) plus the flash kernel's (out, lse)
+    pair — what flash_attn's CUDA selective recompute keeps
+    (megatron/model/transformer.py:419-479 FlashSelfAttention)."""
+    return jax.checkpoint_policies.save_from_both_policies(
+        jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+        _flash_residuals_policy())
+
+
 def _dots_except_mlp_up_policy(cfg: TransformerCfg):
     """remat='mlp': the dots-saveable policy minus the MLP up-projection —
     the [*, 4W] (or [*, 2*ffn] for swiglu) tensor that is 4W of the 9W
@@ -271,11 +289,12 @@ def apply_transformer(blocks, x, cfg: TransformerCfg, *, causal: bool = False,
     if cfg.remat == "full":
         block_fn = jax.checkpoint(block_fn)
     elif cfg.remat == "selective":
-        block_fn = jax.checkpoint(
-            block_fn, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+        block_fn = jax.checkpoint(block_fn, policy=_selective_policy())
     elif cfg.remat == "mlp":
         block_fn = jax.checkpoint(
-            block_fn, policy=_dots_except_mlp_up_policy(cfg))
+            block_fn,
+            policy=jax.checkpoint_policies.save_from_both_policies(
+                _dots_except_mlp_up_policy(cfg), _flash_residuals_policy()))
 
     n = jax.tree.leaves(blocks)[0].shape[0]
     if has_rng:

@@ -495,6 +495,15 @@ def _flash_fwd_rule(q, k, v, seed, scale, causal, block_q, block_k, kv_len,
     out, lse = _flash_fwd(q, k, v, seed, scale=scale, causal=causal,
                           block_q=block_q, block_k=block_k, kv_len=kv_len,
                           rate=rate)
+    # Name the kernel outputs so a remat policy can save them: under the
+    # plain dots policy the pallas outputs are not saveable and backward
+    # replays the whole forward kernel just to rebuild (out, lse). Saving
+    # them costs 1W/token + a row of lse and removes 2 of the 9 attention
+    # MXU passes — megatron's flash selective-recompute saves exactly this
+    # pair (flash_attn softmax_lse + out).
+    from jax.ad_checkpoint import checkpoint_name
+    out = checkpoint_name(out, "flash_out")
+    lse = checkpoint_name(lse, "flash_lse")
     return out, (q, k, v, seed, out, lse)
 
 
