@@ -87,6 +87,8 @@ SLOW_TESTS = (
     "test_siglip_ring_matches_global",      # siglip global-form test stays
     "test_weight_decay_blocked_on_frozen",  # covered by lock tests
     "test_finetune_improves_in_batch_accuracy",  # orqa eval e2e stays
+    # round-3 additions
+    "test_bhsd_projection_path_matches_packed",  # s2048 interpret-mode grads
 )
 
 
