@@ -114,7 +114,9 @@ def bench_gpt_345m(batch: int = 8, iters: int = 15, warmup: int = 2) -> dict:
                                  mu_dtype=jnp.bfloat16))
     opt = tx.init(params)
 
-    @jax.jit
+    import functools
+
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt, tokens):
         loss, g = jax.value_and_grad(
             lambda p: gpt_loss(p, tokens, cfg, tcfg=tcfg,
@@ -166,68 +168,70 @@ def main():
                        scan_layers=os.environ.get("BENCH_SCAN", "0") == "1",
                        mu_dtype=mu)
         extra = {}
-        if os.environ.get("MCT_BENCH_SKIP_VITL") != "1":
+
+        def _budgeted(label: str, budget_env: str, default_s: str, fn,
+                      env: dict = None):
+            """Run a secondary bench leg under a SIGALRM budget so the
+            primary metric always prints; scoped env overrides are restored
+            afterwards (an earlier leak let the ViT-L leg's
+            MCT_MHA_SAVE_PROBS=0 bleed into the GPT leg and the fallback
+            rerun). Returns fn() or None."""
             import signal
 
             def _alarm(signum, frame):
-                raise TimeoutError("ViT-L pass exceeded its time budget")
+                raise TimeoutError(f"{label} pass exceeded its time budget")
 
+            saved = {}
             try:
-                # north-star model: bs48 sweet spot (HBM headroom beats batch
-                # size: 56.6% @48 vs 47% @56); MCT_MHA_SAVE_PROBS=0 switches
-                # to the recompute-bwd attention kernel (frees ~3.3 GB).
-                # Bounded by an alarm so the primary metric always prints
-                # even if the secondary compile stalls under a driver timeout.
-                os.environ["MCT_MHA_SAVE_PROBS"] = "0"
+                for k, v in (env or {}).items():
+                    saved[k] = os.environ.get(k)
+                    os.environ[k] = v
                 prev = signal.signal(signal.SIGALRM, _alarm)
-                signal.alarm(int(os.environ.get("MCT_BENCH_VITL_BUDGET",
-                                                "420")))
-                rl = bench_clip("ViT-L-14", batch=48, iters=10, warmup=2)
+                signal.alarm(int(os.environ.get(budget_env, default_s)))
+                return fn()
+            except Exception:  # noqa: BLE001 — keep the primary metric
+                sys.stderr.write(f"bench: {label} pass failed\n")
+                import traceback
+                traceback.print_exc()
+                return None
+            finally:
+                signal.alarm(0)
+                for k, old in saved.items():
+                    if old is None:
+                        os.environ.pop(k, None)
+                    else:
+                        os.environ[k] = old
+                try:
+                    signal.signal(signal.SIGALRM, prev)
+                except Exception:  # noqa: BLE001
+                    pass
+
+        if os.environ.get("MCT_BENCH_SKIP_VITL") != "1":
+            # north-star model: bs48 sweet spot (HBM headroom beats batch
+            # size: 56.6% @48 vs 47% @56); MCT_MHA_SAVE_PROBS=0 switches
+            # to the recompute-bwd attention kernel (frees ~3.3 GB)
+            rl = _budgeted("ViT-L/14", "MCT_BENCH_VITL_BUDGET", "420",
+                           lambda: bench_clip("ViT-L-14", batch=48, iters=10,
+                                              warmup=2),
+                           env={"MCT_MHA_SAVE_PROBS": "0"})
+            if rl is not None:
                 extra = {
                     "vit_l14_mfu": round(rl["mfu"], 4),
                     "vit_l14_images_per_sec": round(rl["images_per_sec"], 1),
                     "vit_l14_step_ms": round(rl["step_ms"], 2),
                     "vit_l14_vs_baseline": round(rl["mfu"] / 0.50, 4),
                 }
-            except Exception:  # noqa: BLE001 — keep the primary metric
-                sys.stderr.write("bench: ViT-L/14 pass failed\n")
-                import traceback
-                traceback.print_exc()
-            finally:
-                signal.alarm(0)
-                try:
-                    signal.signal(signal.SIGALRM, prev)
-                except Exception:  # noqa: BLE001
-                    pass
         if os.environ.get("MCT_BENCH_SKIP_GPT") != "1":
-            import signal
-
-            def _alarm2(signum, frame):
-                raise TimeoutError("GPT pass exceeded its time budget")
-
-            try:
-                # the megatron-workload rung (gpt-345m seq2048, pure-bf16
-                # state, selective remat, fused flash backward), alarm-
-                # bounded like the ViT-L leg so the primary always prints
-                prev = signal.signal(signal.SIGALRM, _alarm2)
-                signal.alarm(int(os.environ.get("MCT_BENCH_GPT_BUDGET",
-                                                "540")))
-                rg = bench_gpt_345m()
+            # the megatron-workload rung (gpt-345m seq2048, pure-bf16
+            # state, selective remat, fused flash backward)
+            rg = _budgeted("gpt-345m", "MCT_BENCH_GPT_BUDGET", "540",
+                           bench_gpt_345m)
+            if rg is not None:
                 extra.update({
                     "gpt_345m_mfu": round(rg["mfu"], 4),
                     "gpt_345m_hfu": round(rg["hfu"], 4),
                     "gpt_345m_tokens_per_sec": round(rg["tokens_per_sec"], 0),
                 })
-            except Exception:  # noqa: BLE001 — keep the primary metric
-                sys.stderr.write("bench: gpt-345m pass failed\n")
-                import traceback
-                traceback.print_exc()
-            finally:
-                signal.alarm(0)
-                try:
-                    signal.signal(signal.SIGALRM, prev)
-                except Exception:  # noqa: BLE001
-                    pass
 
     print(json.dumps({
         "metric": "CLIP ViT-B/32 train MFU (1 chip, bs%d)" % batch,

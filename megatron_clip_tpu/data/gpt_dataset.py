@@ -19,14 +19,38 @@ from megatron_clip_tpu.data.indexed_dataset import MMapIndexedDataset
 from megatron_clip_tpu.data.native import build_sample_idx
 
 
+def train_valid_test_split(splits: str, n_docs: int):
+    """megatron --split semantics (megatron/data/dataset_utils.py
+    get_train_valid_test_split_): comma-separated weights, e.g. '969,30,1',
+    normalized to doc-index ranges [(lo, hi)] * 3."""
+    w = [float(x) for x in splits.split(",")]
+    w += [0.0] * (3 - len(w))
+    total = sum(w[:3]) or 1.0
+    bounds = [0]
+    for x in w[:3]:
+        bounds.append(bounds[-1] + int(round(x / total * n_docs)))
+    bounds[-1] = n_docs
+    return [(bounds[i], bounds[i + 1]) for i in range(3)]
+
+
 class GPTDataset:
     def __init__(self, prefix: str, seq_length: int, num_samples: int = 0,
-                 seed: int = 0, cache: bool = True):
+                 seed: int = 0, cache: bool = True, documents=None,
+                 split_tag: str = ""):
+        """`documents`: optional int32 doc-index array restricting the
+        dataset to a doc range (megatron's train/valid/test splits —
+        gpt_dataset.py:240 takes the same argument). `split_tag` names the
+        split in the index cache path."""
         self.data = MMapIndexedDataset(prefix)
         self.seq_length = seq_length
-        docs = np.arange(len(self.data.doc_idx) - 1, dtype=np.int32)
+        if documents is None:
+            docs = np.arange(len(self.data.doc_idx) - 1, dtype=np.int32)
+        else:
+            docs = np.asarray(documents, np.int32)
+        # sizes stays the FULL array: the packing helper indexes it by the
+        # actual doc ids in doc_idx (sizes[doc_idx[pos]], helpers.cpp)
         sizes = self.data.sizes
-        tokens_per_epoch = int(sizes.sum())
+        tokens_per_epoch = int(self.data.sizes[docs].sum())
         samples_per_epoch = max(1, (tokens_per_epoch - 1) // seq_length)
         num_epochs = max(1, -(-num_samples // samples_per_epoch)) if num_samples else 1
 
@@ -34,7 +58,9 @@ class GPTDataset:
         doc_idx = np.concatenate([docs] * num_epochs)
         rng.shuffle(doc_idx)
 
-        cache_path = f"{prefix}_gpt_s{seq_length}_e{num_epochs}_r{seed}_idx.npy"
+        tag = f"_{split_tag}" if split_tag else ""
+        cache_path = (f"{prefix}_gpt_s{seq_length}_e{num_epochs}_r{seed}"
+                      f"{tag}_idx.npy")
         if cache and os.path.isfile(cache_path):
             self.sample_idx = np.load(cache_path)
             self.doc_idx = np.load(cache_path.replace("_idx.npy", "_doc.npy"))
@@ -70,10 +96,22 @@ class GPTDataset:
 
 
 def gpt_batch_iterator(prefix: str, batch_size: int, seq_length: int,
-                       seed: int = 0) -> Iterator[np.ndarray]:
+                       seed: int = 0, split: str = "",
+                       split_index: int = 0) -> Iterator[np.ndarray]:
     """Infinite [B, seq_length+1] int32 batches (consumed-samples resume is
-    the caller's job via skipping)."""
-    ds = GPTDataset(prefix, seq_length, seed=seed)
+    the caller's job via skipping). `split`: megatron --split weights
+    ('969,30,1'); split_index 0/1/2 = train/valid/test doc range."""
+    documents, tag = None, ""
+    if split:
+        n_docs = len(MMapIndexedDataset(prefix).doc_idx) - 1
+        lo, hi = train_valid_test_split(split, n_docs)[split_index]
+        if hi <= lo:
+            raise ValueError(f"--split {split!r} gives an empty range for "
+                             f"split {split_index} ({n_docs} docs)")
+        documents = np.arange(lo, hi, dtype=np.int32)
+        tag = ("train", "valid", "test")[split_index]
+    ds = GPTDataset(prefix, seq_length, seed=seed, documents=documents,
+                    split_tag=tag)
     i = 0
     while True:
         batch = np.stack([np.asarray(ds[i + j], np.int32)[:seq_length + 1]

@@ -265,7 +265,12 @@ class WdsData:
         base_seed = self.seed * 100003 + self.epoch
         skip_b = self._skip_batches
         self._skip_batches = 0
-        skip_per_worker = (skip_b * self.batch_size) // max(n_workers, 1)
+        # distribute the sample skip exactly: floor-dividing alone would
+        # drop up to n_workers-1 samples of the consumed-samples position
+        total_skip = skip_b * self.batch_size
+        nw = max(n_workers, 1)
+        base_skip, rem_skip = divmod(total_skip, nw)
+        skips = [base_skip + (1 if w < rem_skip else 0) for w in range(nw)]
 
         if n_workers <= 1:
             # inline: one background thread keeps decode off the train loop
@@ -274,7 +279,7 @@ class WdsData:
                 target=_worker_loop,
                 args=(shards, base_seed, self.shuffle, self.shuffle_buffer,
                       self.preprocess, self.tokenizer, self.context_length,
-                      self.batch_size, q, skip_per_worker),
+                      self.batch_size, q, skips[0]),
                 daemon=True)
             t.start()
             queues, live = [q], 1
@@ -290,7 +295,7 @@ class WdsData:
                           max(1, self.shuffle_buffer // n_workers),
                           self.preprocess, self.tokenizer,
                           self.context_length, self.batch_size, wq,
-                          skip_per_worker),
+                          skips[w]),
                     daemon=True)
                 p.start()
                 queues.append(wq)

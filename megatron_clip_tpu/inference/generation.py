@@ -50,7 +50,14 @@ def _cache_constraint(c):
     if TENSOR not in names:
         return c
     from jax.sharding import PartitionSpec as P
-    batch_axes = tuple(a for a in (DATA, FSDP) if a in names) or None
+    batch = c.shape[1]
+    # only shard the batch dim if it divides evenly (a single-prompt decode
+    # on a dp>1 serving mesh must not crash on the constraint)
+    baxes = tuple(a for a in (DATA, FSDP) if a in names)
+    bsz = 1
+    for a in baxes:
+        bsz *= amesh.shape[a]
+    batch_axes = baxes if baxes and batch % bsz == 0 else None
     hkv = c.shape[2]
     tp = amesh.shape[TENSOR]
     head_axis = TENSOR if hkv % tp == 0 else None

@@ -40,8 +40,13 @@ def _hf_is_t5(d: dict) -> bool:
     't5'/'mt5')."""
     if d.get("arch"):
         return d["arch"] == "t5"
-    name = (d.get("model_name") or "").lower()
-    return "t5" in name.split("/")[-1]
+    name = (d.get("model_name") or "").lower().split("/")[-1]
+    # token match, not substring: 'roberta-distilled-from-mt5' must not
+    # route to the T5 encoder (open_CLIP keys its arch registry on the
+    # leading family token: 't5-base', 'mt5-xl', 'google/t5-v1_1-large')
+    import re
+    tokens = re.split(r"[-_.]", name)
+    return bool(tokens) and tokens[0] in ("t5", "mt5", "umt5", "byt5")
 
 
 def _hf_t5_cfg(cfg: CLIPCfg):

@@ -183,20 +183,17 @@ def apply_block(block, x, cfg: TransformerCfg, *, causal: bool = False,
             dense = lambda x, w: jnp.einsum("bsw,wd->bsd", x,
                                             w.astype(x.dtype))
 
-        def mlp_fn(mlp, h):
-            h = dense(h, mlp["w1"])
-            b1 = mlp.get("b1")
-            if cfg.act == "swiglu":
-                h = swiglu(h, None if b1 is None else b1.astype(h.dtype))
-            else:
-                h = bias_act(h, None if b1 is None else b1.astype(h.dtype),
-                             cfg.act)
-            h = dense(h, mlp["w2"])
-            if mlp.get("b2") is not None:
-                h = h + mlp["b2"].astype(h.dtype)
-            return h
-
-        h = mlp_fn(block["mlp"], h)
+        mlp = block["mlp"]
+        h = dense(h, mlp["w1"])
+        b1 = mlp.get("b1")
+        if cfg.act == "swiglu":
+            h = swiglu(h, None if b1 is None else b1.astype(h.dtype))
+        else:
+            h = bias_act(h, None if b1 is None else b1.astype(h.dtype),
+                         cfg.act)
+        h = dense(h, mlp["w2"])
+        if mlp.get("b2") is not None:
+            h = h + mlp["b2"].astype(h.dtype)
     if "ls_2" in block:
         h = h * block["ls_2"].astype(h.dtype)
     h = dropout(h, cfg.hidden_dropout, k_h2)

@@ -217,11 +217,22 @@ def run_workload(params, loss_fn: Callable, batch_iter: Iterator,
     else:
         step = jax.jit(_step)
 
-    # eval step compiled once (megatron evaluate(), training.py:861)
+    # eval step compiled once (megatron evaluate(), training.py:861).
+    # Eval batches come ONLY from val_iter_factory: drawing them from
+    # batch_iter would shift the training stream and break the
+    # consumed-samples resume contract (checkpoints record i*batch_size).
     eval_step = None
-    if eval_loss_fn is not None or val_iter_factory is not None:
-        efn = eval_loss_fn or (lambda p, b: loss_fn(p, b, None))
-        eval_step = jax.jit(efn)
+    if val_iter_factory is not None:
+        if eval_loss_fn is not None:
+            eval_step = jax.jit(eval_loss_fn)
+        elif aux_update is None:
+            eval_step = jax.jit(lambda p, b: loss_fn(p, b, None))
+        # aux entries (EMA-teacher losses) must pass an explicit
+        # eval_loss_fn: the default would bake a stale aux into the jit
+    if rc.eval_interval and eval_step is None:
+        print(f"[{rc.name}] WARNING: --eval-interval set but this entry "
+              "provides no validation data source / eval fn; skipping eval",
+              flush=True)
 
     def _ckpt_state():
         s = {"params": params, "opt_state": opt_state}
@@ -272,12 +283,10 @@ def run_workload(params, loss_fn: Callable, batch_iter: Iterator,
             if (rc.eval_interval and eval_step is not None
                     and i % rc.eval_interval == 0):
                 vals = []
-                vit = (val_iter_factory() if val_iter_factory is not None
-                       else None)
+                vit = val_iter_factory()
                 for _ in range(rc.eval_iters):
-                    vb = (next(vit) if vit is not None else next(batch_iter))
                     vals.append(float(eval_step(
-                        params, jax.tree.map(jnp.asarray, vb))))
+                        params, jax.tree.map(jnp.asarray, next(vit)))))
                 print(f"[{rc.name}] eval @ {i}: "
                       f"val loss {np.mean(vals):.4f}", flush=True)
         if rc.save and (not rc.save_interval

@@ -60,9 +60,8 @@ def run(args):
     specs = generic_param_specs(
         params, stage_axis=STAGE if rc.pp > 1 else None)
 
-    rng = np.random.RandomState(args.seed)
-
-    def masked_batches():
+    def masked_batches(seed=args.seed):
+        rng = np.random.RandomState(seed)
         if args.data_path:
             # real sentence-pair pretraining: NSP pairs + 80/10/10 masking
             # from a sentence-level indexed corpus (reference
@@ -74,7 +73,7 @@ def run(args):
                 args.data_path, max_seq_length=args.seq_length,
                 num_epochs=1000, short_seq_prob=args.short_seq_prob,
                 masked_lm_prob=args.masked_lm_prob,
-                vocab_size=args.vocab_size, seed=args.seed,
+                vocab_size=args.vocab_size, seed=seed,
                 special_ids=ids,
                 max_num_samples=args.train_steps * args.batch_size)
             i = 0
@@ -109,7 +108,11 @@ def run(args):
                          layers_fn=layers_fn, rng=step_rng)
 
     out = run_workload(params, loss_fn, masked_batches(), rc, mesh=mesh,
-                       param_specs=specs, use_rng=use_rng)
+                       param_specs=specs, use_rng=use_rng,
+                       # held-out stream: different pair sampling + masking
+                       # seed, never advancing the training iterator
+                       val_iter_factory=lambda: masked_batches(
+                           args.seed + 7919))
     return {"loss": out["loss"]}
 
 

@@ -59,6 +59,10 @@ def parse_args(argv=None):
                         "TransformerEngine fp8 path)")
     p.add_argument("--data-path", type=str, default=None,
                    help="indexed dataset prefix (.bin/.idx); synthetic if unset")
+    p.add_argument("--split", type=str, default="969,30,1",
+                   help="train/valid/test doc-split weights over --data-path "
+                        "(megatron --split semantics); --eval-interval "
+                        "validates on the valid range")
     p.add_argument("--loss-seq-chunk", type=int, default=0,
                    help="compute lm-head + cross-entropy in sequence chunks "
                         "of this size (recomputed in backward): caps peak "
@@ -126,7 +130,8 @@ def run(args):
         if args.data_path:
             from megatron_clip_tpu.data.gpt_dataset import gpt_batch_iterator
             it = gpt_batch_iterator(args.data_path, args.batch_size,
-                                    args.seq_length, seed=args.seed)
+                                    args.seq_length, seed=args.seed,
+                                    split=args.split, split_index=0)
             for _ in range(start_step):
                 next(it)
             yield from it
@@ -140,6 +145,23 @@ def run(args):
                 step += 1
                 if step > start_step:
                     yield batch
+
+    def val_batches():
+        # validation never touches the training stream (consumed-samples
+        # resume contract); real data reads the --split valid doc range
+        if args.data_path:
+            from megatron_clip_tpu.data.gpt_dataset import gpt_batch_iterator
+            return gpt_batch_iterator(args.data_path, args.batch_size,
+                                      args.seq_length, seed=args.seed,
+                                      split=args.split, split_index=1)
+
+        def synth():
+            rng = np.random.RandomState(args.seed + 7919)
+            while True:
+                yield rng.randint(0, cfg.vocab_size,
+                                  (args.batch_size, cfg.seq_length + 1)
+                                  ).astype(np.int32)
+        return synth()
 
     zigzag = cp > 1 and cp_layout == "zigzag"
     if zigzag:
@@ -169,6 +191,7 @@ def run(args):
 
     out = run_workload(params, loss_fn, batches, rc, mesh=mesh,
                        param_specs=specs, use_rng=use_dropout,
+                       val_iter_factory=val_batches,
                        eval_loss_fn=lambda p, b: loss_fn(p, b, None))
     return {"loss": out["loss"]}
 

@@ -57,16 +57,16 @@ def run(args):
                          "tp/fsdp/dp")
     mesh, _ = build_workload_mesh(rc)
     specs = generic_param_specs(params)
-    rng = np.random.RandomState(args.seed)
 
-    def batches():
+    def batches(seed=args.seed):
+        rng = np.random.RandomState(seed)
         if args.data_path:
             from megatron_clip_tpu.data.bert_dataset import ICTDataset
             ds = ICTDataset(args.data_path,
                             args.titles_data_path or args.data_path,
                             max_seq_length=args.seq_length,
                             num_epochs=1000, use_one_sent_blocks=True,
-                            seed=args.seed,
+                            seed=seed,
                             max_num_samples=args.train_steps * args.batch_size)
             i = 0
             while True:
@@ -89,7 +89,8 @@ def run(args):
         return loss
 
     out = run_workload(params, loss_fn, batches(), rc, mesh=mesh,
-                       param_specs=specs)
+                       param_specs=specs,
+                       val_iter_factory=lambda: batches(args.seed + 7919))
     return {"loss": out["loss"]}
 
 

@@ -70,9 +70,8 @@ def run(args):
     m = args.chunk_length
     l = args.seq_length // m
     k = args.num_neighbors
-    rng = np.random.RandomState(args.seed)
-
-    def batches():
+    def batches(seed=args.seed):
+        rng = np.random.RandomState(seed)
         if args.retro_prefix:
             chunks = np.load(args.retro_prefix + "_chunks.npy")
             docs = np.load(args.retro_prefix + "_chunk_docs.npy")
@@ -110,7 +109,8 @@ def run(args):
         return retro_loss(p, toks, nb, cfg, compute_dtype=compute)
 
     out = run_workload(params, loss_fn, batches(), rc, mesh=mesh,
-                       param_specs=specs)
+                       param_specs=specs,
+                       val_iter_factory=lambda: batches(args.seed + 7919))
     return {"loss": out["loss"]}
 
 

@@ -91,7 +91,7 @@ def run(args):
 
     sentinel_base = args.vocab_size - 100
 
-    def batches(start_step=0):
+    def batches(start_step=0, seed=args.seed):
         if args.data_path:
             from megatron_clip_tpu.data.t5_dataset import t5_batch_iterator
             yield from t5_batch_iterator(
@@ -101,9 +101,9 @@ def run(args):
                 masked_lm_prob=args.masked_lm_prob,
                 short_seq_prob=args.short_seq_prob,
                 vocab_size=args.vocab_size, num_epochs=1000,
-                seed=args.seed)
+                seed=seed)
         else:
-            rng = np.random.RandomState(args.seed)
+            rng = np.random.RandomState(seed)
             step = 0
             while True:
                 toks = rng.randint(4, sentinel_base,
@@ -125,7 +125,10 @@ def run(args):
                        compute_dtype=compute)
 
     out = run_workload(params, loss_fn, batches, rc, mesh=mesh,
-                       param_specs=specs)
+                       param_specs=specs,
+                       # held-out stream (separate corruption/sampling seed)
+                       val_iter_factory=lambda: batches(
+                           seed=args.seed + 7919))
     return {"loss": out["loss"]}
 
 

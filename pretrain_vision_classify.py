@@ -19,6 +19,8 @@ def parse_args(argv=None):
     p.add_argument("--backbone", choices=["vit", "swin", "mit"],
                    default="vit")
     p.add_argument("--precision", default="bf16")
+    p.add_argument("--val-data-dir", type=str, default=None,
+                   help="held-out ImageFolder for --eval-interval val loss")
     p.add_argument("--data-dir", type=str, default=None,
                    help="ImageFolder-style dir; synthetic if unset")
     from megatron_clip_tpu.training.workload import add_runtime_args
@@ -68,18 +70,26 @@ def run(args):
     from megatron_clip_tpu.parallel.mesh import STAGE
     specs = generic_param_specs(
         params, stage_axis=STAGE if rc.pp > 1 else None)
-    rng = np.random.RandomState(args.seed)
-
-    def batches():
-        if args.data_dir:
+    def batches(seed=args.seed, data_dir=None):
+        rng = np.random.RandomState(seed)
+        if data_dir or args.data_dir:
             from megatron_clip_tpu.data.image_folder import image_folder_batches
-            yield from image_folder_batches(args.data_dir, args.batch_size,
-                                            args.img_size, seed=args.seed)
+            yield from image_folder_batches(data_dir or args.data_dir,
+                                            args.batch_size,
+                                            args.img_size, seed=seed)
         while True:
             yield (jnp.asarray(rng.randn(args.batch_size, args.img_size,
                                          args.img_size, 3).astype(np.float32)),
                    jnp.asarray(rng.randint(0, args.num_classes,
                                            args.batch_size).astype(np.int32)))
+
+    # validation source: --val-data-dir if given; synthetic held-out stream
+    # when training synthetically; none otherwise (run_workload warns)
+    val_factory = None
+    if getattr(args, "val_data_dir", None):
+        val_factory = lambda: batches(data_dir=args.val_data_dir)
+    elif not args.data_dir:
+        val_factory = lambda: batches(seed=args.seed + 7919)
 
     def loss_fn(p, batch, step_rng):
         images, labels = batch
@@ -90,7 +100,7 @@ def run(args):
                                    layers_fn=layers_fn)
 
     out = run_workload(params, loss_fn, batches(), rc, mesh=mesh,
-                       param_specs=specs)
+                       param_specs=specs, val_iter_factory=val_factory)
     return {"loss": out["loss"]}
 
 

@@ -48,25 +48,23 @@ def run(args):
     specs = generic_param_specs(params)
     n_patches = (args.image_size // args.patch_size) ** 2
 
-    def batches():
+    def batches(seed=args.seed):
         if args.data_dir:
             from megatron_clip_tpu.data.image_folder import image_folder_batches
             for images, _ in image_folder_batches(
                     args.data_dir, args.batch_size, args.image_size,
-                    is_train=True, epochs=10 ** 6, seed=args.seed):
+                    is_train=True, epochs=10 ** 6, seed=seed):
                 yield jnp.asarray(images)
         else:
-            rng = np.random.RandomState(args.seed)
+            rng = np.random.RandomState(seed)
             while True:
                 yield jnp.asarray(rng.rand(
                     args.batch_size, args.image_size, args.image_size, 3
                 ).astype(np.float32))
 
-    mask_rng = jax.random.PRNGKey(args.seed + 1)
-
-    def masked_batches():
-        nonlocal mask_rng
-        for images in batches():
+    def masked_batches(seed=args.seed):
+        mask_rng = jax.random.PRNGKey(seed + 1)
+        for images in batches(seed):
             mask_rng, sub = jax.random.split(mask_rng)
             mask = random_patch_mask(sub, images.shape[0], n_patches,
                                      args.mask_ratio)
@@ -77,7 +75,10 @@ def run(args):
         return inpaint_loss(p, images, mask, cfg, compute_dtype=compute)
 
     out = run_workload(params, loss_fn, masked_batches(), rc, mesh=mesh,
-                       param_specs=specs)
+                       param_specs=specs,
+                       val_iter_factory=(None if args.data_dir else
+                                         lambda: masked_batches(
+                                             args.seed + 7919)))
     return {"loss": out["loss"]}
 
 

@@ -39,7 +39,7 @@ def run_vision_classify(args):
     val_dir = os.path.join(args.data_dir, "val")
     if not os.path.isdir(val_dir):
         val_dir = train_dir
-    _, classes = scan_image_folder(train_dir)
+    train_files, classes = scan_image_folder(train_dir)
     num_classes = len(classes)    # the folder defines the label space
 
     cfg = VisionCfg(layers=args.num_layers, width=args.hidden_size,
@@ -62,7 +62,7 @@ def run_vision_classify(args):
                     jax.tree.structure(vis[k]):
                 params["backbone"][k] = vis[k]
 
-    n_train = len(scan_image_folder(train_dir)[0])
+    n_train = len(train_files)   # reuse the scan (ImageNet-size walks are slow)
     steps_per_epoch = max(1, n_train // args.batch_size)
     total = steps_per_epoch * args.epochs
     tx = make_optimizer(params, cosine_lr(args.lr, min(10, total // 10),

@@ -109,3 +109,35 @@ def test_blendable_dataset(tmp_path):
     mix = BlendableDataset([d1, d2], [0.5, 0.5], 20)
     vals = {int(mix[i][0]) for i in range(20)}
     assert vals == {1, 2}
+
+
+def test_gpt_dataset_split_ranges(tmp_path):
+    """megatron --split semantics: disjoint doc ranges for train/valid/test;
+    each split's samples contain only its own documents' tokens
+    (megatron/data/dataset_utils.py get_train_valid_test_split_)."""
+    from megatron_clip_tpu.data.gpt_dataset import train_valid_test_split
+
+    assert train_valid_test_split("969,30,1", 1000) == \
+        [(0, 969), (969, 999), (999, 1000)]
+    assert train_valid_test_split("8,2", 10) == [(0, 8), (8, 10), (10, 10)]
+
+    # give each doc a distinct token value so split leakage is detectable
+    docs = [[[d + 1] * 40] for d in range(10)]
+    prefix = _write_dataset(tmp_path, docs)
+    tr, va, _ = train_valid_test_split("8,2,0", 10)
+    ds_train = GPTDataset(prefix, seq_length=16, cache=False,
+                          documents=np.arange(*tr, dtype=np.int32),
+                          split_tag="train")
+    ds_val = GPTDataset(prefix, seq_length=16, cache=False,
+                        documents=np.arange(*va, dtype=np.int32),
+                        split_tag="valid")
+    train_tokens = {int(t) for i in range(len(ds_train))
+                    for t in np.asarray(ds_train[i])}
+    val_tokens = {int(t) for i in range(len(ds_val))
+                  for t in np.asarray(ds_val[i])}
+    assert train_tokens <= set(range(1, 9))
+    assert val_tokens <= {9, 10}
+
+    it = gpt_batch_iterator(prefix, batch_size=2, seq_length=16,
+                            split="8,2,0", split_index=1)
+    assert {int(t) for t in next(it).ravel()} <= {9, 10}

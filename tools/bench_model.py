@@ -15,6 +15,7 @@ Megatron-LM MFU ladder (BASELINE.md: 41.5% @ 22B .. 56.3% @ 1T on A100).
 """
 import argparse
 import dataclasses
+import functools
 import json
 import sys
 import time
@@ -62,7 +63,9 @@ def bench_gpt(args):
     tx = optax.chain(optax.clip_by_global_norm(1.0), inner)
     opt = tx.init(params)
 
-    @jax.jit
+    # donate params+opt: without it XLA double-buffers the train state,
+    # which alone OOMs the 1.3b rung (10.5 GB of bf16 state x2)
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt, tokens):
         loss, g = jax.value_and_grad(
             lambda p: gpt_loss(p, tokens, cfg, tcfg=tcfg,

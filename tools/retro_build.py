@@ -205,10 +205,15 @@ def stage_query(args):
     neighbors = np.zeros((n, k, 2 * m), np.int32)
     for i in range(n):
         got = 0
+        seen = set()
         for j in nbr_idx[i]:
             j = int(j)
-            if chunk_docs[j] == chunk_docs[i]:
-                continue          # reference filters same-document hits
+            # skip same-document hits (reference filter) and duplicates —
+            # the probed IVF path pads short candidate lists by repeating
+            # an id, which must not occupy several of the k slots
+            if chunk_docs[j] == chunk_docs[i] or j in seen:
+                continue
+            seen.add(j)
             neighbors[i, got, :m] = chunks[j]
             if j + 1 < n and chunk_docs[j + 1] == chunk_docs[j]:
                 neighbors[i, got, m:] = chunks[j + 1]   # continuation
