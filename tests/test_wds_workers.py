@@ -128,3 +128,26 @@ def test_skip_batches_fast_forward(tmp_path):
     resumed.skip_batches(2)
     tail_caps = captions(resumed)
     assert tail_caps == all_caps[8:]
+
+
+def test_skip_batches_multiworker_exact_total(tmp_path):
+    """Multi-worker resume skip must drop exactly skip*batch_size samples
+    even when the count does not divide the worker count (the remainder
+    used to be floor-divided away, desynchronizing the stream position)."""
+    spec = _make_shards(tmp_path, n_shards=4, per_shard=8)   # 32 samples
+    tok = lambda caps, n: np.asarray(
+        [[hash(c) % 1000] * n for c in caps], np.int32)
+    pp = lambda im: np.zeros((4, 4, 3), np.float32)
+
+    full = WdsData(spec, 4, pp, tok, num_samples=32,
+                   workers=3, shuffle=False, seed=5)
+    all_caps = {int(c[0]) for _, caps in full for c in np.asarray(caps)}
+    assert len(all_caps) == 32
+
+    resumed = WdsData(spec, 4, pp, tok, num_samples=32,
+                      workers=3, shuffle=False, seed=5)
+    resumed.skip_batches(3)                 # 12 samples over 3 workers
+    got = [c for _, caps in resumed for c in np.asarray(caps)]
+    # exactly num_batches - 3 batches and exactly 20 samples survive
+    assert len(got) == (8 - 3) * 4
+    assert len({int(c[0]) for c in got}) == 20
