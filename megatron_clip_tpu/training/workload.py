@@ -211,11 +211,14 @@ def run_workload(params, loss_fn: Callable, batch_iter: Iterator,
         opt_state = jax.device_put(opt_state, jax.tree.map(_sh, opt_state))
         if aux is not None:
             aux = jax.device_put(aux, jax.tree.map(_sh, aux))
-        step = jax.jit(_step, out_shardings=(
+        # donate the train state: without donation XLA double-buffers
+        # params+opt (a 1.3b-param model's bf16 state alone is 10.5 GB —
+        # donation is what fits it on one 16G chip)
+        step = jax.jit(_step, donate_argnums=(0, 1, 2), out_shardings=(
             jax.tree.map(_sh, params), jax.tree.map(_sh, opt_state),
             None if aux is None else jax.tree.map(_sh, aux), repl))
     else:
-        step = jax.jit(_step)
+        step = jax.jit(_step, donate_argnums=(0, 1, 2))
 
     # eval step compiled once (megatron evaluate(), training.py:861).
     # Eval batches come ONLY from val_iter_factory: drawing them from
