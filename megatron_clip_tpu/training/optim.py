@@ -212,7 +212,7 @@ def make_optimizer(params, lr: Callable, *, beta1: float = 0.9,
                    beta2: float = 0.98, eps: float = 1e-6,
                    weight_decay: float = 0.2,
                    grad_clip_norm: Optional[float] = None,
-                   moment_dtype=None,
+                   moment_dtype=None, nu_dtype=None,
                    lock_mask=None) -> optax.GradientTransformation:
     """AdamW with the CLIP training recipe defaults (open_CLIP params.py:
     beta2=0.98, eps=1e-6, wd=0.2) and megatron-style global-norm clipping.
@@ -220,14 +220,23 @@ def make_optimizer(params, lr: Callable, *, beta1: float = 0.9,
     moment_dtype: storage dtype for the first moment (optax mu_dtype).
     bfloat16 halves the mu read/write stream in the fused update — the
     update math still runs in fp32 (megatron's Float16Optimizer keeps fp32
-    master state; here only mu storage is reduced, variance stays fp32)."""
+    master state; here only mu storage is reduced, variance stays fp32).
+    nu_dtype: bf16 second moment too (adamw_lowbits) — fully-bf16 state,
+    what fits a 1.3b-param model on one 16G chip."""
     chain = []
     if grad_clip_norm:
         chain.append(optax.clip_by_global_norm(grad_clip_norm))
-    chain.append(optax.adamw(learning_rate=lr, b1=beta1, b2=beta2, eps=eps,
-                             weight_decay=weight_decay,
-                             mu_dtype=moment_dtype,
-                             mask=_no_decay_mask(params)))
+    if nu_dtype is not None:
+        chain.append(adamw_lowbits(
+            learning_rate=lr, b1=beta1, b2=beta2, eps=eps,
+            weight_decay=weight_decay,
+            mu_dtype=moment_dtype or jnp.bfloat16, nu_dtype=nu_dtype,
+            mask=_no_decay_mask(params)))
+    else:
+        chain.append(optax.adamw(learning_rate=lr, b1=beta1, b2=beta2,
+                                 eps=eps, weight_decay=weight_decay,
+                                 mu_dtype=moment_dtype,
+                                 mask=_no_decay_mask(params)))
     if lock_mask is not None:
         chain.append(apply_update_mask(lock_mask))
     return optax.chain(*chain)

@@ -73,6 +73,10 @@ class RuntimeCfg:
     name: str = "train"
     beta2: float = 0.999
     eps: float = 1e-8
+    # "bf16" = fully-bf16 adam state (adamw_lowbits) — the 1.3b-on-one-chip
+    # configuration (megatron's fp16 optimizer analogue, reversed: master
+    # state shrinks instead of compute)
+    nu_dtype: Optional[str] = None
 
 
 def add_runtime_args(p, *, lr: float = 1e-4, weight_decay: float = 0.01,
@@ -97,6 +101,10 @@ def add_runtime_args(p, *, lr: float = 1e-4, weight_decay: float = 0.01,
                    help="resume from the latest checkpoint under --save")
     p.add_argument("--eval-interval", type=int, default=0)
     p.add_argument("--eval-iters", type=int, default=10)
+    p.add_argument("--nu-dtype", choices=["fp32", "bf16"], default="fp32",
+                   help="adam second-moment storage; bf16 = fully-bf16 "
+                        "optimizer state (fits 1.3b-class models on one "
+                        "16G chip)")
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -113,7 +121,9 @@ def runtime_cfg_from_args(args, name: str) -> RuntimeCfg:
         num_microbatches=args.num_microbatches,
         save=args.save, save_interval=args.save_interval,
         resume=args.resume, eval_interval=args.eval_interval,
-        eval_iters=args.eval_iters, seed=args.seed, name=name)
+        eval_iters=args.eval_iters, seed=args.seed, name=name,
+        nu_dtype=None if getattr(args, "nu_dtype", "fp32") == "fp32"
+        else args.nu_dtype)
 
 
 def build_workload_mesh(rc: RuntimeCfg):
@@ -171,7 +181,9 @@ def run_workload(params, loss_fn: Callable, batch_iter: Iterator,
     tx = make_optimizer(params, cosine_lr(rc.lr, rc.warmup, rc.train_steps),
                         weight_decay=rc.weight_decay,
                         grad_clip_norm=rc.grad_clip_norm, beta2=rc.beta2,
-                        eps=rc.eps)
+                        eps=rc.eps,
+                        nu_dtype=jnp.bfloat16 if rc.nu_dtype == "bf16"
+                        else None)
 
     if mesh is not None and param_specs is not None:
         from megatron_clip_tpu.parallel.sharding import make_sharding_tree

@@ -50,6 +50,11 @@ def parse_args(argv=None):
                         "thread through rope/pos-embed, so every ring rank "
                         "does ~equal causal work")
     p.add_argument("--precision", default="bf16")
+    p.add_argument("--params-dtype", choices=["fp32", "bf16"],
+                   default="fp32",
+                   help="bf16 = pure-bf16 params (open_CLIP pure_bf16 "
+                        "semantics; halves param+grad HBM — with "
+                        "--nu-dtype bf16 the 1.3b rung trains on one chip)")
     p.add_argument("--recompute-granularity",
                    choices=["none", "selective", "mlp", "full"], default="none")
     p.add_argument("--quantize-matmuls", choices=["none", "int8"],
@@ -115,7 +120,9 @@ def run(args):
         raise SystemExit("--seq-length must be divisible by 2x "
                          "--context-parallel-size for the zigzag layout")
 
-    params = init_gpt(jax.random.PRNGKey(args.seed), cfg)
+    params = init_gpt(jax.random.PRNGKey(args.seed), cfg,
+                      dtype=jnp.bfloat16 if args.params_dtype == "bf16"
+                      else jnp.float32)
     n = sum(x.size for x in jax.tree.leaves(params))
     print(f"GPT {n/1e6:.1f}M params, seq {cfg.seq_length}", flush=True)
 
