@@ -65,6 +65,17 @@ def _cache_constraint(c):
         c, P(None, batch_axes, head_axis, None, None))
 
 
+def _dense(x, w):
+    """Decode projection: fp einsum, or int8 x int8 -> int32 MXU matmul when
+    `w` is a quantize_decode_weights leaf ({"q","scale"}) — int8 weights
+    halve the weight-streaming bound that dominates decode latency."""
+    from megatron_clip_tpu.ops.quant import is_quantized_weight
+    if is_quantized_weight(w):
+        from megatron_clip_tpu.ops.quant import int8_matmul
+        return int8_matmul(x, w["q"], w["scale"].reshape(1, -1))
+    return jnp.einsum("btw,wd->btd", x, w.astype(x.dtype))
+
+
 def _block_decode(block, x, cache_k, cache_v, pos, cfg: TransformerCfg, rope):
     """One block, one (or P prompt) tokens, reading/writing the cache.
     x: [B, T, W]; cache_[kv]: [B, Hkv, S_max, D]; pos: scalar write offset
@@ -76,7 +87,7 @@ def _block_decode(block, x, cache_k, cache_v, pos, cfg: TransformerCfg, rope):
     hkv = cfg.kv_heads or cfg.heads
     hd = cfg.head_dim
     h = apply_norm(block["ln_1"], x, cfg.norm)
-    qkv = jnp.einsum("btw,wd->btd", h, block["attn"]["wqkv"].astype(h.dtype))
+    qkv = _dense(h, block["attn"]["wqkv"])
     if block["attn"].get("bqkv") is not None:
         qkv = qkv + block["attn"]["bqkv"].astype(h.dtype)
     q = qkv[..., :cfg.heads * hd].reshape(b, t, cfg.heads, hd).transpose(0, 2, 1, 3)
@@ -114,19 +125,19 @@ def _block_decode(block, x, cache_k, cache_v, pos, cfg: TransformerCfg, rope):
         vh = jnp.repeat(vh, cfg.heads // hkv, axis=1)
     att = sdpa(q, kh, vh, bias=bias)
     att = att.transpose(0, 2, 1, 3).reshape(b, t, w)
-    att = jnp.einsum("btw,wd->btd", att, block["attn"]["wo"].astype(x.dtype))
+    att = _dense(att, block["attn"]["wo"])
     if block["attn"].get("bo") is not None:
         att = att + block["attn"]["bo"].astype(x.dtype)
     x = x + att
 
     h = apply_norm(block["ln_2"], x, cfg.norm)
-    h = jnp.einsum("btw,wd->btd", h, block["mlp"]["w1"].astype(h.dtype))
+    h = _dense(h, block["mlp"]["w1"])
     b1 = block["mlp"].get("b1")
     if cfg.act == "swiglu":
         h = swiglu(h, None if b1 is None else b1.astype(h.dtype))
     else:
         h = bias_act(h, None if b1 is None else b1.astype(h.dtype), cfg.act)
-    h = jnp.einsum("btw,wd->btd", h, block["mlp"]["w2"].astype(h.dtype))
+    h = _dense(h, block["mlp"]["w2"])
     if block["mlp"].get("b2") is not None:
         h = h + block["mlp"]["b2"].astype(h.dtype)
     return x + h, cache_k, cache_v
@@ -170,7 +181,7 @@ def _forward_cached(params, tokens, pos, cache: KVCache, cfg: GPTCfg,
     if cfg.tie_embeddings:
         logits = jnp.einsum("btw,vw->btv", x, params["tok_embed"].astype(x.dtype))
     else:
-        logits = jnp.einsum("btw,wv->btv", x, params["lm_head"].astype(x.dtype))
+        logits = _dense(x, params["lm_head"])
     return logits.astype(jnp.float32), KVCache(new_k, new_v)
 
 

@@ -94,6 +94,44 @@ def quantize_params(params, *, min_size: int = 1 << 12):
     return jax.tree.map(q, params)
 
 
+def quantize_decode_weights(params):
+    """Serving-side int8 quantization for the GPT decode path
+    (inference/generation.py): per-(layer, out-channel) scales for the
+    scan-stacked block weights [L, K, N] (a shared-across-layers scale —
+    what quantize_params computes — loses precision when layer magnitudes
+    differ), plus the untied lm_head. The tied token embedding stays fp:
+    its lm-head matmul contracts over the scaled axis, so per-channel
+    scales do not factor out of the logits."""
+    def q_leaf(leaf):
+        if not (hasattr(leaf, "ndim") and leaf.ndim >= 2
+                and jnp.issubdtype(leaf.dtype, jnp.floating)):
+            return leaf
+        qmax = 127
+        red = tuple(range(1, leaf.ndim - 1)) if leaf.ndim >= 3 else (0,)
+        w = leaf.astype(jnp.float32)
+        amax = jnp.max(jnp.abs(w), axis=red, keepdims=True)
+        scale = jnp.maximum(amax, 1e-8) / qmax
+        q = jnp.clip(jnp.round(w / scale), -qmax, qmax).astype(jnp.int8)
+        # scale carried as [L, N] for stacked leaves, [N] for 2D. No
+        # sentinel array: every value needs the layer dim to scan, so
+        # quantized leaves are detected structurally ({"q","scale"} dict,
+        # is_quantized_weight) instead.
+        return {"q": q, "scale": jnp.squeeze(scale, axis=red)}
+
+    out = dict(params)
+    out["blocks"] = jax.tree.map(
+        lambda l: q_leaf(l) if hasattr(l, "ndim") and l.ndim >= 3 else l,
+        params["blocks"])
+    if "lm_head" in params:
+        out["lm_head"] = q_leaf(params["lm_head"])
+    return out
+
+
+def is_quantized_weight(w) -> bool:
+    """Structural test for a quantize_decode_weights leaf."""
+    return isinstance(w, dict) and set(w.keys()) == {"q", "scale"}
+
+
 def dequantize_params(qparams):
     def dq(leaf):
         if isinstance(leaf, dict) and "__quant__" in leaf:

@@ -123,3 +123,54 @@ def test_generation_under_tp_mesh(devices8):
         got = np.asarray(greedy_generate(sparams, prompt, cfg,
                                          max_new_tokens=12))
     np.testing.assert_array_equal(got, want)
+
+
+def test_int8_decode_weights_close_to_fp():
+    """quantize_decode_weights + the int8 _dense path: per-(layer,channel)
+    int8 weights must keep decode logits close to the fp path (serving
+    quantization — the reference's fp8/TE inference analogue)."""
+    from megatron_clip_tpu.models.gpt import GPTCfg, init_gpt
+    from megatron_clip_tpu.inference.generation import (
+        KVCache, _forward_cached)
+    from megatron_clip_tpu.ops.quant import quantize_decode_weights
+
+    cfg = GPTCfg(num_layers=2, hidden_size=64, num_heads=4, vocab_size=256,
+                 seq_length=32, tie_embeddings=False)
+    params = init_gpt(jax.random.PRNGKey(0), cfg)
+    qparams = quantize_decode_weights(params)
+
+    # structure: block matmul weights and lm_head quantized, norms/embeds fp
+    assert set(qparams["blocks"]["attn"]["wqkv"].keys()) == {"q", "scale"}
+    assert qparams["blocks"]["attn"]["wqkv"]["q"].dtype == jnp.int8
+    assert qparams["blocks"]["attn"]["wqkv"]["scale"].shape == \
+        (2, 3 * cfg.hidden_size)                # per-(layer, out-channel)
+    assert set(qparams["lm_head"].keys()) == {"q", "scale"}
+    assert qparams["tok_embed"].dtype == params["tok_embed"].dtype
+
+    toks = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 1,
+                              255).astype(jnp.int32)
+    cache = KVCache.create(cfg, 2, 32, dtype=jnp.float32)
+    ref, _ = _forward_cached(params, toks, 0, cache, cfg, jnp.float32)
+    got, _ = _forward_cached(qparams, toks, 0, cache, cfg, jnp.float32)
+    ref, got = np.asarray(ref), np.asarray(got)
+    denom = np.abs(ref).max()
+    assert np.abs(got - ref).max() / denom < 0.08, \
+        (np.abs(got - ref).max(), denom)
+    # and top-1 next-token choice agrees for most positions
+    agree = (ref.argmax(-1) == got.argmax(-1)).mean()
+    assert agree > 0.9, agree
+
+
+def test_int8_greedy_generate_runs():
+    from megatron_clip_tpu.models.gpt import GPTCfg, init_gpt
+    from megatron_clip_tpu.inference.generation import greedy_generate
+    from megatron_clip_tpu.ops.quant import quantize_decode_weights
+
+    cfg = GPTCfg(num_layers=2, hidden_size=64, num_heads=4, vocab_size=256,
+                 seq_length=64)
+    params = quantize_decode_weights(init_gpt(jax.random.PRNGKey(0), cfg))
+    prompt = jax.random.randint(jax.random.PRNGKey(1), (2, 8), 1,
+                                255).astype(jnp.int32)
+    out = np.asarray(greedy_generate(params, prompt, cfg, max_new_tokens=8))
+    assert out.shape == (2, 16)
+    assert (out[:, 8:] > 0).all()

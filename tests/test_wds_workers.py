@@ -135,8 +135,14 @@ def test_skip_batches_multiworker_exact_total(tmp_path):
     even when the count does not divide the worker count (the remainder
     used to be floor-divided away, desynchronizing the stream position)."""
     spec = _make_shards(tmp_path, n_shards=4, per_shard=8)   # 32 samples
+    # deterministic caption id from "caption <shard> <i>" (hash() is
+    # PYTHONHASHSEED-randomized and %1000 collides across 32 samples)
+    def cap_id(c):
+        _, s_, i_ = c.split()
+        return int(s_) * 100 + int(i_)
+
     tok = lambda caps, n: np.asarray(
-        [[hash(c) % 1000] * n for c in caps], np.int32)
+        [[cap_id(c)] * n for c in caps], np.int32)
     pp = lambda im: np.zeros((4, 4, 3), np.float32)
 
     full = WdsData(spec, 4, pp, tok, num_samples=32,

@@ -39,6 +39,9 @@ def main():
     p.add_argument("--warmup", type=int, default=2)
     p.add_argument("--top-k", type=int, default=0,
                    help="0 = greedy (temperature 0)")
+    p.add_argument("--int8", action="store_true",
+                   help="int8 decode weights (quantize_decode_weights): "
+                        "halves the weight-streaming bound")
     args = p.parse_args()
 
     from megatron_clip_tpu.models.gpt import GPTCfg, init_gpt
@@ -48,6 +51,9 @@ def main():
                  **GPT_SIZES[args.gpt_size])
     params = init_gpt(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
     n_params = sum(x.size for x in jax.tree.leaves(params))
+    if args.int8:
+        from megatron_clip_tpu.ops.quant import quantize_decode_weights
+        params = quantize_decode_weights(params)
 
     prompt = jax.random.randint(jax.random.PRNGKey(1),
                                 (args.batch, args.prompt_len), 1,
@@ -74,7 +80,8 @@ def main():
 
     new_toks = args.batch * args.new_tokens
     print(json.dumps({
-        "model": f"gpt-{args.gpt_size}", "params_m": round(n_params / 1e6, 1),
+        "model": f"gpt-{args.gpt_size}" + ("-int8" if args.int8 else ""),
+        "params_m": round(n_params / 1e6, 1),
         "batch": args.batch, "prompt_len": args.prompt_len,
         "new_tokens": args.new_tokens,
         "gen_tokens_per_sec": round(new_toks / dt, 1),
