@@ -40,10 +40,17 @@ class BertPairDataset:
                  short_seq_prob: float = 0.1, masked_lm_prob: float = 0.15,
                  vocab_size: int = 30522, seed: int = 1,
                  special_ids: Optional[BertSpecialIds] = None,
-                 dataset: Optional[MMapIndexedDataset] = None):
+                 dataset: Optional[MMapIndexedDataset] = None,
+                 documents=None):
+        """`documents`: optional (lo, hi) doc range — megatron's
+        train/valid/test split mechanism (the doc-boundary array is
+        sliced, dataset_utils.py get_train_valid_test_split_)."""
         self.ds = dataset if dataset is not None else MMapIndexedDataset(prefix)
         sizes = self.ds.sizes
         docs = self.ds.doc_idx
+        if documents is not None:
+            lo, hi = documents
+            docs = docs[lo:hi + 1]
         self.mapping = build_mapping(
             docs, sizes, num_epochs=num_epochs,
             max_num_samples=max_num_samples, max_seq_length=max_seq_length - 3,
@@ -128,13 +135,23 @@ class ICTDataset:
                  query_in_block_prob: float = 0.1,
                  use_one_sent_blocks: bool = False,
                  dataset: Optional[MMapIndexedDataset] = None,
-                 titles: Optional[MMapIndexedDataset] = None):
+                 titles: Optional[MMapIndexedDataset] = None,
+                 documents=None):
         self.ds = dataset if dataset is not None else MMapIndexedDataset(prefix)
         self.titles = titles if titles is not None \
             else MMapIndexedDataset(titles_prefix)
         title_sizes = self.titles.sizes
+        # (lo, hi) doc-range split: mapping doc ids become slice-relative,
+        # so titles are sliced too and __getitem__ re-offsets by _doc_base
+        self._doc_base = 0
+        doc_idx = self.ds.doc_idx
+        if documents is not None:
+            lo, hi = documents
+            self._doc_base = lo
+            doc_idx = doc_idx[lo:hi + 1]
+            title_sizes = title_sizes[lo:hi]
         self.mapping = build_blocks_mapping(
-            self.ds.doc_idx, self.ds.sizes, title_sizes,
+            doc_idx, self.ds.sizes, title_sizes,
             num_epochs=num_epochs, max_num_samples=max_num_samples,
             max_seq_length=max_seq_length - 2, seed=seed,
             use_one_sent_blocks=use_one_sent_blocks)
@@ -154,7 +171,7 @@ class ICTDataset:
         keep_query = rng.random_sample() < self.query_in_block_prob
         block_sents = sents if keep_query else \
             [s for i, s in enumerate(sents) if i != q] or sents
-        title = np.asarray(self.titles[doc], np.int64)
+        title = np.asarray(self.titles[self._doc_base + doc], np.int64)
         block = np.concatenate([title] + block_sents)
 
         def pad(x):
@@ -166,6 +183,6 @@ class ICTDataset:
         return {
             "query": pad(query),
             "block": pad(block),
-            "doc_idx": np.int32(doc),
+            "doc_idx": np.int32(self._doc_base + doc),
             "block_idx": np.int32(block_id),
         }

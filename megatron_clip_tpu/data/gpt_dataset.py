@@ -28,7 +28,11 @@ def train_valid_test_split(splits: str, n_docs: int):
     total = sum(w[:3]) or 1.0
     bounds = [0]
     for x in w[:3]:
-        bounds.append(bounds[-1] + int(round(x / total * n_docs)))
+        # clamp every bound: cumulative rounding can overshoot n_docs
+        # mid-list ('1,1,0' over 7 docs rounds to [0,4,8]), which would
+        # index nonexistent documents
+        nxt = bounds[-1] + int(round(x / total * n_docs))
+        bounds.append(min(max(nxt, bounds[-1]), n_docs))
     bounds[-1] = n_docs
     return [(bounds[i], bounds[i + 1]) for i in range(3)]
 
@@ -58,7 +62,12 @@ class GPTDataset:
         doc_idx = np.concatenate([docs] * num_epochs)
         rng.shuffle(doc_idx)
 
-        tag = f"_{split_tag}" if split_tag else ""
+        # the doc RANGE must key the cache, not just the split name:
+        # changing --split weights would otherwise silently reuse a stale
+        # index built over a different doc range (split leakage)
+        tag = (f"_{split_tag}{int(docs[0])}-{int(docs[-1])}"
+               if documents is not None and len(docs) else
+               (f"_{split_tag}" if split_tag else ""))
         cache_path = (f"{prefix}_gpt_s{seq_length}_e{num_epochs}_r{seed}"
                       f"{tag}_idx.npy")
         if cache and os.path.isfile(cache_path):

@@ -43,10 +43,15 @@ class T5Dataset:
                  short_seq_prob: float = 0.1, vocab_size: int = 30592,
                  num_sentinels: int = 100, seed: int = 1,
                  special_ids: Optional[T5SpecialIds] = None,
-                 dataset: Optional[MMapIndexedDataset] = None):
+                 dataset: Optional[MMapIndexedDataset] = None,
+                 documents=None):
         self.ds = dataset if dataset is not None else MMapIndexedDataset(prefix)
+        doc_idx = self.ds.doc_idx
+        if documents is not None:          # (lo, hi) doc-range split
+            lo, hi = documents
+            doc_idx = doc_idx[lo:hi + 1]
         self.mapping = build_mapping(
-            self.ds.doc_idx, self.ds.sizes, num_epochs=num_epochs,
+            doc_idx, self.ds.sizes, num_epochs=num_epochs,
             max_num_samples=max_num_samples,
             max_seq_length=max_seq_length - 2,
             short_seq_prob=short_seq_prob, seed=seed, min_num_sent=1)

@@ -265,12 +265,16 @@ class WdsData:
         base_seed = self.seed * 100003 + self.epoch
         skip_b = self._skip_batches
         self._skip_batches = 0
-        # distribute the sample skip exactly: floor-dividing alone would
-        # drop up to n_workers-1 samples of the consumed-samples position
-        total_skip = skip_b * self.batch_size
+        # the consumer below drains workers round-robin in WHOLE batches,
+        # so the original run consumed ceil((skip_b - w) / nw) batches from
+        # worker w — skip exactly those samples per worker (sample-level
+        # splitting would re-train some samples and drop others). Exact
+        # while every worker had >= its skipped count before exhausting
+        # (true for any mid-epoch resume shorter than the shortest worker
+        # stream).
         nw = max(n_workers, 1)
-        base_skip, rem_skip = divmod(total_skip, nw)
-        skips = [base_skip + (1 if w < rem_skip else 0) for w in range(nw)]
+        skips = [self.batch_size * max(0, -(-(skip_b - w) // nw))
+                 for w in range(nw)]
 
         if n_workers <= 1:
             # inline: one background thread keeps decode off the train loop

@@ -41,12 +41,16 @@ def _hf_is_t5(d: dict) -> bool:
     if d.get("arch"):
         return d["arch"] == "t5"
     name = (d.get("model_name") or "").lower().split("/")[-1]
-    # token match, not substring: 'roberta-distilled-from-mt5' must not
-    # route to the T5 encoder (open_CLIP keys its arch registry on the
-    # leading family token: 't5-base', 'mt5-xl', 'google/t5-v1_1-large')
+    # token match, not substring — and never route to T5 when the name
+    # carries an explicit non-T5 family token ('roberta-distilled-from-mt5'
+    # is a RoBERTa; 'flan-t5-base' / 'google/t5-v1_1-large' are T5s)
     import re
-    tokens = re.split(r"[-_.]", name)
-    return bool(tokens) and tokens[0] in ("t5", "mt5", "umt5", "byt5")
+    tokens = set(re.split(r"[-_.]", name))
+    non_t5 = {"roberta", "bert", "xlm", "electra", "deberta", "distilbert",
+              "camembert", "albert", "gpt", "gpt2", "llama", "mistral"}
+    if tokens & non_t5:
+        return False
+    return bool(tokens & {"t5", "mt5", "umt5", "byt5", "t5x"})
 
 
 def _hf_t5_cfg(cfg: CLIPCfg):

@@ -28,6 +28,9 @@ def parse_args(argv=None):
                         "items=sentences, doc boundaries): trains on real "
                         "next-sentence pairs via build_mapping")
     p.add_argument("--short-seq-prob", type=float, default=0.1)
+    p.add_argument("--split", type=str, default="969,30,1",
+                   help="train/valid/test doc-split weights over --data-path "
+                        "(megatron --split semantics)")
     p.add_argument("--masked-lm-prob", type=float, default=0.15)
     p.add_argument("--mask-id", type=int, default=3)
     from megatron_clip_tpu.training.workload import add_runtime_args
@@ -60,7 +63,17 @@ def run(args):
     specs = generic_param_specs(
         params, stage_axis=STAGE if rc.pp > 1 else None)
 
-    def masked_batches(seed=args.seed):
+    def _doc_split(index):
+        from megatron_clip_tpu.data.indexed_dataset import MMapIndexedDataset
+        from megatron_clip_tpu.data.gpt_dataset import train_valid_test_split
+        n_docs = len(MMapIndexedDataset(args.data_path).doc_idx) - 1
+        lo, hi = train_valid_test_split(args.split, n_docs)[index]
+        if hi <= lo:
+            raise SystemExit(f"--split {args.split!r} gives an empty range "
+                             f"for split {index} ({n_docs} docs)")
+        return lo, hi
+
+    def masked_batches(seed=args.seed, split_index=0):
         rng = np.random.RandomState(seed)
         if args.data_path:
             # real sentence-pair pretraining: NSP pairs + 80/10/10 masking
@@ -74,7 +87,7 @@ def run(args):
                 num_epochs=1000, short_seq_prob=args.short_seq_prob,
                 masked_lm_prob=args.masked_lm_prob,
                 vocab_size=args.vocab_size, seed=seed,
-                special_ids=ids,
+                special_ids=ids, documents=_doc_split(split_index),
                 max_num_samples=args.train_steps * args.batch_size)
             i = 0
             while True:
@@ -109,10 +122,10 @@ def run(args):
 
     out = run_workload(params, loss_fn, masked_batches(), rc, mesh=mesh,
                        param_specs=specs, use_rng=use_rng,
-                       # held-out stream: different pair sampling + masking
-                       # seed, never advancing the training iterator
+                       # real data: the --split valid doc range; synthetic:
+                       # a held-out seeded stream
                        val_iter_factory=lambda: masked_batches(
-                           args.seed + 7919))
+                           args.seed + 7919, split_index=1))
     return {"loss": out["loss"]}
 
 

@@ -26,6 +26,9 @@ def parse_args(argv=None):
     p.add_argument("--data-path", type=str, default=None,
                    help="sentence-level indexed corpus prefix")
     p.add_argument("--titles-data-path", type=str, default=None)
+    p.add_argument("--split", type=str, default="969,30,1",
+                   help="train/valid/test doc-split weights over --data-path "
+                        "(megatron --split semantics)")
     from megatron_clip_tpu.training.workload import add_runtime_args
     add_runtime_args(p, lr=1e-4, batch_size=16)
     return p.parse_args(argv)
@@ -58,7 +61,17 @@ def run(args):
     mesh, _ = build_workload_mesh(rc)
     specs = generic_param_specs(params)
 
-    def batches(seed=args.seed):
+    def _doc_split(index):
+        from megatron_clip_tpu.data.indexed_dataset import MMapIndexedDataset
+        from megatron_clip_tpu.data.gpt_dataset import train_valid_test_split
+        n_docs = len(MMapIndexedDataset(args.data_path).doc_idx) - 1
+        lo, hi = train_valid_test_split(args.split, n_docs)[index]
+        if hi <= lo:
+            raise SystemExit(f"--split {args.split!r} gives an empty range "
+                             f"for split {index} ({n_docs} docs)")
+        return lo, hi
+
+    def batches(seed=args.seed, split_index=0):
         rng = np.random.RandomState(seed)
         if args.data_path:
             from megatron_clip_tpu.data.bert_dataset import ICTDataset
@@ -90,7 +103,8 @@ def run(args):
 
     out = run_workload(params, loss_fn, batches(), rc, mesh=mesh,
                        param_specs=specs,
-                       val_iter_factory=lambda: batches(args.seed + 7919))
+                       val_iter_factory=lambda: batches(args.seed + 7919,
+                                                        split_index=1))
     return {"loss": out["loss"]}
 
 

@@ -27,6 +27,9 @@ def parse_args(argv=None):
                         "real span-corruption samples via data/t5_dataset.py")
     p.add_argument("--masked-lm-prob", type=float, default=0.15)
     p.add_argument("--short-seq-prob", type=float, default=0.1)
+    p.add_argument("--split", type=str, default="969,30,1",
+                   help="train/valid/test doc-split weights over --data-path "
+                        "(megatron --split semantics)")
     from megatron_clip_tpu.training.workload import add_runtime_args
     add_runtime_args(p, lr=1e-4, weight_decay=0.01)
     return p.parse_args(argv)
@@ -91,11 +94,22 @@ def run(args):
 
     sentinel_base = args.vocab_size - 100
 
-    def batches(start_step=0, seed=args.seed):
+    def _doc_split(index):
+        from megatron_clip_tpu.data.indexed_dataset import MMapIndexedDataset
+        from megatron_clip_tpu.data.gpt_dataset import train_valid_test_split
+        n_docs = len(MMapIndexedDataset(args.data_path).doc_idx) - 1
+        lo, hi = train_valid_test_split(args.split, n_docs)[index]
+        if hi <= lo:
+            raise SystemExit(f"--split {args.split!r} gives an empty range "
+                             f"for split {index} ({n_docs} docs)")
+        return lo, hi
+
+    def batches(start_step=0, seed=args.seed, split_index=0):
         if args.data_path:
             from megatron_clip_tpu.data.t5_dataset import t5_batch_iterator
             yield from t5_batch_iterator(
                 args.data_path, args.batch_size, start_step=start_step,
+                documents=_doc_split(split_index),
                 max_seq_length=args.encoder_seq_length,
                 max_seq_length_dec=args.decoder_seq_length,
                 masked_lm_prob=args.masked_lm_prob,
@@ -126,9 +140,10 @@ def run(args):
 
     out = run_workload(params, loss_fn, batches, rc, mesh=mesh,
                        param_specs=specs,
-                       # held-out stream (separate corruption/sampling seed)
+                       # real data: --split valid doc range; synthetic: a
+                       # held-out seeded stream
                        val_iter_factory=lambda: batches(
-                           seed=args.seed + 7919))
+                           seed=args.seed + 7919, split_index=1))
     return {"loss": out["loss"]}
 
 

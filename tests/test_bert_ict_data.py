@@ -111,3 +111,61 @@ def test_ict_dataset_samples(corpus):
         assert s["query"].shape == (64,) and s["block"].shape == (64,)
         assert s["query"].any() and s["block"].any()
         assert 0 <= s["doc_idx"] < 20
+
+
+def test_doc_range_split_isolation(tmp_path):
+    """documents=(lo, hi) restricts BERT/ICT/T5 samples to the split's
+    documents (megatron get_train_valid_test_split_ mechanism): the val
+    stream never contains training-range tokens."""
+    from megatron_clip_tpu.data.t5_dataset import T5Dataset, T5SpecialIds
+
+    prefix = str(tmp_path / "corp")
+    tprefix = str(tmp_path / "titles")
+    b = MMapIndexedDatasetBuilder(prefix, dtype=np.int32)
+    tb = MMapIndexedDatasetBuilder(tprefix, dtype=np.int32)
+    for d in range(10):
+        tok = 200 + d  # distinct per-doc value, clear of special ids
+        #              (BertSpecialIds cls=101/sep=102)
+        for _s in range(4):
+            b.add_item(np.full(8, tok, np.int32))
+        b.end_document()
+        tb.add_item(np.full(3, tok, np.int32))
+        tb.end_document()
+    b.finalize()
+    tb.finalize()
+
+    def content(sample_tokens):
+        return {int(t) for t in np.asarray(sample_tokens) if t >= 200}
+
+    train = BertPairDataset(prefix, max_seq_length=32, num_epochs=2,
+                            vocab_size=1024, seed=0, documents=(0, 8))
+    val = BertPairDataset(prefix, max_seq_length=32, num_epochs=2,
+                          vocab_size=1024, seed=0, documents=(8, 10))
+    def original(sample):
+        # reconstruct pre-masking content: labels hold the true token at
+        # every masked position (incl. random replacements, which can be
+        # ANY vocab id and must not be read as document content)
+        toks, labels = sample["tokens"], sample["labels"]
+        return content(np.where(labels > 0, labels, toks))
+
+    tr_tokens = set().union(*(original(train[i])
+                              for i in range(len(train))))
+    va_tokens = set().union(*(original(val[i]) for i in range(len(val))))
+    doc_vals = set(range(200, 210))
+    assert tr_tokens & doc_vals <= set(range(200, 208))
+    assert va_tokens & doc_vals <= {208, 209}
+    assert va_tokens & doc_vals, "val split produced no samples"
+
+    ict = ICTDataset(prefix, tprefix, max_seq_length=32, num_epochs=1,
+                     seed=0, use_one_sent_blocks=True, documents=(8, 10))
+    for i in range(len(ict)):
+        s = ict[i]
+        assert content(s["block"]) <= {208, 209}
+        assert int(s["doc_idx"]) in (8, 9)   # absolute ids after re-offset
+
+    t5 = T5Dataset(prefix, max_seq_length=32, vocab_size=1024,
+                   num_epochs=1, seed=0, documents=(8, 10))
+    for i in range(len(t5)):
+        enc = t5[i]["enc_tokens"]
+        assert content(enc) - {1022, 1023} <= {208, 209} | set(
+            range(1024 - 100, 1024))  # content + sentinels

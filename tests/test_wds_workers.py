@@ -147,13 +147,17 @@ def test_skip_batches_multiworker_exact_total(tmp_path):
 
     full = WdsData(spec, 4, pp, tok, num_samples=32,
                    workers=3, shuffle=False, seed=5)
-    all_caps = {int(c[0]) for _, caps in full for c in np.asarray(caps)}
-    assert len(all_caps) == 32
+    consumed_order = [int(c[0]) for _, caps in full for c in np.asarray(caps)]
+    assert len(set(consumed_order)) == 32
 
+    # skip 4 batches over 3 workers: round-robin consumption took [2,1,1]
+    # batches per worker — a non-dividing case (sample-level splitting
+    # re-trains worker 0's tail and drops workers 1/2's next samples)
     resumed = WdsData(spec, 4, pp, tok, num_samples=32,
                       workers=3, shuffle=False, seed=5)
-    resumed.skip_batches(3)                 # 12 samples over 3 workers
-    got = [c for _, caps in resumed for c in np.asarray(caps)]
-    # exactly num_batches - 3 batches and exactly 20 samples survive
-    assert len(got) == (8 - 3) * 4
-    assert len({int(c[0]) for c in got}) == 20
+    resumed.skip_batches(4)
+    got = [int(c[0]) for _, caps in resumed for c in np.asarray(caps)]
+    assert len(got) == (8 - 4) * 4
+    # the surviving samples are EXACTLY the ones the original run had not
+    # consumed by batch 4 (no re-trained, no lost samples)
+    assert set(got) == set(consumed_order[16:])

@@ -67,7 +67,7 @@ def main():
         ps, pr, pl, cfg, max_new_tokens=args.new_tokens,
         temperature=0.0 if args.top_k == 0 else 1.0, top_k=args.top_k))
 
-    for _ in range(args.warmup):
+    for _ in range(max(1, args.warmup)):     # >=1: sync below needs `out`
         out = run(params, prompt, plen)
     int(out[0, -1])   # scalar fetch: the only reliable sync on axon
     t0 = time.perf_counter()
