@@ -57,6 +57,11 @@ def parse_args(argv=None):
     p.add_argument("--patch-size", type=int, default=16)
     p.add_argument("--ignore-index", type=int, default=255,
                    help="segmentation ignore label (cityscapes.py)")
+    p.add_argument("--seg-arch", choices=["segformer", "setr"],
+                   default="segformer",
+                   help="segformer = MiT backbone + all-MLP head "
+                        "(finetune_segformer.py); setr = plain ViT + "
+                        "progressive-upsampling head (finetune_setr.py)")
     p.add_argument("--seg-embed-dim", type=int, default=256)
     p.add_argument("--seg-dims", type=int, nargs=4, default=None,
                    help="MiT stage widths (default 32 64 160 256)")

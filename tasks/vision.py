@@ -160,6 +160,56 @@ def apply_segformer(params, images, cfg, num_classes, *,
     return logits.astype(jnp.float32)
 
 
+def init_setr_head(key, width, embed_dim, num_classes, stages=4,
+                   dtype=np.float32):
+    """SETR-PUP decode head (tasks/vision/segmentation/finetune_setr.py,
+    seg_heads.py SetrSegmentationHead): progressive 2x upsampling stages,
+    each a linear + GELU, then a pixel classifier."""
+    import jax
+    import jax.numpy as jnp
+    ks = jax.random.split(key, stages + 1)
+
+    def lin(k, i, o):
+        return {"w": (i ** -0.5 * jax.random.normal(k, (i, o))
+                      ).astype(dtype), "b": jnp.zeros((o,), dtype)}
+
+    return {"up": [lin(ks[i], width if i == 0 else embed_dim, embed_dim)
+                   for i in range(stages)],
+            "cls": lin(ks[-1], embed_dim, num_classes)}
+
+
+def apply_setr(params, images, cfg, num_classes, *, compute_dtype=None):
+    """Plain-ViT encoder -> patch-token grid -> PUP head: each stage is
+    linear+GELU then 2x bilinear upsample until full resolution."""
+    import jax
+    import jax.numpy as jnp
+    from megatron_clip_tpu.models.vit import apply_vit
+    compute_dtype = compute_dtype or jnp.float32
+    _, tokens = apply_vit(params["backbone"], images, cfg, cfg.width,
+                          compute_dtype=compute_dtype, output_tokens=True)
+    grid = cfg.image_size // cfg.patch_size
+    b = tokens.shape[0]
+    # _global_pool('tok'/'avg') already strips the cls token; 'none' keeps it
+    start = tokens.shape[1] - grid * grid
+    x = tokens[:, start:].reshape(b, grid, grid, cfg.width)
+    head = params["head"]
+    size = grid
+    for i, st in enumerate(head["up"]):
+        x = jax.nn.gelu(x @ st["w"].astype(x.dtype)
+                        + st["b"].astype(x.dtype))
+        if size < cfg.image_size:
+            size = min(cfg.image_size, size * 2)
+            x = jax.image.resize(x, (b, size, size, x.shape[-1]),
+                                 "bilinear")
+    logits = x @ head["cls"]["w"].astype(x.dtype) \
+        + head["cls"]["b"].astype(x.dtype)
+    if size != cfg.image_size:
+        logits = jax.image.resize(
+            logits, (b, cfg.image_size, cfg.image_size, num_classes),
+            "bilinear")
+    return logits.astype(jnp.float32)
+
+
 def _load_seg_pairs(data_dir, img_size):
     """images/*.png|jpg + masks/<same-name>.png (int label map)."""
     from PIL import Image
@@ -179,28 +229,46 @@ def _load_seg_pairs(data_dir, img_size):
 
 
 def run_vision_segment(args):
-    """SegFormer finetune on an images/+masks/ folder; reports mIoU."""
+    """Semantic-segmentation finetune on an images/+masks/ folder; reports
+    mIoU. --seg-arch segformer (MiT + all-MLP head) or setr (plain ViT +
+    progressive-upsampling head) — the reference's two harnesses
+    (finetune_segformer.py / finetune_setr.py)."""
     import jax
     import jax.numpy as jnp
     import optax
-    from megatron_clip_tpu.models.mit import MiTCfg, init_mit
     from megatron_clip_tpu.ops.cross_entropy import cross_entropy
     from megatron_clip_tpu.training.optim import make_optimizer, cosine_lr
 
     num_classes = args.num_classes or 21
     ignore = args.ignore_index
-    cfg = MiTCfg(image_size=args.img_size,
-                 dims=tuple(args.seg_dims) if args.seg_dims else
-                 (32, 64, 160, 256),
-                 depths=tuple(args.seg_depths) if args.seg_depths else
-                 (2, 2, 2, 2))
     key = jax.random.PRNGKey(args.seed)
     kb, kh = jax.random.split(key)
-    params = {
-        "backbone": init_mit(kb, cfg, num_classes=0),
-        "head": init_segformer_head(kh, cfg.dims, args.seg_embed_dim,
-                                    num_classes),
-    }
+    if getattr(args, "seg_arch", "segformer") == "setr":
+        from megatron_clip_tpu.config import VisionCfg
+        from megatron_clip_tpu.models.vit import init_vit
+        cfg = VisionCfg(layers=args.num_layers, width=args.hidden_size,
+                        patch_size=args.patch_size,
+                        image_size=args.img_size)
+        params = {
+            "backbone": init_vit(kb, cfg, cfg.width),
+            "head": init_setr_head(kh, cfg.width, args.seg_embed_dim,
+                                   num_classes),
+        }
+        params["backbone"]["proj"] = jnp.eye(cfg.width, dtype=jnp.float32)
+        apply_fn = apply_setr
+    else:
+        from megatron_clip_tpu.models.mit import MiTCfg, init_mit
+        cfg = MiTCfg(image_size=args.img_size,
+                     dims=tuple(args.seg_dims) if args.seg_dims else
+                     (32, 64, 160, 256),
+                     depths=tuple(args.seg_depths) if args.seg_depths else
+                     (2, 2, 2, 2))
+        params = {
+            "backbone": init_mit(kb, cfg, num_classes=0),
+            "head": init_segformer_head(kh, cfg.dims, args.seg_embed_dim,
+                                        num_classes),
+        }
+        apply_fn = apply_segformer
 
     xs, ys = _load_seg_pairs(args.data_dir, args.img_size)
     n = len(xs)
@@ -214,7 +282,7 @@ def run_vision_segment(args):
     @jax.jit
     def step(params, opt, images, masks):
         def lf(p):
-            logits = apply_segformer(p, images, cfg, num_classes)
+            logits = apply_fn(p, images, cfg, num_classes)
             per = cross_entropy(logits.reshape(-1, num_classes),
                                 masks.reshape(-1).clip(0))
             valid = (masks.reshape(-1) != ignore).astype(jnp.float32)
@@ -225,8 +293,7 @@ def run_vision_segment(args):
 
     @jax.jit
     def predict(params, images):
-        return jnp.argmax(apply_segformer(params, images, cfg, num_classes),
-                          -1)
+        return jnp.argmax(apply_fn(params, images, cfg, num_classes), -1)
 
     rng = np.random.RandomState(args.seed)
     loss = None

@@ -67,3 +67,16 @@ def test_vision_segment_learns(seg_folder):
         "--epochs", "6", "--lr", "1e-3", "--seg-embed-dim", "32",
         "--seg-depths", "1", "1", "1", "1"]))
     assert out["miou"] > 0.6, out           # trivially separable halves
+
+
+def test_vision_segment_setr_learns(seg_folder):
+    """--seg-arch setr: plain-ViT encoder + progressive-upsampling head
+    (the reference's finetune_setr.py harness)."""
+    from tasks.main import parse_args, run
+    out = run(parse_args([
+        "--task", "vision-segment", "--seg-arch", "setr",
+        "--data-dir", seg_folder,
+        "--num-classes", "2", "--img-size", "32", "--batch-size", "4",
+        "--epochs", "6", "--lr", "1e-3", "--seg-embed-dim", "32",
+        "--num-layers", "2", "--hidden-size", "64", "--patch-size", "8"]))
+    assert out["miou"] > 0.6, out
