@@ -107,3 +107,18 @@ def test_dino_aux_state_resume(devices8, tmp_path):
     m_res = run(parse_args(common + ["--train-steps", "4", "--save", ck,
                                      "--resume"]))
     np.testing.assert_allclose(m_res["loss"], m_full["loss"], atol=1e-6)
+
+
+def test_gpt_resume_equivalence_nu_bf16(devices8, tmp_path):
+    """Resume-equivalence with the fully-bf16 adam state (adamw_lowbits,
+    --nu-dtype bf16): the lowbits optimizer state must roundtrip through
+    Orbax exactly, incl. the bf16 second moment."""
+    from pretrain_gpt import parse_args, run
+    ck = str(tmp_path / "gpt_ck_nu")
+    extra = ["--nu-dtype", "bf16", "--params-dtype", "bf16"]
+    m_full = run(parse_args(GPT_COMMON + extra + ["--train-steps", "6"]))
+    run(parse_args(GPT_COMMON + extra + ["--train-steps", "3", "--save", ck,
+                                         "--save-interval", "3"]))
+    m_res = run(parse_args(GPT_COMMON + extra + [
+        "--train-steps", "6", "--save", ck, "--resume"]))
+    np.testing.assert_allclose(m_res["loss"], m_full["loss"], atol=1e-6)
