@@ -128,6 +128,11 @@ def load_race_jsonl(path: str, tok, seq_len: int):
 class FinetuneResult:
     train_loss: float
     dev_accuracy: float
+    # dev-set class probabilities/labels for tasks/ensemble_classifier.py
+    # (the reference saves test_predictions.pt per checkpoint dir:
+    # tasks/finetune_utils.py -> tasks/ensemble_classifier.py:14-28)
+    dev_probs: Optional[np.ndarray] = None
+    dev_labels: Optional[np.ndarray] = None
 
 
 def _train_eval(params, cfg, train, dev, *, num_classes, epochs, batch_size,
@@ -156,7 +161,7 @@ def _train_eval(params, cfg, train, dev, *, num_classes, epochs, batch_size,
 
     @jax.jit
     def predict(p, t, ty, pm):
-        return jnp.argmax(logits_fn(p, t, ty, pm), axis=-1)
+        return jax.nn.softmax(logits_fn(p, t, ty, pm), axis=-1)
 
     toks, types, pms, labels = train
     n = len(labels)
@@ -173,15 +178,19 @@ def _train_eval(params, cfg, train, dev, *, num_classes, epochs, batch_size,
                                      jnp.asarray(labels[idx]))
     dt, dty, dpm, dy = dev
     correct = total = 0
+    probs = []
     for lo in range(0, len(dy), batch_size):
         sl = slice(lo, lo + batch_size)
-        pred = np.asarray(predict(params, jnp.asarray(dt[sl]),
-                                  jnp.asarray(dty[sl]),
-                                  jnp.asarray(dpm[sl])))
-        correct += (pred == dy[sl]).sum()
+        pb = np.asarray(predict(params, jnp.asarray(dt[sl]),
+                                jnp.asarray(dty[sl]),
+                                jnp.asarray(dpm[sl])))
+        probs.append(pb)
+        correct += (pb.argmax(-1) == dy[sl]).sum()
         total += len(dy[sl])
+    probs = (np.concatenate(probs) if probs
+             else np.zeros((0, num_classes), np.float32))
     return FinetuneResult(float(loss) if loss is not None else float("nan"),
-                          correct / max(total, 1)), params
+                          correct / max(total, 1), probs, dy), params
 
 
 def run_glue(tok, cfg: BertCfg, train_path: str, dev_path: str, *,

@@ -52,6 +52,12 @@ def parse_args(argv=None):
     p.add_argument("--num-heads", type=int, default=12)
     p.add_argument("--probe-lr", type=float, default=1e-2)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--save-predictions", default="",
+                   help="write dev-set probabilities to this .npz for "
+                        "tasks/ensemble_classifier.py (reference saves "
+                        "test_predictions.pt per checkpoint dir)")
+    p.add_argument("--dataset-name", default="dev",
+                   help="dataset key stored in --save-predictions")
     # --- vision classify/segment (reference tasks/vision) ----------------
     p.add_argument("--img-size", type=int, default=224)
     p.add_argument("--patch-size", type=int, default=16)
@@ -301,6 +307,11 @@ def run(args):
         if args.task == "glue":
             kw["num_classes"] = args.num_classes
         res, _ = fn(tok, cfg, args.train_file, args.dev_file, **kw)
+        if args.save_predictions:
+            import numpy as np
+            np.savez(args.save_predictions, name=args.dataset_name,
+                     probs=res.dev_probs, labels=res.dev_labels,
+                     uid=np.arange(len(res.dev_labels)))
         out = {"train_loss": round(res.train_loss, 4),
                "dev_accuracy": round(res.dev_accuracy, 4)}
         print(out)

@@ -141,3 +141,64 @@ def test_gpt_dataset_split_ranges(tmp_path):
     it = gpt_batch_iterator(prefix, batch_size=2, seq_length=16,
                             split="8,2,0", split_index=1)
     assert {int(t) for t in next(it).ravel()} <= {9, 10}
+
+
+def test_merge_datasets_tool(tmp_path):
+    """tools/merge_datasets.py concatenates .bin/.idx pairs preserving
+    sequences and document boundaries (reference tools/merge_datasets.py)."""
+    shard_dir = tmp_path / "shards"
+    shard_dir.mkdir()
+    docs_a = [[np.arange(5), np.arange(3)], [np.arange(7)]]
+    docs_b = [[np.array([9, 8, 7])]]
+    _write_dataset(shard_dir, docs_a)
+    (shard_dir / "corpus.bin").rename(shard_dir / "a.bin")
+    (shard_dir / "corpus.idx").rename(shard_dir / "a.idx")
+    _write_dataset(shard_dir, docs_b)
+    (shard_dir / "corpus.bin").rename(shard_dir / "b.bin")
+    (shard_dir / "corpus.idx").rename(shard_dir / "b.idx")
+
+    from tools.merge_datasets import main as merge_main
+    out = str(tmp_path / "merged")
+    merge_main(["--input", str(shard_dir), "--output-prefix", out])
+
+    ds = MMapIndexedDataset(out)
+    flat = [s for doc in docs_a + docs_b for s in doc]
+    assert len(ds) == len(flat)
+    for i, ref in enumerate(flat):
+        np.testing.assert_array_equal(ds[i], ref)
+    np.testing.assert_array_equal(ds.doc_idx, [0, 2, 3, 4])
+
+
+def test_preprocess_data_nmt(tmp_path):
+    """One line -> one sequence/document, empty lines dropped, no EOD."""
+    src = tmp_path / "train.en"
+    src.write_text("a photo of a cat\n\na photo of a dog\n")
+    from tools.preprocess_data_nmt import main as nmt_main
+    out = str(tmp_path / "en")
+    nmt_main(["--input", str(src), "--output-prefix", out,
+              "--tokenizer", "clip-bpe"])
+    ds = MMapIndexedDataset(out)
+    assert len(ds) == 2
+    from megatron_clip_tpu.tokenizer import SimpleTokenizer
+    tok = SimpleTokenizer()
+    np.testing.assert_array_equal(ds[0], tok.encode("a photo of a cat"))
+    np.testing.assert_array_equal(ds[1], tok.encode("a photo of a dog"))
+
+
+def test_preprocess_data_megatron_tokenizer(tmp_path):
+    """preprocess_data accepts megatron tokenizer types (reference
+    tools/preprocess_data.py --tokenizer-type BertWordPieceLowerCase)."""
+    vocab = tmp_path / "vocab.txt"
+    vocab.write_text("\n".join(
+        ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]", "a", "cat", "dog"]))
+    src = tmp_path / "corpus.jsonl"
+    src.write_text('{"text": "a cat"}\n{"text": "a dog"}\n')
+    from tools.preprocess_data import main as pp_main
+    out = str(tmp_path / "bert_corpus")
+    pp_main(["--input", str(src), "--output-prefix", out,
+             "--tokenizer", "BertWordPieceLowerCase",
+             "--vocab-file", str(vocab)])
+    ds = MMapIndexedDataset(out)
+    assert len(ds) == 2
+    np.testing.assert_array_equal(ds[0], [5, 6])   # "a cat"
+    np.testing.assert_array_equal(ds[1], [5, 7])   # "a dog"

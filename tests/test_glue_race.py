@@ -68,3 +68,36 @@ def test_race_multichoice_runs(tmp_path, vocab_file):
         "--num-layers", "2", "--hidden-size", "64", "--num-heads", "4"]))
     assert 0.0 <= m["dev_accuracy"] <= 1.0
     assert np.isfinite(m["train_loss"])
+
+
+def test_ensemble_classifier(tmp_path, vocab_file):
+    """Two finetune runs' saved predictions ensemble to at least the worse
+    single-run accuracy (reference tasks/ensemble_classifier.py)."""
+    from tasks.main import parse_args, run
+    train, dev = _glue_files(tmp_path)
+    common = ["--task", "glue", "--train-file", train, "--dev-file", dev,
+              "--vocab-file", vocab_file, "--num-classes", "2",
+              "--seq-len", "16", "--epochs", "8", "--batch-size", "8",
+              "--lr", "3e-4", "--num-layers", "2", "--hidden-size", "64",
+              "--num-heads", "4"]
+    accs = []
+    for seed in (0, 1):
+        npz = str(tmp_path / f"pred{seed}.npz")
+        m = run(parse_args(common + ["--seed", str(seed),
+                                     "--save-predictions", npz,
+                                     "--dataset-name", "kw"]))
+        accs.append(m["dev_accuracy"])
+
+    from tasks.ensemble_classifier import main as ens_main
+    out = ens_main(["--paths", str(tmp_path / "pred0.npz"),
+                    str(tmp_path / "pred1.npz"),
+                    "--eval", "--outdir", str(tmp_path / "ens")])
+    assert out["kw"] >= min(accs) - 1e-6, (out, accs)
+    tsv = (tmp_path / "ens" / "kw" / "predictions.tsv").read_text()
+    assert tsv.startswith("id\tlabel\n")
+    assert len(tsv.strip().split("\n")) == 17  # header + 16 dev rows
+
+    # threshold calibration path (binary)
+    out_t = ens_main(["--paths", str(tmp_path / "pred0.npz"),
+                      "--eval", "--calc-threshold"])
+    assert 0.0 <= out_t["kw"] <= 1.0

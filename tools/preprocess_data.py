@@ -21,7 +21,15 @@ sys.path.insert(0, str(Path(__file__).parent.parent))
 import numpy as np
 
 
-def make_tokenizer(kind: str):
+def make_tokenizer(kind: str, vocab_file=None, merge_file=None,
+                   tokenizer_model=None):
+    """-> (encode(text) -> ids, eod_id).
+
+    kinds: clip-bpe | hf:<name> | any megatron tokenizer type accepted by
+    tokenizer/megatron_tokenizers.py build_tokenizer (GPT2BPETokenizer,
+    BertWordPieceLowerCase/Case, SentencePieceTokenizer, NullTokenizer —
+    reference tools/preprocess_data.py --tokenizer-type choices).
+    """
     if kind == "clip-bpe":
         from megatron_clip_tpu.tokenizer import SimpleTokenizer
         tok = SimpleTokenizer()
@@ -31,15 +39,26 @@ def make_tokenizer(kind: str):
         t = AutoTokenizer.from_pretrained(kind[3:])
         return (lambda s: t(s, add_special_tokens=False)["input_ids"],
                 t.eos_token_id or 0)
-    raise ValueError(f"unknown tokenizer {kind!r} (clip-bpe | hf:<name>)")
+    from megatron_clip_tpu.tokenizer.megatron_tokenizers import build_tokenizer
+    try:
+        tok = build_tokenizer(kind, vocab_file=vocab_file,
+                              merge_file=merge_file,
+                              tokenizer_model=tokenizer_model)
+    except ValueError:
+        raise ValueError(f"unknown tokenizer {kind!r} "
+                         "(clip-bpe | hf:<name> | megatron tokenizer type)")
+    eod = tok.eod if hasattr(tok, "eod") else tok.sep
+    return tok.tokenize, eod
 
 
 _worker_tok = None
 
 
-def _init_worker(kind):
+def _init_worker(kind, vocab_file=None, merge_file=None,
+                 tokenizer_model=None):
     global _worker_tok
-    _worker_tok = make_tokenizer(kind)
+    _worker_tok = make_tokenizer(kind, vocab_file, merge_file,
+                                 tokenizer_model)
 
 
 def _encode(line):
@@ -63,6 +82,9 @@ def main(argv=None):
     p.add_argument("--output-prefix", required=True)
     p.add_argument("--json-key", default="text")
     p.add_argument("--tokenizer", default="clip-bpe")
+    p.add_argument("--vocab-file", default=None)
+    p.add_argument("--merge-file", default=None)
+    p.add_argument("--tokenizer-model", default=None)
     p.add_argument("--append-eod", action="store_true")
     p.add_argument("--workers", type=int, default=1)
     p.add_argument("--log-interval", type=int, default=10000)
@@ -77,12 +99,14 @@ def main(argv=None):
     t0 = time.time()
     n = tokens = 0
     with open(args.input) as f:
+        tok_args = (args.tokenizer, args.vocab_file, args.merge_file,
+                    args.tokenizer_model)
         if args.workers > 1:
             pool = mp.Pool(args.workers, initializer=_init_worker,
-                           initargs=(args.tokenizer,))
+                           initargs=tok_args)
             it = pool.imap(_encode, f, chunksize=32)
         else:
-            _init_worker(args.tokenizer)
+            _init_worker(*tok_args)
             it = map(_encode, f)
         for ids in it:
             if ids is None or len(ids) == 0:
