@@ -78,3 +78,22 @@ def load_checkpoint(root: str, abstract_state: Any,
         with open(meta_path) as f:
             metadata = json.load(f)
     return state, metadata, step
+
+
+def load_params_subtree(root: str, key: str = "params",
+                        step: Optional[int] = None) -> Tuple[Any, int]:
+    """Restore one top-level subtree of a checkpoint without a template —
+    megatron's `--finetune` model-only load (checkpointing.py:525: ignores
+    optimizer/RNG state, resets the iteration counter). The on-disk
+    structure drives the restore, so the source run's optimizer layout
+    (e.g. a different --nu-dtype) doesn't have to match the new run's."""
+    if step is None:
+        step = latest_checkpoint_step(root)
+        if step is None:
+            raise FileNotFoundError(f"no {TRACKER_FILENAME} under {root}")
+    path = os.path.abspath(_iter_dir(root, step))
+    state = _checkpointer().restore(os.path.join(path, "state"))
+    if key not in state:
+        raise KeyError(f"checkpoint at {path} has no {key!r} subtree "
+                       f"(keys: {list(state)})")
+    return state[key], step

@@ -62,10 +62,16 @@ class RuntimeCfg:
     cp: int = 1
     num_microbatches: int = 1
     tokens_per_sample: int = 0   # >0: log tok/s alongside samples/s
-    # checkpointing (megatron --save/--save-interval/--load)
+    # checkpointing (megatron --save/--save-interval/--load/--finetune)
     save: Optional[str] = None
     save_interval: int = 0
     resume: bool = False
+    # --load: initialize from a checkpoint under a DIFFERENT root than
+    # --save (megatron checkpointing.py --load). Plain --load continues the
+    # run (optimizer state + iteration restored); with --finetune only the
+    # params load and the iteration resets to 0 (checkpointing.py:525).
+    load: Optional[str] = None
+    finetune: bool = False
     # eval (megatron --eval-interval/--eval-iters)
     eval_interval: int = 0
     eval_iters: int = 10
@@ -99,6 +105,13 @@ def add_runtime_args(p, *, lr: float = 1e-4, weight_decay: float = 0.01,
     p.add_argument("--save-interval", type=int, default=0)
     p.add_argument("--resume", action="store_true",
                    help="resume from the latest checkpoint under --save")
+    p.add_argument("--load", type=str, default=None,
+                   help="initialize from a checkpoint root distinct from "
+                        "--save (megatron --load); continues optimizer "
+                        "state + iteration unless --finetune")
+    p.add_argument("--finetune", action="store_true",
+                   help="with --load: restore model params only and reset "
+                        "the iteration/optimizer (megatron --finetune)")
     p.add_argument("--eval-interval", type=int, default=0)
     p.add_argument("--eval-iters", type=int, default=10)
     p.add_argument("--nu-dtype", choices=["fp32", "bf16"], default="fp32",
@@ -120,7 +133,9 @@ def runtime_cfg_from_args(args, name: str) -> RuntimeCfg:
         cp=getattr(args, "context_parallel_size", 1),
         num_microbatches=args.num_microbatches,
         save=args.save, save_interval=args.save_interval,
-        resume=args.resume, eval_interval=args.eval_interval,
+        resume=args.resume, load=getattr(args, "load", None),
+        finetune=getattr(args, "finetune", False),
+        eval_interval=args.eval_interval,
         eval_iters=args.eval_iters, seed=args.seed, name=name,
         nu_dtype=None if getattr(args, "nu_dtype", "fp32") == "fp32"
         else args.nu_dtype)
@@ -263,6 +278,28 @@ def run_workload(params, loss_fn: Callable, batch_iter: Iterator,
         print(f"[{rc.name}] resumed from {rc.save} @ step {start_step} "
               f"(consumed_samples={meta.get('consumed_samples', 0)})",
               flush=True)
+    elif rc.load:
+        if rc.finetune:
+            from megatron_clip_tpu.checkpoints import load_params_subtree
+            loaded, from_step = load_params_subtree(rc.load)
+            if jax.tree.structure(loaded) != jax.tree.structure(params):
+                raise ValueError(f"--finetune params from {rc.load} do not "
+                                 "match this model's parameter tree")
+            params = jax.tree.map(
+                lambda v, p: jax.device_put(
+                    jnp.asarray(v, dtype=p.dtype),
+                    p.sharding if isinstance(p, jax.Array) else None),
+                loaded, params)
+            opt_state = tx.init(params)
+            print(f"[{rc.name}] finetune init: params from {rc.load} "
+                  f"@ step {from_step} (optimizer/iteration reset)",
+                  flush=True)
+        else:
+            tree, meta, start_step = load_checkpoint(rc.load, _ckpt_state())
+            params, opt_state = tree["params"], tree["opt_state"]
+            aux = tree.get("aux", aux)
+            print(f"[{rc.name}] loaded {rc.load} @ step {start_step} "
+                  f"(continuing; saving to {rc.save})", flush=True)
 
     if callable(batch_iter):
         batch_iter = batch_iter(start_step)     # seekable factory: O(1)

@@ -200,7 +200,7 @@ def run(args):
                        param_specs=specs, use_rng=use_dropout,
                        val_iter_factory=val_batches,
                        eval_loss_fn=lambda p, b: loss_fn(p, b, None))
-    return {"loss": out["loss"]}
+    return {"loss": out["loss"], "history": out["history"]}
 
 
 if __name__ == "__main__":

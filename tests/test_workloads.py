@@ -122,3 +122,32 @@ def test_gpt_resume_equivalence_nu_bf16(devices8, tmp_path):
     m_res = run(parse_args(GPT_COMMON + extra + [
         "--train-steps", "6", "--save", ck, "--resume"]))
     np.testing.assert_allclose(m_res["loss"], m_full["loss"], atol=1e-6)
+
+
+def test_gpt_load_finetune_semantics(devices8, tmp_path):
+    """megatron --load/--finetune: plain --load continues the run from a
+    different root (== resume trajectory); --load --finetune restores
+    params only and starts a fresh schedule at step 0."""
+    from pretrain_gpt import parse_args, run
+    src = str(tmp_path / "src_ck")
+    m_full = run(parse_args(GPT_COMMON + ["--train-steps", "6"]))
+    run(parse_args(GPT_COMMON + ["--train-steps", "3", "--save", src,
+                                 "--save-interval", "3"]))
+
+    # plain --load from src, saving elsewhere: identical to in-place resume
+    dst = str(tmp_path / "dst_ck")
+    m_cont = run(parse_args(GPT_COMMON + ["--train-steps", "6",
+                                          "--load", src, "--save", dst]))
+    np.testing.assert_allclose(m_cont["loss"], m_full["loss"], atol=1e-6)
+
+    # --finetune: params-only init — runs steps 1..2 (fresh iteration) and
+    # diverges from the continued trajectory (fresh optimizer/schedule)
+    m_ft = run(parse_args(GPT_COMMON + ["--train-steps", "2",
+                                        "--load", src, "--finetune"]))
+    assert np.isfinite(m_ft["loss"])
+    assert len(m_ft["history"]) == 2, m_ft["history"]
+
+    # the finetune init really took the checkpoint params: step-1 loss from
+    # the loaded params differs from a from-scratch step-1 loss
+    m_scratch = run(parse_args(GPT_COMMON + ["--train-steps", "2"]))
+    assert abs(m_ft["history"][0][1] - m_scratch["history"][0][1]) > 1e-4
