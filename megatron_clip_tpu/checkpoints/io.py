@@ -80,6 +80,21 @@ def load_checkpoint(root: str, abstract_state: Any,
     return state, metadata, step
 
 
+def load_checkpoint_metadata(root: str, step: Optional[int] = None) -> dict:
+    """Read only metadata.json of a checkpoint (no array restore) — backs
+    `--use-checkpoint-args` (megatron checkpointing.py:441
+    load_args_from_checkpoint reads the args pickle without the model)."""
+    if step is None:
+        step = latest_checkpoint_step(root)
+        if step is None:
+            raise FileNotFoundError(f"no {TRACKER_FILENAME} under {root}")
+    meta_path = os.path.join(_iter_dir(root, step), "metadata.json")
+    if not os.path.isfile(meta_path):
+        return {}
+    with open(meta_path) as f:
+        return json.load(f)
+
+
 def load_params_subtree(root: str, key: str = "params",
                         step: Optional[int] = None) -> Tuple[Any, int]:
     """Restore one top-level subtree of a checkpoint without a template —

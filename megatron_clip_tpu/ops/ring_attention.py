@@ -27,7 +27,11 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
 
-NEG_INF = jnp.float32(-1e30)
+# Python float, NOT jnp.float32(...): a module-level concrete array becomes
+# a captured ArrayImpl const in every trace that uses ring attention, and
+# jax 0.9's fastpath mishandles hoisted consts across multiple pipelined
+# runs in one process (see workload.py _step docstring)
+NEG_INF = -1e30
 
 
 def contiguous_positions(rank, sloc):

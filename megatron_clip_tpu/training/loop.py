@@ -203,6 +203,7 @@ def run_training(args) -> dict:
 
     step = start_step
     t_window = time.perf_counter()
+    run_t0 = t_window
     window_samples = 0
     nan_iters = 0  # NaN surveillance (megatron training.py:527-539)
     final_metrics = {}
@@ -262,6 +263,19 @@ def run_training(args) -> dict:
                 if save_root:
                     runner.save(save_root, step, consumed)
                     _log(f"SIGTERM: saved checkpoint @ step {step}, exiting")
+                if prev_handler is not None:
+                    signal.signal(signal.SIGTERM, prev_handler)
+                _finish()
+                return final_metrics
+            if args.exit_duration_in_mins is not None and \
+                    time.perf_counter() - run_t0 > \
+                    args.exit_duration_in_mins * 60:
+                # megatron --exit-duration-in-mins: save-then-exit on a
+                # wall-clock budget (training.py:829-851)
+                if save_root:
+                    runner.save(save_root, step, consumed)
+                _log(f"exiting at step {step}: --exit-duration-in-mins "
+                     f"{args.exit_duration_in_mins} budget reached")
                 if prev_handler is not None:
                     signal.signal(signal.SIGTERM, prev_handler)
                 _finish()

@@ -125,6 +125,40 @@ def cosine_lr(base_lr: float, warmup: int, total_steps: int,
     return schedule
 
 
+def megatron_lr(base_lr: float, warmup: int, total_steps: int, *,
+                decay_style: str = "cosine", min_lr: float = 0.0,
+                decay_steps: int = None) -> Callable[[int], float]:
+    """megatron OptimizerParamScheduler.get_lr semantics
+    (megatron/optimizer_param_scheduler.py): linear warmup, then
+    constant | linear | cosine | inverse-square-root decay to min_lr over
+    `decay_steps` (--lr-decay-iters; defaults to the full run)."""
+    decay_steps = decay_steps or total_steps
+    span = max(decay_steps - warmup, 1)
+
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        warm = base_lr * (step + 1) / max(warmup, 1)
+        prog = jnp.clip((step - warmup) / span, 0.0, 1.0)
+        if decay_style == "constant":
+            dec = jnp.full_like(prog, base_lr)
+        elif decay_style == "linear":
+            dec = min_lr + (base_lr - min_lr) * (1.0 - prog)
+        elif decay_style == "cosine":
+            dec = min_lr + 0.5 * (base_lr - min_lr) * \
+                (1 + jnp.cos(jnp.pi * prog))
+        elif decay_style == "inverse-square-root":
+            # lr = max_lr * sqrt(warmup) / sqrt(step), floored at min_lr
+            dec = jnp.maximum(
+                min_lr,
+                base_lr * jnp.sqrt(float(max(warmup, 1)))
+                / jnp.sqrt(jnp.maximum(step, 1.0)))
+            dec = jnp.minimum(dec, base_lr)
+        else:
+            raise ValueError(f"unknown lr decay style {decay_style!r}")
+        return jnp.where(step < warmup, warm, dec)
+    return schedule
+
+
 def const_lr(base_lr: float, warmup: int) -> Callable[[int], float]:
     def schedule(step):
         step = jnp.asarray(step, jnp.float32)

@@ -139,6 +139,10 @@ def parse_args(args=None):
                    help="seconds between background syncs")
     p.add_argument("--exit-interval", type=int, default=None,
                    help="stop after N steps total (megatron --exit-interval)")
+    p.add_argument("--exit-duration-in-mins", type=float, default=None,
+                   help="save (if --save set) and stop after this much "
+                        "wall-clock (megatron --exit-duration-in-mins, "
+                        "training.py:829-851)")
 
     # --- eval ----------------------------------------------------------------
     p.add_argument("--val-frequency", type=int, default=1)

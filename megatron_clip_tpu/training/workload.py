@@ -51,6 +51,11 @@ class RuntimeCfg:
     batch_size: int
     lr: float = 1e-4
     warmup: int = 10
+    # megatron --lr-decay-style/--min-lr/--lr-decay-iters
+    # (optimizer_param_scheduler.py)
+    lr_decay_style: str = "cosine"
+    min_lr: float = 0.0
+    lr_decay_iters: Optional[int] = None
     weight_decay: float = 0.01
     grad_clip_norm: float = 1.0
     log_interval: int = 5
@@ -75,6 +80,9 @@ class RuntimeCfg:
     # eval (megatron --eval-interval/--eval-iters)
     eval_interval: int = 0
     eval_iters: int = 10
+    # time-budget exit (megatron --exit-duration-in-mins,
+    # training.py:829-851: save a checkpoint, then stop cleanly)
+    exit_duration_mins: Optional[float] = None
     seed: int = 0
     name: str = "train"
     beta2: float = 0.999
@@ -90,8 +98,19 @@ def add_runtime_args(p, *, lr: float = 1e-4, weight_decay: float = 0.01,
     """Attach the shared runtime flags to an entry's argparse parser."""
     p.add_argument("--batch-size", type=int, default=batch_size)
     p.add_argument("--train-steps", type=int, default=20)
+    p.add_argument("--train-samples", type=int, default=None,
+                   help="run length in samples instead of steps (megatron "
+                        "--train-samples; converted to "
+                        "ceil(samples/batch-size) steps)")
     p.add_argument("--lr", type=float, default=lr)
     p.add_argument("--warmup", type=int, default=warmup)
+    p.add_argument("--lr-decay-style",
+                   choices=["constant", "linear", "cosine",
+                            "inverse-square-root"], default="cosine",
+                   help="megatron --lr-decay-style")
+    p.add_argument("--min-lr", type=float, default=0.0)
+    p.add_argument("--lr-decay-iters", type=int, default=None,
+                   help="decay horizon in steps (defaults to --train-steps)")
     p.add_argument("--weight-decay", type=float, default=weight_decay)
     p.add_argument("--grad-clip-norm", type=float, default=1.0)
     p.add_argument("--log-interval", type=int, default=5)
@@ -114,6 +133,14 @@ def add_runtime_args(p, *, lr: float = 1e-4, weight_decay: float = 0.01,
                         "the iteration/optimizer (megatron --finetune)")
     p.add_argument("--eval-interval", type=int, default=0)
     p.add_argument("--eval-iters", type=int, default=10)
+    p.add_argument("--exit-duration-in-mins", type=float, default=None,
+                   help="stop (after saving, if --save) once this much "
+                        "wall-clock has elapsed (megatron "
+                        "--exit-duration-in-mins)")
+    p.add_argument("--use-checkpoint-args", action="store_true",
+                   help="override model-architecture flags from the "
+                        "checkpoint being loaded (megatron "
+                        "checkpointing.py:441 load_args_from_checkpoint)")
     p.add_argument("--nu-dtype", choices=["fp32", "bf16"], default="fp32",
                    help="adam second-moment storage; bf16 = fully-bf16 "
                         "optimizer state (fits 1.3b-class models on one "
@@ -123,9 +150,16 @@ def add_runtime_args(p, *, lr: float = 1e-4, weight_decay: float = 0.01,
 
 
 def runtime_cfg_from_args(args, name: str) -> RuntimeCfg:
+    steps = args.train_steps
+    if getattr(args, "train_samples", None):
+        steps = -(-args.train_samples // args.batch_size)
     return RuntimeCfg(
-        train_steps=args.train_steps, batch_size=args.batch_size,
-        lr=args.lr, warmup=args.warmup, weight_decay=args.weight_decay,
+        train_steps=steps, batch_size=args.batch_size,
+        lr=args.lr, warmup=args.warmup,
+        lr_decay_style=getattr(args, "lr_decay_style", "cosine"),
+        min_lr=getattr(args, "min_lr", 0.0),
+        lr_decay_iters=getattr(args, "lr_decay_iters", None),
+        weight_decay=args.weight_decay,
         grad_clip_norm=args.grad_clip_norm, log_interval=args.log_interval,
         tp=args.tensor_model_parallel_size, fsdp=args.fsdp_parallel_size,
         pp=args.pipeline_model_parallel_size,
@@ -136,9 +170,70 @@ def runtime_cfg_from_args(args, name: str) -> RuntimeCfg:
         resume=args.resume, load=getattr(args, "load", None),
         finetune=getattr(args, "finetune", False),
         eval_interval=args.eval_interval,
-        eval_iters=args.eval_iters, seed=args.seed, name=name,
+        eval_iters=args.eval_iters,
+        exit_duration_mins=getattr(args, "exit_duration_in_mins", None),
+        seed=args.seed, name=name,
         nu_dtype=None if getattr(args, "nu_dtype", "fp32") == "fp32"
         else args.nu_dtype)
+
+
+# flags that describe the RUN, not the model: --use-checkpoint-args must
+# not clobber these (megatron's load_args_from_checkpoint likewise only
+# restores architecture/tokenizer args, checkpointing.py:441-524; parallel
+# sizes are excluded here — unlike rank-file checkpoints, Orbax global
+# arrays reshard freely, so the new run's layout flags win)
+_RUN_ARG_KEYS = frozenset({
+    "batch_size", "train_steps", "train_samples", "lr", "warmup",
+    "lr_decay_style",
+    "min_lr", "lr_decay_iters", "weight_decay",
+    "grad_clip_norm", "log_interval", "tensor_model_parallel_size",
+    "fsdp_parallel_size", "pipeline_model_parallel_size",
+    "virtual_pipeline_parallel_size", "num_microbatches",
+    "context_parallel_size", "save", "save_interval", "resume", "load",
+    "finetune", "eval_interval", "eval_iters", "exit_duration_in_mins",
+    "use_checkpoint_args", "seed", "nu_dtype", "data_path", "split",
+    "recompute_granularity",
+})
+
+
+def maybe_apply_checkpoint_args(args):
+    """megatron --use-checkpoint-args (checkpointing.py:441-524): override
+    the namespace's model-architecture flags from the metadata of the
+    checkpoint about to be loaded (--load, or --save when --resume).
+    Call before building the model config."""
+    if not getattr(args, "use_checkpoint_args", False):
+        return args
+    from megatron_clip_tpu.checkpoints import (
+        load_checkpoint_metadata, latest_checkpoint_step)
+    root = getattr(args, "load", None) or \
+        (args.save if getattr(args, "resume", False) else None)
+    if not root or latest_checkpoint_step(root) is None:
+        raise SystemExit("--use-checkpoint-args needs a checkpoint to read "
+                         "args from (--load PATH, or --resume with --save)")
+    stored = load_checkpoint_metadata(root).get("args")
+    if stored is None:
+        raise SystemExit(f"checkpoint under {root} was saved without an "
+                         "args record; cannot --use-checkpoint-args")
+    applied = {}
+    for k, v in stored.items():
+        if k in _RUN_ARG_KEYS or not hasattr(args, k):
+            continue
+        if getattr(args, k) != v:
+            applied[k] = (getattr(args, k), v)
+            setattr(args, k, v)
+    if applied:
+        print("[use-checkpoint-args] overriding from checkpoint: " +
+              ", ".join(f"{k}: {old!r} -> {new!r}"
+                        for k, (old, new) in applied.items()), flush=True)
+    return args
+
+
+def _json_safe_args(args) -> dict:
+    out = {}
+    for k, v in vars(args).items():
+        if isinstance(v, (str, int, float, bool)) or v is None:
+            out[k] = v
+    return out
 
 
 def build_workload_mesh(rc: RuntimeCfg):
@@ -169,7 +264,8 @@ def run_workload(params, loss_fn: Callable, batch_iter: Iterator,
                  use_rng: bool = False, post_step: Callable = None,
                  val_iter_factory: Callable = None,
                  eval_loss_fn: Callable = None,
-                 aux_state: Any = None, aux_update: Callable = None) -> dict:
+                 aux_state: Any = None, aux_update: Callable = None,
+                 args_ns=None) -> dict:
     """Train `loss_fn(params, batch, rng) -> scalar` for rc.train_steps.
 
     `aux_state`/`aux_update`: non-gradient training state (e.g. DINO's EMA
@@ -193,7 +289,11 @@ def run_workload(params, loss_fn: Callable, batch_iter: Iterator,
     from megatron_clip_tpu.checkpoints import (
         save_checkpoint, load_checkpoint, latest_checkpoint_step)
 
-    tx = make_optimizer(params, cosine_lr(rc.lr, rc.warmup, rc.train_steps),
+    from megatron_clip_tpu.training.optim import megatron_lr
+    tx = make_optimizer(params, megatron_lr(rc.lr, rc.warmup, rc.train_steps,
+                                            decay_style=rc.lr_decay_style,
+                                            min_lr=rc.min_lr,
+                                            decay_steps=rc.lr_decay_iters),
                         weight_decay=rc.weight_decay,
                         grad_clip_norm=rc.grad_clip_norm, beta2=rc.beta2,
                         eps=rc.eps,
@@ -207,7 +307,11 @@ def run_workload(params, loss_fn: Callable, batch_iter: Iterator,
 
     base_rng = jax.random.PRNGKey(rc.seed + 1)
 
-    def _step(params, opt_state, aux, batch, step_idx):
+    # base_rng is an explicit argument, NOT a closure constant: a captured
+    # live ArrayImpl const in a donated step breaks jax 0.9's C++ fastpath
+    # on the second pipelined run in a process ("Execution supplied N
+    # buffers but compiled program expected N+4")
+    def _step(params, opt_state, aux, batch, step_idx, base_rng):
         rng = jax.random.fold_in(base_rng, step_idx) if use_rng else None
         if aux_update is not None:
             (loss, loss_aux), grads = jax.value_and_grad(
@@ -270,6 +374,14 @@ def run_workload(params, loss_fn: Callable, batch_iter: Iterator,
             s["aux"] = aux
         return s
 
+    def _meta(i):
+        m = {"consumed_samples": i * rc.batch_size}
+        if args_ns is not None:
+            # args record backing --use-checkpoint-args (megatron saves the
+            # full args namespace in the rank file, checkpointing.py:215)
+            m["args"] = _json_safe_args(args_ns)
+        return m
+
     start_step = 0
     if rc.resume and rc.save and latest_checkpoint_step(rc.save) is not None:
         tree, meta, start_step = load_checkpoint(rc.save, _ckpt_state())
@@ -311,13 +423,17 @@ def run_workload(params, loss_fn: Callable, batch_iter: Iterator,
     mesh_ctx = jax.sharding.set_mesh(mesh) if mesh is not None \
         else contextlib.nullcontext()
     t0 = time.perf_counter()
+    run_t0 = t0
     loss = None
     history = []
+    last_step, exited_early = start_step, False
     with mesh_ctx:
         for i in range(start_step + 1, rc.train_steps + 1):
             batch = jax.tree.map(jnp.asarray, next(batch_iter))
             params, opt_state, aux, loss = step(params, opt_state, aux,
-                                                batch, jnp.int32(i))
+                                                batch, jnp.int32(i),
+                                                base_rng)
+            last_step = i
             if i % rc.log_interval == 0 or i == rc.train_steps:
                 l = float(loss)
                 history.append((i, l))
@@ -330,8 +446,7 @@ def run_workload(params, loss_fn: Callable, batch_iter: Iterator,
                       flush=True)
                 t0 = time.perf_counter()
             if rc.save and rc.save_interval and i % rc.save_interval == 0:
-                save_checkpoint(rc.save, i, _ckpt_state(),
-                                {"consumed_samples": i * rc.batch_size})
+                save_checkpoint(rc.save, i, _ckpt_state(), _meta(i))
             if (rc.eval_interval and eval_step is not None
                     and i % rc.eval_interval == 0):
                 vals = []
@@ -341,11 +456,23 @@ def run_workload(params, loss_fn: Callable, batch_iter: Iterator,
                         params, jax.tree.map(jnp.asarray, next(vit)))))
                 print(f"[{rc.name}] eval @ {i}: "
                       f"val loss {np.mean(vals):.4f}", flush=True)
-        if rc.save and (not rc.save_interval
-                        or rc.train_steps % rc.save_interval != 0) \
-                and rc.train_steps > start_step:
-            save_checkpoint(rc.save, rc.train_steps, _ckpt_state(),
-                            {"consumed_samples":
-                             rc.train_steps * rc.batch_size})
+            if rc.exit_duration_mins is not None and \
+                    time.perf_counter() - run_t0 > rc.exit_duration_mins * 60:
+                # megatron --exit-duration-in-mins (training.py:829-851):
+                # save first, then stop cleanly mid-run
+                if rc.save and (not rc.save_interval
+                                or i % rc.save_interval != 0):
+                    save_checkpoint(rc.save, i, _ckpt_state(), _meta(i))
+                print(f"[{rc.name}] exiting at step {i}: "
+                      f"--exit-duration-in-mins {rc.exit_duration_mins} "
+                      "budget reached", flush=True)
+                exited_early = True
+                break
+        if rc.save and not exited_early \
+                and (not rc.save_interval
+                     or last_step % rc.save_interval != 0) \
+                and last_step > start_step:
+            save_checkpoint(rc.save, last_step, _ckpt_state(),
+                            _meta(last_step))
     return {"loss": float(loss) if loss is not None else None,
             "params": params, "aux": aux, "history": history}

@@ -39,6 +39,9 @@ def parse_args(argv=None):
 
 
 def run(args):
+    from megatron_clip_tpu.training.workload import \
+        maybe_apply_checkpoint_args
+    args = maybe_apply_checkpoint_args(args)
     from megatron_clip_tpu.models.bert import (
         BertCfg, init_bert, bert_loss, make_bert_masking)
     from megatron_clip_tpu.parallel.sharding import generic_param_specs
@@ -125,7 +128,7 @@ def run(args):
                        # real data: the --split valid doc range; synthetic:
                        # a held-out seeded stream
                        val_iter_factory=lambda: masked_batches(
-                           args.seed + 7919, split_index=1))
+                           args.seed + 7919, split_index=1), args_ns=args)
     return {"loss": out["loss"]}
 
 

@@ -86,6 +86,9 @@ def parse_args(argv=None):
 
 
 def run(args):
+    from megatron_clip_tpu.training.workload import \
+        maybe_apply_checkpoint_args
+    args = maybe_apply_checkpoint_args(args)
     from megatron_clip_tpu.models.gpt import (
         GPTCfg, init_gpt, gpt_loss, gpt_param_specs)
     from megatron_clip_tpu.parallel.mesh import STAGE
@@ -199,7 +202,7 @@ def run(args):
     out = run_workload(params, loss_fn, batches, rc, mesh=mesh,
                        param_specs=specs, use_rng=use_dropout,
                        val_iter_factory=val_batches,
-                       eval_loss_fn=lambda p, b: loss_fn(p, b, None))
+                       eval_loss_fn=lambda p, b: loss_fn(p, b, None), args_ns=args)
     return {"loss": out["loss"], "history": out["history"]}
 
 

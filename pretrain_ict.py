@@ -35,6 +35,9 @@ def parse_args(argv=None):
 
 
 def run(args):
+    from megatron_clip_tpu.training.workload import \
+        maybe_apply_checkpoint_args
+    args = maybe_apply_checkpoint_args(args)
     from megatron_clip_tpu.models.bert import BertCfg
     from megatron_clip_tpu.models.biencoder import (
         BiencoderCfg, init_biencoder, ict_loss)
@@ -104,7 +107,7 @@ def run(args):
     out = run_workload(params, loss_fn, batches(), rc, mesh=mesh,
                        param_specs=specs,
                        val_iter_factory=lambda: batches(args.seed + 7919,
-                                                        split_index=1))
+                                                        split_index=1), args_ns=args)
     return {"loss": out["loss"]}
 
 

@@ -36,6 +36,9 @@ def parse_args(argv=None):
 
 
 def run(args):
+    from megatron_clip_tpu.training.workload import \
+        maybe_apply_checkpoint_args
+    args = maybe_apply_checkpoint_args(args)
     from megatron_clip_tpu.models.gpt import GPTCfg
     from megatron_clip_tpu.models.retro import (
         RetroCfg, init_retro, retro_loss)
@@ -110,7 +113,7 @@ def run(args):
 
     out = run_workload(params, loss_fn, batches(), rc, mesh=mesh,
                        param_specs=specs,
-                       val_iter_factory=lambda: batches(args.seed + 7919))
+                       val_iter_factory=lambda: batches(args.seed + 7919), args_ns=args)
     return {"loss": out["loss"]}
 
 

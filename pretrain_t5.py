@@ -66,6 +66,9 @@ def span_corrupt(rng, tokens, vocab_size, sentinel_base, noise=0.15,
 
 
 def run(args):
+    from megatron_clip_tpu.training.workload import \
+        maybe_apply_checkpoint_args
+    args = maybe_apply_checkpoint_args(args)
     from megatron_clip_tpu.models.t5 import T5Cfg, init_t5, t5_loss
     from megatron_clip_tpu.parallel.sharding import generic_param_specs
     from megatron_clip_tpu.training.workload import (
@@ -143,7 +146,7 @@ def run(args):
                        # real data: --split valid doc range; synthetic: a
                        # held-out seeded stream
                        val_iter_factory=lambda: batches(
-                           seed=args.seed + 7919, split_index=1))
+                           seed=args.seed + 7919, split_index=1), args_ns=args)
     return {"loss": out["loss"]}
 
 

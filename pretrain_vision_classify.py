@@ -29,6 +29,9 @@ def parse_args(argv=None):
 
 
 def run(args):
+    from megatron_clip_tpu.training.workload import \
+        maybe_apply_checkpoint_args
+    args = maybe_apply_checkpoint_args(args)
     from megatron_clip_tpu.config import VisionCfg
     from megatron_clip_tpu.models.vision_classify import (
         init_vit_classifier, classification_loss)
@@ -100,7 +103,7 @@ def run(args):
                                    layers_fn=layers_fn)
 
     out = run_workload(params, loss_fn, batches(), rc, mesh=mesh,
-                       param_specs=specs, val_iter_factory=val_factory)
+                       param_specs=specs, val_iter_factory=val_factory, args_ns=args)
     return {"loss": out["loss"]}
 
 

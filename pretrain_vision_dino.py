@@ -27,6 +27,9 @@ def parse_args(argv=None):
 
 
 def run(args):
+    from megatron_clip_tpu.training.workload import \
+        maybe_apply_checkpoint_args
+    args = maybe_apply_checkpoint_args(args)
     from megatron_clip_tpu.config import VisionCfg
     from megatron_clip_tpu.models.vision_classify import (
         DinoCfg, init_dino, dino_loss, dino_update_teacher)
@@ -84,7 +87,7 @@ def run(args):
 
     out = run_workload(student, loss_fn, batches(), rc, mesh=mesh,
                        param_specs=specs, aux_state=aux,
-                       aux_update=aux_update)
+                       aux_update=aux_update, args_ns=args)
     return {"loss": out["loss"]}
 
 

@@ -26,6 +26,9 @@ def parse_args(argv=None):
 
 
 def run(args):
+    from megatron_clip_tpu.training.workload import \
+        maybe_apply_checkpoint_args
+    args = maybe_apply_checkpoint_args(args)
     from megatron_clip_tpu.config import VisionCfg
     from megatron_clip_tpu.models.inpaint import (
         init_inpaint, inpaint_loss, random_patch_mask)
@@ -78,7 +81,7 @@ def run(args):
                        param_specs=specs,
                        val_iter_factory=(None if args.data_dir else
                                          lambda: masked_batches(
-                                             args.seed + 7919)))
+                                             args.seed + 7919)), args_ns=args)
     return {"loss": out["loss"]}
 
 

@@ -151,3 +151,78 @@ def test_gpt_load_finetune_semantics(devices8, tmp_path):
     # the loaded params differs from a from-scratch step-1 loss
     m_scratch = run(parse_args(GPT_COMMON + ["--train-steps", "2"]))
     assert abs(m_ft["history"][0][1] - m_scratch["history"][0][1]) > 1e-4
+
+
+def test_gpt_use_checkpoint_args(devices8, tmp_path):
+    """megatron --use-checkpoint-args (checkpointing.py:441): architecture
+    flags come from the checkpoint's args record; runtime flags (steps, lr,
+    parallel sizes) stay from the CLI. Wrong CLI arch flags + the flag ==
+    the correctly-specified continuation."""
+    from pretrain_gpt import parse_args, run
+    src = str(tmp_path / "uca_ck")
+    arch = ["--num-layers", "2", "--hidden-size", "64", "--num-heads", "4",
+            "--position-embedding", "rope", "--swiglu",
+            "--normalization", "rmsnorm"]
+    common = ["--seq-length", "32", "--vocab-size", "256", "--batch-size",
+              "8", "--log-interval", "1", "--precision", "fp32",
+              "--seed", "3"]
+    m_full = run(parse_args(arch + common + ["--train-steps", "6"]))
+    run(parse_args(arch + common + ["--train-steps", "3", "--save", src,
+                                    "--save-interval", "3"]))
+    # resume specifying NO arch flags (wrong defaults) + --use-checkpoint-args
+    m_res = run(parse_args(common + ["--train-steps", "6", "--save", src,
+                                     "--resume", "--use-checkpoint-args"]))
+    np.testing.assert_allclose(m_res["loss"], m_full["loss"], atol=1e-6)
+
+    # without a checkpoint to read from it refuses, like megatron's assert
+    with pytest.raises(SystemExit):
+        run(parse_args(common + ["--train-steps", "1",
+                                 "--use-checkpoint-args"]))
+
+
+def test_exit_duration_saves_and_stops(devices8, tmp_path):
+    """--exit-duration-in-mins: a zero budget stops after the first step,
+    having saved a checkpoint there (megatron training.py:829-851
+    save-then-exit semantics)."""
+    from pretrain_gpt import parse_args, run
+    from megatron_clip_tpu.checkpoints import latest_checkpoint_step
+    ck = str(tmp_path / "exit_ck")
+    m = run(parse_args(GPT_COMMON + [
+        "--train-steps", "50", "--save", ck,
+        "--exit-duration-in-mins", "0"]))
+    assert latest_checkpoint_step(ck) == 1
+    assert len(m["history"]) == 1  # only step 1 ran
+
+
+def test_gpt_three_axis_parity(devices8):
+    """tp2 x pp2 x cp2 composed in one program == pure-dp run on the same
+    synthetic stream (each axis has its own parity test; this pins the
+    composition — the combo megatron's scheduler serves via TE/CP groups)."""
+    from pretrain_gpt import parse_args, run
+    common = ["--num-layers", "4", "--hidden-size", "64", "--num-heads", "4",
+              "--seq-length", "64", "--vocab-size", "256", "--batch-size",
+              "8", "--train-steps", "2", "--warmup", "1", "--precision",
+              "fp32", "--log-interval", "1", "--position-embedding", "rope",
+              "--seed", "11"]
+    m_combo = run(parse_args(common + [
+        "--tensor-model-parallel-size", "2",
+        "--pipeline-model-parallel-size", "2", "--num-microbatches", "2",
+        "--context-parallel-size", "2"]))
+    m_dp = run(parse_args(common))
+    np.testing.assert_allclose(m_combo["loss"], m_dp["loss"], atol=2e-3)
+
+
+def test_gpt_three_axis_with_moe_and_dropout(devices8):
+    """The same 3-axis mesh also composes with MoE + hidden dropout (attn
+    dropout under CP is a documented clean rejection)."""
+    from pretrain_gpt import parse_args, run
+    m = run(parse_args([
+        "--num-layers", "4", "--hidden-size", "64", "--num-heads", "4",
+        "--seq-length", "64", "--vocab-size", "256", "--batch-size", "8",
+        "--train-steps", "2", "--warmup", "1", "--precision", "fp32",
+        "--log-interval", "1", "--position-embedding", "rope",
+        "--tensor-model-parallel-size", "2",
+        "--pipeline-model-parallel-size", "2", "--num-microbatches", "2",
+        "--context-parallel-size", "2", "--hidden-dropout", "0.1",
+        "--num-experts", "2"]))
+    assert np.isfinite(m["loss"])
