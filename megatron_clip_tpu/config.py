@@ -61,6 +61,10 @@ class TransformerCfg:
     use_bias: bool = True    # linear biases (megatron --disable-bias-linear)
     rope: bool = False       # rotary embeddings (megatron --use-rotary-position-embeddings)
     rope_theta: float = 10000.0
+    rotary_percent: float = 1.0  # rotate only the first D*percent channels
+                                 # (megatron --rotary-percent)
+    rope_interpolation: Optional[float] = None  # divide positions (megatron
+                                 # --rotary-seq-len-interpolation-factor)
     kv_heads: Optional[int] = None  # grouped-query attention (megatron --group-query-attention)
     num_experts: int = 0     # >0: SwitchMLP MoE (megatron --num-experts)
     moe_capacity_factor: float = 1.25

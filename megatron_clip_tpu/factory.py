@@ -103,6 +103,16 @@ _BUILTIN["test-tiny"] = {
 }
 
 # CoCa variants
+_BUILTIN["coca_test-tiny"] = {
+    "embed_dim": 64,
+    "vision_cfg": {"image_size": 32, "layers": 2, "width": 64,
+                   "head_width": 32, "patch_size": 8},
+    "text_cfg": {"context_length": 32, "vocab_size": 49408, "width": 64,
+                 "heads": 2, "layers": 2},
+    "multimodal_cfg": {"context_length": 31, "width": 64, "heads": 2,
+                       "layers": 2, "attn_pooler_heads": 2},
+    "custom_text": True,
+}
 _BUILTIN["coca_ViT-B-32"] = {
     **_vit(512, 12, 768, 32, 512, 8, 12),
     "multimodal_cfg": {"context_length": 76, "width": 512, "heads": 8,
@@ -285,10 +295,24 @@ class CLIPModel:
     # (parallel/pipeline.make_pipelined_layers_fn) — set via
     # dataclasses.replace when pp > 1 on the joint mesh
 
+    @property
+    def is_coca(self) -> bool:
+        return self.cfg.multimodal is not None
+
     def init(self, rng) -> Any:
+        if self.is_coca:
+            from megatron_clip_tpu.models.coca import init_coca
+            return init_coca(rng, self.cfg, dtype=self.precision.param_jnp)
         return init_clip(rng, self.cfg, dtype=self.precision.param_jnp)
 
     def __call__(self, params, images, text_ids, **kw):
+        if self.is_coca:
+            # CoCa forward: adds {logits, labels} for the captioning loss
+            # (open_CLIP coca_model.py forward); execution knobs
+            # (remat/sp/pipeline) are contrastive-tower features
+            from megatron_clip_tpu.models.coca import apply_coca
+            return apply_coca(params, images, text_ids, self.cfg,
+                              compute_dtype=self.precision.compute_jnp)
         kw.setdefault("remat", self.remat)
         kw.setdefault("sequence_parallel", self.sequence_parallel)
         kw.setdefault("scan_layers", self.scan_layers)
@@ -297,6 +321,11 @@ class CLIPModel:
                           compute_dtype=self.precision.compute_jnp, **kw)
 
     def encode_image(self, params, images, normalize=True):
+        if self.is_coca:
+            from megatron_clip_tpu.models.coca import _vision_context
+            feats, _ = _vision_context(params, images, self.cfg,
+                                       self.precision.compute_jnp)
+            return feats  # _vision_context returns the normalized query-0
         return encode_image(params, images, self.cfg, normalize=normalize,
                             compute_dtype=self.precision.compute_jnp)
 
@@ -376,7 +405,7 @@ def create_loss(args):
     `args` may be an argparse Namespace or any object with the same fields."""
     get = lambda k, d=None: getattr(args, k, d)
     axis = get("loss_axis_name")
-    if get("model", "").startswith("coca") or get("coca_caption_loss_weight"):
+    if get("model", "").startswith("coca") or get("is_coca"):
         return CoCaLoss(
             caption_loss_weight=get("coca_caption_loss_weight", 2.0),
             clip_loss_weight=get("coca_contrastive_loss_weight", 1.0),

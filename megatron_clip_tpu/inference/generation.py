@@ -160,8 +160,10 @@ def _forward_cached(params, tokens, pos, cache: KVCache, cfg: GPTCfg,
             x = x + pe.astype(compute_dtype)[None]
     rope = None
     if tcfg.rope:
-        cos_full, sin_full = rope_cos_sin(cache.k.shape[3], tcfg.head_dim,
-                                          tcfg.rope_theta)
+        cos_full, sin_full = rope_cos_sin(
+            cache.k.shape[3], tcfg.head_dim, tcfg.rope_theta,
+            rotary_percent=tcfg.rotary_percent,
+            seq_len_interpolation_factor=tcfg.rope_interpolation)
         if per_row:
             positions = pos[:, None] + jnp.arange(t)[None]
             rope = (cos_full[positions], sin_full[positions])   # [B, T, D]

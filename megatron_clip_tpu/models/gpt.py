@@ -29,7 +29,10 @@ class GPTCfg:
     mlp_ratio: float = 4.0
     position_embedding: str = "learned"  # learned | rope
     rope_theta: float = 10000.0
+    rotary_percent: float = 1.0          # megatron --rotary-percent
+    rope_interpolation: Optional[float] = None  # --rotary-seq-len-interpolation-factor
     swiglu: bool = False
+    squared_relu: bool = False           # megatron --squared-relu
     normalization: str = "layernorm"     # layernorm | rmsnorm
     use_bias: bool = True
     kv_heads: Optional[int] = None       # GQA
@@ -42,10 +45,14 @@ class GPTCfg:
         return TransformerCfg(
             layers=self.num_layers, width=self.hidden_size,
             heads=self.num_heads, mlp_ratio=self.mlp_ratio,
-            act="swiglu" if self.swiglu else "gelu_tanh",
+            act="swiglu" if self.swiglu
+            else ("squared_relu" if self.squared_relu else "gelu_tanh"),
             norm=self.normalization, use_bias=self.use_bias,
             rope=self.position_embedding == "rope",
-            rope_theta=self.rope_theta, kv_heads=self.kv_heads,
+            rope_theta=self.rope_theta,
+            rotary_percent=self.rotary_percent,
+            rope_interpolation=self.rope_interpolation,
+            kv_heads=self.kv_heads,
             num_experts=self.num_experts, **overrides)
 
 
@@ -68,22 +75,30 @@ def init_gpt(key, cfg: GPTCfg, dtype=jnp.float32):
 
 def apply_gpt(params, tokens, cfg: GPTCfg, *, compute_dtype=jnp.bfloat16,
               tcfg: Optional[TransformerCfg] = None, layers_fn=None,
-              return_hidden: bool = False, rng=None, position_ids=None):
+              return_hidden: bool = False, rng=None, position_ids=None,
+              attn_bias=None):
     """tokens [B, S] int32 -> logits [B, S, V] (fp32).
 
     `rng` enables dropout (training): embedding dropout at hidden_dropout
     rate (megatron language_model.py Embedding) plus the per-block
     attention/hidden dropout threaded through apply_transformer.
     `position_ids` [S]: global token positions when array order differs
-    from position order (zigzag context-parallel layout) — indexes the
-    learned pos-embed / rope tables."""
+    from position order (zigzag context-parallel layout); or [B, S]
+    per-row positions restarting at document boundaries (megatron
+    --reset-position-ids) — indexes the learned pos-embed / rope tables.
+    `attn_bias` [B, 1, S, S]: additive attention mask composed with the
+    causal mask (megatron --reset-attention-mask document isolation)."""
     tcfg = tcfg or cfg.transformer()
     s = tokens.shape[1]
     x = params["tok_embed"][tokens].astype(compute_dtype)
     if "pos_embed" in params:
-        pe = (params["pos_embed"][:s] if position_ids is None
-              else params["pos_embed"][position_ids])
-        x = x + pe.astype(compute_dtype)[None]
+        if position_ids is None:
+            x = x + params["pos_embed"][:s].astype(compute_dtype)[None]
+        else:
+            pe = params["pos_embed"][position_ids].astype(compute_dtype)
+            # [S, W] shared positions broadcast over batch; [B, S, W]
+            # per-row positions add directly
+            x = x + (pe if pe.ndim == 3 else pe[None])
     k_embed = k_blocks = None
     if rng is not None:
         k_embed, k_blocks = jax.random.split(rng)
@@ -92,10 +107,11 @@ def apply_gpt(params, tokens, cfg: GPTCfg, *, compute_dtype=jnp.bfloat16,
     aux = None
     if layers_fn is None:
         x = apply_transformer(params["blocks"], x, tcfg, causal=True,
-                              rng=k_blocks, position_ids=position_ids)
+                              rng=k_blocks, position_ids=position_ids,
+                              bias=attn_bias)
     else:
         x = layers_fn(params["blocks"], x, tcfg, causal=True, rng=k_blocks,
-                      position_ids=position_ids)
+                      position_ids=position_ids, bias=attn_bias)
     if cfg.num_experts:
         x, aux = x
     x = apply_norm(params["ln_f"], x, cfg.normalization)
@@ -113,10 +129,51 @@ def apply_gpt(params, tokens, cfg: GPTCfg, *, compute_dtype=jnp.bfloat16,
     return logits
 
 
+def get_ltor_masks_and_position_ids(tokens, eod_token: int, *,
+                                    reset_position_ids: bool = False,
+                                    reset_attention_mask: bool = False,
+                                    eod_mask_loss: bool = False):
+    """Document-boundary handling over packed token streams — megatron
+    utils.py:get_ltor_masks_and_position_ids, vectorized for jit (no
+    per-row python loops over eod indices).
+
+    tokens: [B, S] the model INPUTS. Returns (attn_bias, loss_mask,
+    position_ids), each None when its flag is off:
+      - attn_bias [B, 1, S, S]: 0 where query and key fall in the same
+        document, -1e30 across documents (composes with the causal mask) —
+        --reset-attention-mask
+      - loss_mask [B, S] over input positions: 0 where the input token is
+        EOD (don't train the prediction made from an EOD slot) —
+        --eod-mask-loss
+      - position_ids [B, S] restarting at 0 after each EOD —
+        --reset-position-ids
+    """
+    b, s = tokens.shape
+    e = tokens == eod_token
+    loss_mask = jnp.where(e, 0.0, 1.0) if eod_mask_loss else None
+    idx = jax.lax.iota(jnp.int32, s)
+    attn_bias = None
+    if reset_attention_mask:
+        # document index per position: the token AFTER an eod starts a new
+        # document (the eod itself closes the current one)
+        doc = jnp.cumsum(e.astype(jnp.int32), axis=1) - e.astype(jnp.int32)
+        same = doc[:, :, None] == doc[:, None, :]
+        attn_bias = jnp.where(same, 0.0, -1e30)[:, None]   # [B, 1, S, S]
+    position_ids = None
+    if reset_position_ids:
+        # distance from the start of the current document: subtract the
+        # (exclusive) running max of eod-boundary positions
+        boundary = jnp.where(e, idx[None] + 1, 0)
+        last = jax.lax.cummax(boundary, axis=1)
+        last = jnp.pad(last[:, :-1], ((0, 0), (1, 0)))     # exclusive
+        position_ids = idx[None] - last                    # [B, S]
+    return attn_bias, loss_mask, position_ids
+
+
 def gpt_loss(params, tokens, cfg: GPTCfg, *, loss_mask=None,
              compute_dtype=jnp.bfloat16, tcfg=None, layers_fn=None,
              rng=None, loss_seq_chunk: int = 0, position_ids=None,
-             targets=None, fused_ce: bool = False):
+             targets=None, fused_ce: bool = False, attn_bias=None):
     """Next-token LM loss: predict tokens[:, 1:] from tokens[:, :-1]
     (pretrain_gpt.py loss_func semantics, with loss-mask averaging).
 
@@ -149,7 +206,7 @@ def gpt_loss(params, tokens, cfg: GPTCfg, *, loss_mask=None,
         h = apply_gpt(params, inputs, cfg,
                       compute_dtype=compute_dtype, tcfg=tcfg,
                       layers_fn=layers_fn, rng=rng, return_hidden=True,
-                      position_ids=position_ids)
+                      position_ids=position_ids, attn_bias=attn_bias)
         b, s, wd = h.shape
         wh = (params["tok_embed"].T if cfg.tie_embeddings
               else params["lm_head"]).astype(h.dtype)
@@ -163,7 +220,7 @@ def gpt_loss(params, tokens, cfg: GPTCfg, *, loss_mask=None,
         h = apply_gpt(params, inputs, cfg,
                       compute_dtype=compute_dtype, tcfg=tcfg,
                       layers_fn=layers_fn, rng=rng, return_hidden=True,
-                      position_ids=position_ids)
+                      position_ids=position_ids, attn_bias=attn_bias)
         b, s, w = h.shape
         c = min(loss_seq_chunk, s)
         pad = (-s) % c
@@ -195,7 +252,8 @@ def gpt_loss(params, tokens, cfg: GPTCfg, *, loss_mask=None,
 
     out = apply_gpt(params, inputs, cfg,
                     compute_dtype=compute_dtype, tcfg=tcfg,
-                    layers_fn=layers_fn, rng=rng, position_ids=position_ids)
+                    layers_fn=layers_fn, rng=rng, position_ids=position_ids,
+                    attn_bias=attn_bias)
     aux = jnp.zeros((), jnp.float32)
     if cfg.num_experts:
         logits, aux = out

@@ -270,12 +270,18 @@ def apply_transformer(blocks, x, cfg: TransformerCfg, *, causal: bool = False,
     """
     if rope is None and cfg.rope:
         from megatron_clip_tpu.ops.rope import rope_cos_sin
+        rkw = dict(rotary_percent=cfg.rotary_percent,
+                   seq_len_interpolation_factor=cfg.rope_interpolation)
         if position_ids is not None:
-            cos, sin = rope_cos_sin(int(position_ids.shape[0]), cfg.head_dim,
-                                    cfg.rope_theta)
+            # [S] global positions (zigzag CP) or [B, S] per-row document
+            # restarts (--reset-position-ids); values < table length either
+            # way
+            cos, sin = rope_cos_sin(int(position_ids.shape[-1]),
+                                    cfg.head_dim, cfg.rope_theta, **rkw)
             rope = (cos[position_ids], sin[position_ids])
         else:
-            rope = rope_cos_sin(x.shape[1], cfg.head_dim, cfg.rope_theta)
+            rope = rope_cos_sin(x.shape[1], cfg.head_dim, cfg.rope_theta,
+                                **rkw)
     has_rng = (rng is not None or layer_keys is not None) and (
         cfg.attention_dropout > 0 or cfg.hidden_dropout > 0)
 

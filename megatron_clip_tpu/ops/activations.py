@@ -23,12 +23,20 @@ def gelu_exact(x):
     return jax.nn.gelu(x, approximate=False)
 
 
+def squared_relu(x):
+    """megatron --squared-relu (megatron/model/transformer.py ParallelMLP:
+    F.relu(x) ** 2)."""
+    r = jax.nn.relu(x)
+    return r * r
+
+
 _ACTS = {
     "gelu": gelu_exact,        # torch nn.GELU default = exact erf gelu
     "gelu_tanh": gelu_tanh,    # megatron --openai-gelu style tanh approximation
     "quick_gelu": quick_gelu,
     "relu": jax.nn.relu,
     "silu": jax.nn.silu,
+    "squared_relu": squared_relu,
 }
 
 

@@ -69,11 +69,17 @@ def apply_rope(x, cos, sin):
 
 
 def apply_rope_bshd(x, cos, sin):
-    """x: [B, S, H, D]; cos/sin: [S, R], R <= D (see apply_rope)."""
+    """x: [B, S, H, D]; cos/sin: [S, R] shared or [B, S, R] per-row
+    positions (--reset-position-ids document restarts), R <= D (see
+    apply_rope)."""
     rot_dim = cos.shape[-1]
     x, rest = x[..., :rot_dim], x[..., rot_dim:]
-    cos = cos.astype(x.dtype)[None, :, None, :]
-    sin = sin.astype(x.dtype)[None, :, None, :]
+    if cos.ndim == 3:
+        cos = cos.astype(x.dtype)[:, :, None, :]
+        sin = sin.astype(x.dtype)[:, :, None, :]
+    else:
+        cos = cos.astype(x.dtype)[None, :, None, :]
+        sin = sin.astype(x.dtype)[None, :, None, :]
     out = x * cos + rotate_half(x) * sin
     if rest.shape[-1]:
         out = jnp.concatenate([out, rest], axis=-1)

@@ -91,7 +91,10 @@ def _context_setup(mesh, cfg: TransformerCfg, x, bias, position_ids):
     rope_tabs = None
     if cfg.rope:
         from megatron_clip_tpu.ops.rope import rope_cos_sin
-        cos, sin = rope_cos_sin(x.shape[1], cfg.head_dim, cfg.rope_theta)
+        cos, sin = rope_cos_sin(
+            x.shape[1], cfg.head_dim, cfg.rope_theta,
+            rotary_percent=cfg.rotary_percent,
+            seq_len_interpolation_factor=cfg.rope_interpolation)
         if position_ids is not None:
             cos, sin = cos[position_ids], sin[position_ids]
         rope_tabs = (cos, sin)

@@ -73,6 +73,18 @@ def run_training(args) -> dict:
         force_quick_gelu=args.force_quick_gelu, **_model_overrides(args))
     model = dataclasses.replace(model, remat=args.recompute_granularity,
                                 sequence_parallel=args.sequence_parallel)
+    if model.is_coca:
+        # the captioning head trains in the joint contrastive step; the
+        # feature-cache accum path, branch split, pipeline and distill are
+        # contrastive-tower-only machinery
+        for flag, bad in [("accum_freq", max(1, args.accum_freq) > 1),
+                          ("extra_world_size", extra > 0),
+                          ("pipeline_model_parallel_size", pp > 1),
+                          ("distill_model",
+                           bool(getattr(args, "distill_model", None)))]:
+            if bad:
+                raise SystemExit(f"CoCa training does not support --{flag}"
+                                 .replace("_", "-"))
     n_params = sum(x.size for x in jax.tree.leaves(params))
     _log(f"model {args.model}: {n_params/1e6:.1f}M params | devices="
          f"{len(devices)} dp={dp} fsdp={fsdp} tp={tp} pp={pp} extra={extra}")

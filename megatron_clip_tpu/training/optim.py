@@ -159,6 +159,27 @@ def megatron_lr(base_lr: float, warmup: int, total_steps: int, *,
     return schedule
 
 
+def megatron_wd(start_wd: float, end_wd: float, total_steps: int,
+                incr_style: str = "constant") -> Callable[[int], float]:
+    """megatron OptimizerParamScheduler.get_wd: weight decay ramps from
+    start to end over the run (--weight-decay-incr-style constant | linear
+    | cosine, --start-weight-decay/--end-weight-decay)."""
+    def schedule(step):
+        step = jnp.asarray(step, jnp.float32)
+        p = jnp.clip(step / max(total_steps, 1), 0.0, 1.0)
+        if incr_style == "constant":
+            coeff = jnp.ones_like(p)
+            return start_wd * coeff
+        if incr_style == "linear":
+            coeff = p
+        elif incr_style == "cosine":
+            coeff = 0.5 * (jnp.cos(jnp.pi * (1.0 - p)) + 1.0)
+        else:
+            raise ValueError(f"unknown wd incr style {incr_style!r}")
+        return start_wd + coeff * (end_wd - start_wd)
+    return schedule
+
+
 def const_lr(base_lr: float, warmup: int) -> Callable[[int], float]:
     def schedule(step):
         step = jnp.asarray(step, jnp.float32)
@@ -247,9 +268,15 @@ def make_optimizer(params, lr: Callable, *, beta1: float = 0.9,
                    weight_decay: float = 0.2,
                    grad_clip_norm: Optional[float] = None,
                    moment_dtype=None, nu_dtype=None,
-                   lock_mask=None) -> optax.GradientTransformation:
+                   lock_mask=None, optimizer: str = "adam",
+                   sgd_momentum: float = 0.9,
+                   weight_decay_schedule: Optional[Callable] = None,
+                   ) -> optax.GradientTransformation:
     """AdamW with the CLIP training recipe defaults (open_CLIP params.py:
     beta2=0.98, eps=1e-6, wd=0.2) and megatron-style global-norm clipping.
+
+    optimizer="sgd" switches to momentum SGD with decoupled weight decay
+    (megatron --optimizer sgd / --sgd-momentum, optimizer/__init__.py).
 
     moment_dtype: storage dtype for the first moment (optax mu_dtype).
     bfloat16 halves the mu read/write stream in the fused update — the
@@ -260,7 +287,29 @@ def make_optimizer(params, lr: Callable, *, beta1: float = 0.9,
     chain = []
     if grad_clip_norm:
         chain.append(optax.clip_by_global_norm(grad_clip_norm))
-    if nu_dtype is not None:
+    if weight_decay_schedule is not None and nu_dtype is not None:
+        raise ValueError("--weight-decay-incr-style does not compose with "
+                         "--nu-dtype bf16 (adamw_lowbits has no injected "
+                         "hyperparameters)")
+    if weight_decay_schedule is not None and optimizer != "sgd":
+        # scheduled weight decay (megatron --weight-decay-incr-style):
+        # inject_hyperparams re-evaluates callable args per step
+        chain.append(optax.inject_hyperparams(
+            optax.adamw, static_args="mask")(
+                learning_rate=lr, b1=beta1, b2=beta2, eps=eps,
+                weight_decay=weight_decay_schedule,
+                mask=_no_decay_mask(params)))
+    elif optimizer == "sgd":
+        if weight_decay_schedule is not None:
+            chain.append(optax.inject_hyperparams(
+                optax.add_decayed_weights, static_args="mask")(
+                    weight_decay=weight_decay_schedule,
+                    mask=_no_decay_mask(params)))
+        else:
+            chain.append(optax.add_decayed_weights(
+                weight_decay, mask=_no_decay_mask(params)))
+        chain.append(optax.sgd(learning_rate=lr, momentum=sgd_momentum))
+    elif nu_dtype is not None:
         chain.append(adamw_lowbits(
             learning_rate=lr, b1=beta1, b2=beta2, eps=eps,
             weight_decay=weight_decay,

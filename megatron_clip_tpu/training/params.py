@@ -44,6 +44,12 @@ def parse_args(args=None):
                         "--recompute-granularity full)")
     p.add_argument("--recompute-granularity",
                    choices=["none", "selective", "mlp", "full"], default="none")
+    p.add_argument("--coca-caption-loss-weight", type=float, default=2.0,
+                   help="weight of the CoCa captioning loss term "
+                        "(open_CLIP --coca-caption-loss-weight)")
+    p.add_argument("--coca-contrastive-loss-weight", type=float, default=1.0,
+                   help="weight of the CoCa contrastive loss term "
+                        "(open_CLIP --coca-contrastive-loss-weight)")
     p.add_argument("--siglip", action="store_true",
                    help="use SigLIP sigmoid pairwise loss")
     # LiT-style tower locking (open_CLIP --lock-image/--lock-text,

@@ -55,6 +55,13 @@ def make_train_step(model, tx, *, loss_obj: Optional[Callable] = None,
 
     def loss_fn(params, images, texts):
         out = model(params, images, texts)
+        if "logits" in out:
+            # CoCa: contrastive + captioning terms (open_CLIP loss.py
+            # CoCaLoss; create_loss dispatched the right loss_obj)
+            loss = loss_obj(out["image_features"], out["text_features"],
+                            out["logits"], out["labels"],
+                            out["logit_scale"], output_dict=True)
+            return sum(loss.values()), out["logit_scale"]
         if teacher is not None:
             tmodel, tparams = teacher
             tout = jax.lax.stop_gradient(tmodel(tparams, images, texts))

@@ -57,7 +57,12 @@ class RuntimeCfg:
     min_lr: float = 0.0
     lr_decay_iters: Optional[int] = None
     weight_decay: float = 0.01
+    # megatron --weight-decay-incr-style/--start/--end-weight-decay
+    wd_incr_style: str = "constant"
+    start_wd: Optional[float] = None
+    end_wd: Optional[float] = None
     grad_clip_norm: float = 1.0
+    skip_train: bool = False   # megatron --skip-train: eval only
     log_interval: int = 5
     # parallel layout
     tp: int = 1
@@ -85,12 +90,21 @@ class RuntimeCfg:
     exit_duration_mins: Optional[float] = None
     seed: int = 0
     name: str = "train"
+    beta1: float = 0.9
     beta2: float = 0.999
     eps: float = 1e-8
+    # megatron --optimizer {adam,sgd} / --sgd-momentum
+    optimizer: str = "adam"
+    sgd_momentum: float = 0.9
     # "bf16" = fully-bf16 adam state (adamw_lowbits) — the 1.3b-on-one-chip
     # configuration (megatron's fp16 optimizer analogue, reversed: master
     # state shrinks instead of compute)
     nu_dtype: Optional[str] = None
+    # megatron --no-load-optim / --no-save-optim (checkpointing.py):
+    # params-only load keeping the iteration; save without optimizer state
+    no_load_optim: bool = False
+    no_save_optim: bool = False
+    tensorboard_dir: Optional[str] = None  # megatron --tensorboard-dir
 
 
 def add_runtime_args(p, *, lr: float = 1e-4, weight_decay: float = 0.01,
@@ -111,8 +125,21 @@ def add_runtime_args(p, *, lr: float = 1e-4, weight_decay: float = 0.01,
     p.add_argument("--min-lr", type=float, default=0.0)
     p.add_argument("--lr-decay-iters", type=int, default=None,
                    help="decay horizon in steps (defaults to --train-steps)")
+    p.add_argument("--lr-warmup-fraction", type=float, default=None,
+                   help="warmup as a fraction of the decay horizon instead "
+                        "of --warmup steps (megatron --lr-warmup-fraction)")
     p.add_argument("--weight-decay", type=float, default=weight_decay)
+    p.add_argument("--weight-decay-incr-style",
+                   choices=["constant", "linear", "cosine"],
+                   default="constant",
+                   help="ramp weight decay from --start-weight-decay to "
+                        "--end-weight-decay over the run (megatron flag)")
+    p.add_argument("--start-weight-decay", type=float, default=None)
+    p.add_argument("--end-weight-decay", type=float, default=None)
     p.add_argument("--grad-clip-norm", type=float, default=1.0)
+    p.add_argument("--skip-train", action="store_true",
+                   help="run validation only, no training (megatron "
+                        "--skip-train)")
     p.add_argument("--log-interval", type=int, default=5)
     p.add_argument("--tensor-model-parallel-size", type=int, default=1)
     p.add_argument("--fsdp-parallel-size", type=int, default=1)
@@ -133,6 +160,13 @@ def add_runtime_args(p, *, lr: float = 1e-4, weight_decay: float = 0.01,
                         "the iteration/optimizer (megatron --finetune)")
     p.add_argument("--eval-interval", type=int, default=0)
     p.add_argument("--eval-iters", type=int, default=10)
+    p.add_argument("--no-load-optim", action="store_true",
+                   help="restore params + iteration but re-init the "
+                        "optimizer (megatron --no-load-optim; also how to "
+                        "resume from a --no-save-optim checkpoint)")
+    p.add_argument("--no-save-optim", action="store_true",
+                   help="save checkpoints without optimizer state "
+                        "(megatron --no-save-optim)")
     p.add_argument("--exit-duration-in-mins", type=float, default=None,
                    help="stop (after saving, if --save) once this much "
                         "wall-clock has elapsed (megatron "
@@ -141,10 +175,25 @@ def add_runtime_args(p, *, lr: float = 1e-4, weight_decay: float = 0.01,
                    help="override model-architecture flags from the "
                         "checkpoint being loaded (megatron "
                         "checkpointing.py:441 load_args_from_checkpoint)")
+    p.add_argument("--adam-beta1", type=float, default=None,
+                   help="megatron --adam-beta1 (default 0.9)")
+    p.add_argument("--adam-beta2", type=float, default=None,
+                   help="megatron --adam-beta2 (entries pick their recipe "
+                        "default when unset)")
+    p.add_argument("--adam-eps", type=float, default=None,
+                   help="megatron --adam-eps (default 1e-8)")
+    p.add_argument("--optimizer", choices=["adam", "sgd"], default="adam",
+                   help="megatron --optimizer")
+    p.add_argument("--sgd-momentum", type=float, default=0.9,
+                   help="megatron --sgd-momentum")
     p.add_argument("--nu-dtype", choices=["fp32", "bf16"], default="fp32",
                    help="adam second-moment storage; bf16 = fully-bf16 "
                         "optimizer state (fits 1.3b-class models on one "
                         "16G chip)")
+    p.add_argument("--tensorboard-dir", type=str, default=None,
+                   help="write train/val scalars here (megatron "
+                        "--tensorboard-dir; every workload logs TB, "
+                        "training.py training_log)")
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -153,13 +202,21 @@ def runtime_cfg_from_args(args, name: str) -> RuntimeCfg:
     steps = args.train_steps
     if getattr(args, "train_samples", None):
         steps = -(-args.train_samples // args.batch_size)
+    warmup = args.warmup
+    if getattr(args, "lr_warmup_fraction", None) is not None:
+        horizon = getattr(args, "lr_decay_iters", None) or steps
+        warmup = int(args.lr_warmup_fraction * horizon)
     return RuntimeCfg(
         train_steps=steps, batch_size=args.batch_size,
-        lr=args.lr, warmup=args.warmup,
+        lr=args.lr, warmup=warmup,
         lr_decay_style=getattr(args, "lr_decay_style", "cosine"),
         min_lr=getattr(args, "min_lr", 0.0),
         lr_decay_iters=getattr(args, "lr_decay_iters", None),
         weight_decay=args.weight_decay,
+        wd_incr_style=getattr(args, "weight_decay_incr_style", "constant"),
+        start_wd=getattr(args, "start_weight_decay", None),
+        end_wd=getattr(args, "end_weight_decay", None),
+        skip_train=getattr(args, "skip_train", False),
         grad_clip_norm=args.grad_clip_norm, log_interval=args.log_interval,
         tp=args.tensor_model_parallel_size, fsdp=args.fsdp_parallel_size,
         pp=args.pipeline_model_parallel_size,
@@ -172,6 +229,14 @@ def runtime_cfg_from_args(args, name: str) -> RuntimeCfg:
         eval_interval=args.eval_interval,
         eval_iters=args.eval_iters,
         exit_duration_mins=getattr(args, "exit_duration_in_mins", None),
+        beta1=getattr(args, "adam_beta1", None) or 0.9,
+        beta2=getattr(args, "adam_beta2", None) or 0.999,
+        eps=getattr(args, "adam_eps", None) or 1e-8,
+        optimizer=getattr(args, "optimizer", "adam"),
+        sgd_momentum=getattr(args, "sgd_momentum", 0.9),
+        no_load_optim=getattr(args, "no_load_optim", False),
+        no_save_optim=getattr(args, "no_save_optim", False),
+        tensorboard_dir=getattr(args, "tensorboard_dir", None),
         seed=args.seed, name=name,
         nu_dtype=None if getattr(args, "nu_dtype", "fp32") == "fp32"
         else args.nu_dtype)
@@ -192,7 +257,10 @@ _RUN_ARG_KEYS = frozenset({
     "context_parallel_size", "save", "save_interval", "resume", "load",
     "finetune", "eval_interval", "eval_iters", "exit_duration_in_mins",
     "use_checkpoint_args", "seed", "nu_dtype", "data_path", "split",
-    "recompute_granularity",
+    "recompute_granularity", "adam_beta1", "adam_beta2", "adam_eps",
+    "optimizer", "sgd_momentum", "no_load_optim", "no_save_optim",
+    "lr_warmup_fraction", "weight_decay_incr_style", "start_weight_decay",
+    "end_weight_decay", "skip_train", "tensorboard_dir",
 })
 
 
@@ -289,14 +357,22 @@ def run_workload(params, loss_fn: Callable, batch_iter: Iterator,
     from megatron_clip_tpu.checkpoints import (
         save_checkpoint, load_checkpoint, latest_checkpoint_step)
 
-    from megatron_clip_tpu.training.optim import megatron_lr
-    tx = make_optimizer(params, megatron_lr(rc.lr, rc.warmup, rc.train_steps,
-                                            decay_style=rc.lr_decay_style,
-                                            min_lr=rc.min_lr,
-                                            decay_steps=rc.lr_decay_iters),
+    from megatron_clip_tpu.training.optim import megatron_lr, megatron_wd
+    lr_sched = megatron_lr(rc.lr, rc.warmup, rc.train_steps,
+                           decay_style=rc.lr_decay_style, min_lr=rc.min_lr,
+                           decay_steps=rc.lr_decay_iters)
+    wd_schedule = None
+    if rc.wd_incr_style != "constant":
+        start = rc.start_wd if rc.start_wd is not None else rc.weight_decay
+        end = rc.end_wd if rc.end_wd is not None else rc.weight_decay
+        wd_schedule = megatron_wd(start, end, rc.train_steps,
+                                  incr_style=rc.wd_incr_style)
+    tx = make_optimizer(params, lr_sched,
                         weight_decay=rc.weight_decay,
-                        grad_clip_norm=rc.grad_clip_norm, beta2=rc.beta2,
-                        eps=rc.eps,
+                        grad_clip_norm=rc.grad_clip_norm, beta1=rc.beta1,
+                        beta2=rc.beta2, eps=rc.eps,
+                        optimizer=rc.optimizer, sgd_momentum=rc.sgd_momentum,
+                        weight_decay_schedule=wd_schedule,
                         nu_dtype=jnp.bfloat16 if rc.nu_dtype == "bf16"
                         else None)
 
@@ -369,10 +445,35 @@ def run_workload(params, loss_fn: Callable, batch_iter: Iterator,
               flush=True)
 
     def _ckpt_state():
+        s = {"params": params}
+        if not rc.no_save_optim:
+            s["opt_state"] = opt_state
+        if aux is not None:
+            s["aux"] = aux
+        return s
+
+    def _load_template():
+        # loading always expects the full state (a --no-save-optim run can
+        # only be resumed with --no-load-optim)
         s = {"params": params, "opt_state": opt_state}
         if aux is not None:
             s["aux"] = aux
         return s
+
+    def _params_only_load(root):
+        """Restore only the params subtree, re-placed on this run's
+        shardings; the caller re-inits the optimizer (megatron
+        --no-load-optim / --finetune model-only load)."""
+        from megatron_clip_tpu.checkpoints import load_params_subtree
+        loaded, from_step = load_params_subtree(root)
+        if jax.tree.structure(loaded) != jax.tree.structure(params):
+            raise ValueError(f"params loaded from {root} do not match this "
+                             "model's parameter tree")
+        return jax.tree.map(
+            lambda v, p: jax.device_put(
+                jnp.asarray(v, dtype=p.dtype),
+                p.sharding if isinstance(p, jax.Array) else None),
+            loaded, params), from_step
 
     def _meta(i):
         m = {"consumed_samples": i * rc.batch_size}
@@ -384,40 +485,68 @@ def run_workload(params, loss_fn: Callable, batch_iter: Iterator,
 
     start_step = 0
     if rc.resume and rc.save and latest_checkpoint_step(rc.save) is not None:
-        tree, meta, start_step = load_checkpoint(rc.save, _ckpt_state())
-        params, opt_state = tree["params"], tree["opt_state"]
-        aux = tree.get("aux", aux)
-        print(f"[{rc.name}] resumed from {rc.save} @ step {start_step} "
-              f"(consumed_samples={meta.get('consumed_samples', 0)})",
-              flush=True)
+        if rc.no_load_optim:
+            params, start_step = _params_only_load(rc.save)
+            opt_state = tx.init(params)
+            print(f"[{rc.name}] resumed params-only from {rc.save} @ step "
+                  f"{start_step} (--no-load-optim: fresh optimizer)",
+                  flush=True)
+        else:
+            tree, meta, start_step = load_checkpoint(rc.save, _load_template())
+            params, opt_state = tree["params"], tree["opt_state"]
+            aux = tree.get("aux", aux)
+            print(f"[{rc.name}] resumed from {rc.save} @ step {start_step} "
+                  f"(consumed_samples={meta.get('consumed_samples', 0)})",
+                  flush=True)
     elif rc.load:
         if rc.finetune:
-            from megatron_clip_tpu.checkpoints import load_params_subtree
-            loaded, from_step = load_params_subtree(rc.load)
-            if jax.tree.structure(loaded) != jax.tree.structure(params):
-                raise ValueError(f"--finetune params from {rc.load} do not "
-                                 "match this model's parameter tree")
-            params = jax.tree.map(
-                lambda v, p: jax.device_put(
-                    jnp.asarray(v, dtype=p.dtype),
-                    p.sharding if isinstance(p, jax.Array) else None),
-                loaded, params)
+            params, from_step = _params_only_load(rc.load)
             opt_state = tx.init(params)
             print(f"[{rc.name}] finetune init: params from {rc.load} "
                   f"@ step {from_step} (optimizer/iteration reset)",
                   flush=True)
+        elif rc.no_load_optim:
+            params, start_step = _params_only_load(rc.load)
+            opt_state = tx.init(params)
+            print(f"[{rc.name}] loaded params-only {rc.load} @ step "
+                  f"{start_step} (--no-load-optim: fresh optimizer)",
+                  flush=True)
         else:
-            tree, meta, start_step = load_checkpoint(rc.load, _ckpt_state())
+            tree, meta, start_step = load_checkpoint(rc.load, _load_template())
             params, opt_state = tree["params"], tree["opt_state"]
             aux = tree.get("aux", aux)
             print(f"[{rc.name}] loaded {rc.load} @ step {start_step} "
                   f"(continuing; saving to {rc.save})", flush=True)
+
+    if rc.skip_train:
+        # megatron --skip-train (training.py): validation only, no training
+        if eval_step is None:
+            raise SystemExit("--skip-train needs a validation source "
+                             "(this entry provides none)")
+        vit = val_iter_factory()
+        vals = [float(eval_step(params, jax.tree.map(jnp.asarray,
+                                                     next(vit))))
+                for _ in range(rc.eval_iters)]
+        v = float(np.mean(vals))
+        print(f"[{rc.name}] --skip-train: val loss {v:.4f} over "
+              f"{rc.eval_iters} batches", flush=True)
+        return {"loss": v, "params": params, "aux": aux,
+                "history": [], "val_loss": v}
 
     if callable(batch_iter):
         batch_iter = batch_iter(start_step)     # seekable factory: O(1)
     else:
         for _ in range(start_step):             # replay-and-discard
             next(batch_iter)
+
+    writer = None
+    if rc.tensorboard_dir:
+        try:
+            from tensorboardX import SummaryWriter
+            writer = SummaryWriter(rc.tensorboard_dir)
+        except ImportError:
+            print(f"[{rc.name}] tensorboardX unavailable; skipping TB "
+                  "logging", flush=True)
 
     import contextlib
     mesh_ctx = jax.sharding.set_mesh(mesh) if mesh is not None \
@@ -444,6 +573,12 @@ def run_workload(params, loss_fn: Callable, batch_iter: Iterator,
                 print(f"[{rc.name}] step {i}/{rc.train_steps} | "
                       f"loss {l:.4f} | {ips:.1f} samples/s{extra}",
                       flush=True)
+                if writer is not None:
+                    # megatron training_log TB scalars (training.py:503-698)
+                    writer.add_scalar("train/loss", l, i)
+                    writer.add_scalar("train/learning-rate",
+                                      float(lr_sched(i)), i)
+                    writer.add_scalar("train/samples-per-s", ips, i)
                 t0 = time.perf_counter()
             if rc.save and rc.save_interval and i % rc.save_interval == 0:
                 save_checkpoint(rc.save, i, _ckpt_state(), _meta(i))
@@ -456,6 +591,8 @@ def run_workload(params, loss_fn: Callable, batch_iter: Iterator,
                         params, jax.tree.map(jnp.asarray, next(vit)))))
                 print(f"[{rc.name}] eval @ {i}: "
                       f"val loss {np.mean(vals):.4f}", flush=True)
+                if writer is not None:
+                    writer.add_scalar("val/loss", float(np.mean(vals)), i)
             if rc.exit_duration_mins is not None and \
                     time.perf_counter() - run_t0 > rc.exit_duration_mins * 60:
                 # megatron --exit-duration-in-mins (training.py:829-851):
@@ -474,5 +611,7 @@ def run_workload(params, loss_fn: Callable, batch_iter: Iterator,
                 and last_step > start_step:
             save_checkpoint(rc.save, last_step, _ckpt_state(),
                             _meta(last_step))
+    if writer is not None:
+        writer.close()
     return {"loss": float(loss) if loss is not None else None,
             "params": params, "aux": aux, "history": history}

@@ -30,7 +30,18 @@ def parse_args(argv=None):
     p.add_argument("--vocab-size", type=int, default=50304)
     p.add_argument("--position-embedding", choices=["learned", "rope"],
                    default="learned")
+    p.add_argument("--rotary-percent", type=float, default=1.0,
+                   help="rotate only the first head_dim*percent channels "
+                        "(megatron --rotary-percent)")
+    p.add_argument("--rotary-seq-len-interpolation-factor", type=float,
+                   default=None,
+                   help="divide rope positions for linear context extension "
+                        "(megatron flag of the same name)")
     p.add_argument("--swiglu", action="store_true")
+    p.add_argument("--squared-relu", action="store_true",
+                   help="relu(x)^2 MLP activation (megatron --squared-relu)")
+    p.add_argument("--init-method-std", type=float, default=0.02,
+                   help="stddev of weight init (megatron --init-method-std)")
     p.add_argument("--normalization", choices=["layernorm", "rmsnorm"],
                    default="layernorm")
     p.add_argument("--disable-bias-linear", action="store_true")
@@ -76,6 +87,19 @@ def parse_args(argv=None):
                    help="fused lm-head+CE Pallas kernel: logits never "
                         "materialize in HBM (ops/pallas/fused_ce.py; "
                         "TPU only)")
+    p.add_argument("--eod-token", type=int, default=None,
+                   help="end-of-document token id (megatron reads it from "
+                        "the tokenizer; required by the document-boundary "
+                        "flags below)")
+    p.add_argument("--eod-mask-loss", action="store_true",
+                   help="zero the loss at EOD input positions (megatron "
+                        "--eod-mask-loss)")
+    p.add_argument("--reset-position-ids", action="store_true",
+                   help="restart position ids after each EOD (megatron "
+                        "--reset-position-ids)")
+    p.add_argument("--reset-attention-mask", action="store_true",
+                   help="block attention across EOD boundaries (megatron "
+                        "--reset-attention-mask)")
     p.add_argument("--attention-dropout", type=float, default=0.0,
                    help="attention-prob dropout (megatron default 0.1)")
     p.add_argument("--hidden-dropout", type=float, default=0.0,
@@ -99,10 +123,14 @@ def run(args):
         num_layers=args.num_layers, hidden_size=args.hidden_size,
         num_heads=args.num_heads, kv_heads=args.kv_heads,
         vocab_size=args.vocab_size, seq_length=args.seq_length,
-        position_embedding=args.position_embedding, swiglu=args.swiglu,
+        position_embedding=args.position_embedding,
+        rotary_percent=args.rotary_percent,
+        rope_interpolation=args.rotary_seq_len_interpolation_factor,
+        swiglu=args.swiglu, squared_relu=args.squared_relu,
         normalization=args.normalization,
         use_bias=not args.disable_bias_linear,
         num_experts=args.num_experts,
+        init_std=args.init_method_std,
         tie_embeddings=not args.untie_embeddings_and_output_weights)
     compute_dtype = jnp.bfloat16 if args.precision in ("bf16", "amp_bf16") \
         else jnp.float32
@@ -122,6 +150,18 @@ def run(args):
     if cp > 1 and cp_layout == "zigzag" and args.seq_length % (2 * cp) != 0:
         raise SystemExit("--seq-length must be divisible by 2x "
                          "--context-parallel-size for the zigzag layout")
+    doc_flags = (args.eod_mask_loss or args.reset_position_ids
+                 or args.reset_attention_mask)
+    if doc_flags:
+        if args.eod_token is None:
+            raise SystemExit("--eod-mask-loss/--reset-position-ids/"
+                             "--reset-attention-mask need --eod-token")
+        if cp > 1:
+            raise SystemExit("document-boundary flags do not compose with "
+                             "--context-parallel-size > 1")
+        if args.pipeline_model_parallel_size > 1 and args.reset_position_ids:
+            raise SystemExit("--reset-position-ids ([B,S] per-row positions)"
+                             " is not supported with pipeline parallelism")
 
     params = init_gpt(jax.random.PRNGKey(args.seed), cfg,
                       dtype=jnp.bfloat16 if args.params_dtype == "bf16"
@@ -130,7 +170,8 @@ def run(args):
     print(f"GPT {n/1e6:.1f}M params, seq {cfg.seq_length}", flush=True)
 
     rc = runtime_cfg_from_args(args, "gpt")
-    rc.beta2 = 0.95
+    if args.adam_beta2 is None:
+        rc.beta2 = 0.95      # the megatron GPT recipe default
     rc.tokens_per_sample = args.seq_length
     mesh, layers_fn = build_workload_mesh(rc)
     specs = gpt_param_specs(params,
@@ -194,6 +235,24 @@ def run(args):
                             layers_fn=layers_fn, rng=rng,
                             fused_ce=args.fused_ce,
                             loss_seq_chunk=args.loss_seq_chunk)
+        if doc_flags:
+            # megatron get_ltor_masks_and_position_ids over the INPUT
+            # tokens; loss mask / positions / attention isolation all
+            # follow document boundaries in the packed stream
+            from megatron_clip_tpu.models.gpt import \
+                get_ltor_masks_and_position_ids
+            inputs, tgt = tokens[:, :-1], tokens[:, 1:]
+            ab, lm, pid = get_ltor_masks_and_position_ids(
+                inputs, args.eod_token,
+                reset_position_ids=args.reset_position_ids,
+                reset_attention_mask=args.reset_attention_mask,
+                eod_mask_loss=args.eod_mask_loss)
+            return gpt_loss(p, inputs, cfg, targets=tgt, loss_mask=lm,
+                            attn_bias=ab, position_ids=pid,
+                            compute_dtype=compute_dtype, tcfg=tcfg,
+                            layers_fn=layers_fn, rng=rng,
+                            fused_ce=args.fused_ce,
+                            loss_seq_chunk=args.loss_seq_chunk)
         return gpt_loss(p, tokens, cfg, compute_dtype=compute_dtype,
                         tcfg=tcfg, layers_fn=layers_fn, rng=rng,
                         fused_ce=args.fused_ce,
@@ -203,7 +262,10 @@ def run(args):
                        param_specs=specs, use_rng=use_dropout,
                        val_iter_factory=val_batches,
                        eval_loss_fn=lambda p, b: loss_fn(p, b, None), args_ns=args)
-    return {"loss": out["loss"], "history": out["history"]}
+    r = {"loss": out["loss"], "history": out["history"]}
+    if "val_loss" in out:
+        r["val_loss"] = out["val_loss"]
+    return r
 
 
 if __name__ == "__main__":

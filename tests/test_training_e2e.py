@@ -26,6 +26,18 @@ def test_synthetic_one_epoch():
     assert np.isfinite(m["loss"]) and m["step"] == 4
 
 
+def test_coca_through_training_app():
+    """CoCa trains through pretrain_clip's loop: factory dispatches
+    init/apply to the multimodal model, create_loss to CoCaLoss with the
+    --coca-*-loss-weight flags (open_CLIP main.py trains CoCa through the
+    same path)."""
+    m = run_training(parse_args(TINY_ARGS[:-2] + [
+        "--model", "coca_test-tiny", "--train-num-samples", "32",
+        "--coca-caption-loss-weight", "1.5",
+        "--coca-contrastive-loss-weight", "0.5"]))
+    assert np.isfinite(m["loss"])
+
+
 def test_synthetic_branch_parallel(devices8):
     m = run_training(parse_args(TINY_ARGS + [
         "--extra-world-size", "4", "--tensor-model-parallel-size", "2"]))

@@ -194,6 +194,82 @@ def test_exit_duration_saves_and_stops(devices8, tmp_path):
     assert len(m["history"]) == 1  # only step 1 ran
 
 
+def test_no_save_optim_no_load_optim(devices8, tmp_path):
+    """megatron --no-save-optim / --no-load-optim: a params-only checkpoint
+    resumes (fresh optimizer, iteration kept)."""
+    from pretrain_gpt import parse_args, run
+    from megatron_clip_tpu.checkpoints import load_params_subtree
+    ck = str(tmp_path / "nso_ck")
+    run(parse_args(GPT_COMMON + ["--train-steps", "3", "--save", ck,
+                                 "--no-save-optim"]))
+    # the checkpoint really has no optimizer state
+    import orbax.checkpoint as ocp
+    import os
+    raw = ocp.StandardCheckpointer().restore(
+        os.path.join(ck, "iter_0000003", "state"))
+    assert set(raw.keys()) == {"params"}
+    m = run(parse_args(GPT_COMMON + ["--train-steps", "5", "--save", ck,
+                                     "--resume", "--no-load-optim"]))
+    assert m["history"][0][0] == 4  # iteration kept: first new step is 4
+    assert np.isfinite(m["loss"])
+
+
+def test_optimizer_flags(devices8):
+    """--optimizer sgd / --sgd-momentum and the adam hyperparameter flags
+    (megatron --adam-beta1/2/--adam-eps) reach the update rule."""
+    from pretrain_gpt import parse_args, run
+    m_sgd = run(parse_args(GPT_COMMON + [
+        "--train-steps", "3", "--optimizer", "sgd",
+        "--sgd-momentum", "0.8"]))
+    assert np.isfinite(m_sgd["loss"])
+    m_adam = run(parse_args(GPT_COMMON + [
+        "--train-steps", "3", "--adam-beta1", "0.85",
+        "--adam-beta2", "0.9", "--adam-eps", "1e-6"]))
+    assert np.isfinite(m_adam["loss"])
+    # different hyperparameters produce a different trajectory
+    m_def = run(parse_args(GPT_COMMON + ["--train-steps", "3"]))
+    assert abs(m_adam["loss"] - m_def["loss"]) > 1e-7
+    assert abs(m_sgd["loss"] - m_def["loss"]) > 1e-7
+
+
+def test_skip_train_and_wd_schedule(devices8, tmp_path):
+    """--skip-train evaluates a loaded checkpoint without training
+    (megatron --skip-train); --weight-decay-incr-style ramps the decay."""
+    from pretrain_gpt import parse_args, run
+    ck = str(tmp_path / "st_ck")
+    run(parse_args(GPT_COMMON + ["--train-steps", "2", "--save", ck]))
+    m = run(parse_args(GPT_COMMON + [
+        "--train-steps", "2", "--load", ck, "--skip-train",
+        "--eval-iters", "2"]))
+    assert m["history"] == [] and np.isfinite(m["val_loss"])
+
+    m_wd = run(parse_args(GPT_COMMON + [
+        "--train-steps", "3", "--weight-decay-incr-style", "linear",
+        "--start-weight-decay", "0.0", "--end-weight-decay", "0.3"]))
+    assert np.isfinite(m_wd["loss"])
+
+
+def test_lr_warmup_fraction(devices8):
+    """--lr-warmup-fraction 0.5 over 4 steps == --warmup 2 exactly."""
+    from pretrain_gpt import parse_args, run
+    m_frac = run(parse_args(GPT_COMMON + [
+        "--train-steps", "4", "--lr-warmup-fraction", "0.5"]))
+    m_steps = run(parse_args(GPT_COMMON + [
+        "--train-steps", "4", "--warmup", "2"]))
+    np.testing.assert_allclose(m_frac["loss"], m_steps["loss"], atol=1e-7)
+
+
+def test_tensorboard_dir(devices8, tmp_path):
+    """--tensorboard-dir writes train/val scalars (megatron training_log)."""
+    import os
+    from pretrain_gpt import parse_args, run
+    tb = str(tmp_path / "tb")
+    run(parse_args(GPT_COMMON + [
+        "--train-steps", "2", "--eval-interval", "2", "--eval-iters", "1",
+        "--tensorboard-dir", tb]))
+    assert any(f.startswith("events") for f in os.listdir(tb))
+
+
 def test_gpt_three_axis_parity(devices8):
     """tp2 x pp2 x cp2 composed in one program == pure-dp run on the same
     synthetic stream (each axis has its own parity test; this pins the
