@@ -150,7 +150,9 @@ def get_data(args, preprocess_train, preprocess_val, tokenizer,
                      workers=args.workers,
                      resampled=getattr(args, "dataset_resampled", False),
                      rank=getattr(args, "rank", 0),
-                     world_size=getattr(args, "world_size", 1))
+                     world_size=getattr(args, "world_size", 1),
+                     upsampling_factors=getattr(
+                         args, "train_data_upsampling_factors", None))
         out["train"] = DataInfo(ds, ds.num_batches, ds.num_samples)
     else:
         raise ValueError(args.dataset_type)

@@ -61,6 +61,25 @@ def expand_urls(urls) -> List[str]:
     return out
 
 
+def expand_urls_with_weights(urls, weights):
+    """Per-source sample weights for '::'-separated specs (open_CLIP
+    --train-data-upsampling-factors, data.py expand_urls): each source's
+    weight is repeated over its brace-expanded shards."""
+    if isinstance(urls, str):
+        urls = urls.split("::")
+    if isinstance(weights, str):
+        weights = [float(w) for w in weights.split("::")]
+    if len(weights) != len(urls):
+        raise ValueError(f"{len(weights)} upsampling factors for "
+                         f"{len(urls)} '::'-separated sources")
+    shards, shard_weights = [], []
+    for u, w in zip(urls, weights):
+        ex = brace_expand(u)
+        shards.extend(ex)
+        shard_weights.extend([float(w)] * len(ex))
+    return shards, shard_weights
+
+
 def iterate_tar_samples(path: str) -> Iterator[dict]:
     """Group tar members into samples keyed by basename-before-first-dot."""
     with tarfile.open(path, mode="r|*") as tf:
@@ -210,8 +229,19 @@ class WdsData:
                  tokenizer: Callable, *, num_samples: Optional[int] = None,
                  seed: int = 0, context_length: int = 77, workers: int = 2,
                  shuffle: bool = True, shuffle_buffer: int = SHUFFLE_BUFFER,
-                 resampled: bool = False, rank: int = 0, world_size: int = 1):
-        self.all_shards = expand_urls(urls)
+                 resampled: bool = False, rank: int = 0, world_size: int = 1,
+                 upsampling_factors=None):
+        if upsampling_factors is not None:
+            if not resampled:
+                raise ValueError("--train-data-upsampling-factors is only "
+                                 "supported with --dataset-resampled "
+                                 "(open_CLIP data.py has the same assert)")
+            self.all_shards, all_weights = expand_urls_with_weights(
+                urls, upsampling_factors)
+            self.shard_weights = split_by_node(all_weights, rank, world_size)
+        else:
+            self.all_shards = expand_urls(urls)
+            self.shard_weights = None
         self.shards = split_by_node(self.all_shards, rank, world_size)
         if not self.shards:
             raise ValueError(f"no shards from {urls!r} "
@@ -248,8 +278,14 @@ class WdsData:
         rng = random.Random(self.seed + self.epoch)
         if self.resampled:
             # ResampledShards2 semantics (data.py:274-326): shards drawn WITH
-            # replacement each epoch — statistically balanced across workers
-            shards = [rng.choice(self.shards) for _ in self.shards]
+            # replacement each epoch — statistically balanced across workers;
+            # per-source weights implement --train-data-upsampling-factors
+            if self.shard_weights is not None:
+                shards = rng.choices(self.shards,
+                                     weights=self.shard_weights,
+                                     k=len(self.shards))
+            else:
+                shards = [rng.choice(self.shards) for _ in self.shards]
         else:
             # detshuffle2 semantics: shard order = f(seed, epoch), same on
             # every host (data.py:242-273)

@@ -188,14 +188,16 @@ def _forward_cached(params, tokens, pos, cache: KVCache, cfg: GPTCfg,
 
 
 def _sample(logits, rng, temperature, top_k, top_p):
-    """logits [B, V] -> token ids [B] (megatron sampling.py semantics)."""
+    """logits [B, V] -> token ids [B] (megatron sampling.py semantics).
+    top_p may be None (off), a python float, or a traced scalar (the
+    per-step decayed threshold of --top-p-decay)."""
     if temperature == 0.0:
         return jnp.argmax(logits, axis=-1)
     logits = logits / temperature
     if top_k:
         kth = jax.lax.top_k(logits, top_k)[0][:, -1:]
         logits = jnp.where(logits < kth, -1e30, logits)
-    if top_p and top_p < 1.0:
+    if top_p is not None:
         sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
         probs = jax.nn.softmax(sorted_logits, axis=-1)
         cum = jnp.cumsum(probs, axis=-1)
@@ -208,11 +210,13 @@ def _sample(logits, rng, temperature, top_k, top_p):
 
 @partial(jax.jit, static_argnames=("cfg", "max_new_tokens", "temperature",
                                    "top_k", "top_p", "eos_id",
-                                   "return_lengths"))
+                                   "return_lengths", "top_p_decay",
+                                   "top_p_bound"))
 def generate(params, prompt, prompt_len, cfg: GPTCfg, *,
              max_new_tokens: int = 32, temperature: float = 1.0,
              top_k: int = 0, top_p: float = 0.0, eos_id: int = -1,
-             seed: int = 0, return_lengths: bool = False):
+             seed: int = 0, return_lengths: bool = False,
+             top_p_decay: float = 0.0, top_p_bound: float = 0.0):
     """prompt: [B, P] right-padded; prompt_len: [B] actual lengths.
     Returns tokens [B, P + max_new_tokens] with generations in-filled at each
     row's own prompt_len (megatron text_generation/generation.py semantics:
@@ -240,10 +244,20 @@ def generate(params, prompt, prompt_len, cfg: GPTCfg, *,
     row_write = jax.vmap(
         lambda o, t_, p_: jax.lax.dynamic_update_slice(o, t_, (p_,)))
 
+    # top_p as _sample expects it: None = off; with --top-p-decay the
+    # threshold shrinks per step, floored at top_p_bound (megatron
+    # sampling.py modify_logits_for_top_p_filtering + decay in generation.py)
+    tp0 = top_p if (top_p and top_p < 1.0) else None
+
     def step_fixed(carry, i):
         out, cache, last_logits, rng, done, n_gen = carry
         rng, sub = jax.random.split(rng)
-        tok = _sample(last_logits, sub, temperature, top_k, top_p).astype(jnp.int32)
+        tp_i = tp0
+        if tp0 is not None and top_p_decay:
+            tp_i = jnp.maximum(top_p_bound,
+                               tp0 * jnp.power(top_p_decay,
+                                               i.astype(jnp.float32)))
+        tok = _sample(last_logits, sub, temperature, top_k, tp_i).astype(jnp.int32)
         tok = jnp.where(done, jnp.zeros_like(tok), tok)
         wpos = prompt_len + i                       # per-row write position
         out = row_write(out, tok[:, None], wpos)

@@ -5,8 +5,14 @@ Replaces the reference's Flask `MegatronServer`
 with a stdlib http.server (no flask in the image). Same API shape:
 
   PUT /api  {"prompts": [...], "tokens_to_generate": N,
-             "temperature": t, "top_k": k, "top_p": p}
+             "temperature": t, "top_k": k, "top_p": p,
+             "top_p_decay": d, "top_p_bound": b, "add_BOS": bool,
+             "stop_token": id, "stop_on_eol": bool,
+             "stop_on_double_eol": bool, "random_seed": s}
   -> {"text": [...], "segments": [...], "logprobs": null}
+
+  PUT /api  {"prompts": [one], "beam_width": K, "length_penalty": a}
+  -> {"text": [...], "scores": [best]}   (batch size 1, like the reference)
 
 Generation runs as one compiled computation per (batch, prompt_len,
 max_new_tokens) bucket (see inference/generation.py); prompt lengths are
@@ -41,11 +47,16 @@ class GenerationService:
     MAX_TOKENS_TO_GENERATE = 1024
 
     def __call__(self, prompts, tokens_to_generate=32, temperature=1.0,
-                 top_k=0, top_p=0.0, seed=0):
+                 top_k=0, top_p=0.0, seed=0, add_bos=False,
+                 top_p_decay=0.0, top_p_bound=0.0, stop_token=None,
+                 stop_on_eol=False, stop_on_double_eol=False):
         from megatron_clip_tpu.inference.generation import generate
         tokens_to_generate = max(1, min(int(tokens_to_generate),
                                         self.MAX_TOKENS_TO_GENERATE))
         ids = [self.tokenizer.encode(p) for p in prompts]
+        if add_bos and self.eos_id >= 0:
+            # megatron add_BOS prepends tokenizer.eod (tokenization.py)
+            ids = [[self.eos_id] + seq for seq in ids]
         max_len = _bucket(max(len(i) for i in ids))
         batch = np.zeros((len(ids), max_len), np.int32)
         lens = np.zeros((len(ids),), np.int32)
@@ -58,15 +69,48 @@ class GenerationService:
                 self.cfg, max_new_tokens=tokens_to_generate,
                 temperature=float(temperature), top_k=int(top_k),
                 top_p=float(top_p), eos_id=self.eos_id, seed=seed,
-                return_lengths=True)
+                return_lengths=True, top_p_decay=float(top_p_decay),
+                top_p_bound=float(top_p_bound))
         out, n_gen = np.asarray(out), np.asarray(n_gen)
         texts = []
         for r in range(len(ids)):
             toks = list(out[r, lens[r]:lens[r] + n_gen[r]])
             if toks and toks[-1] == self.eos_id:
                 toks = toks[:-1]   # n_gen counts the EOS; don't render it
-            texts.append(self.tokenizer.decode([int(t) for t in toks]))
+            if stop_token is not None and int(stop_token) in toks:
+                toks = toks[:toks.index(int(stop_token))]
+            text = self.tokenizer.decode([int(t) for t in toks])
+            # megatron's stop_on_eol/stop_on_double_eol end generation at
+            # the marker; output-equivalent truncation here
+            if stop_on_double_eol and "\n\n" in text:
+                text = text[:text.index("\n\n")]
+            elif stop_on_eol and "\n" in text:
+                text = text[:text.index("\n")]
+            texts.append(text)
         return texts
+
+    def beam(self, prompts, tokens_to_generate=32, beam_width=4,
+             length_penalty=1.0):
+        """megatron text_generation_server beam path (batch size 1, like
+        the reference's 'When doing beam_search, batch size must be 1')."""
+        from megatron_clip_tpu.inference.beam_search import beam_search
+        if len(prompts) != 1:
+            raise ValueError("beam search requires exactly one prompt")
+        tokens_to_generate = max(1, min(int(tokens_to_generate),
+                                        self.MAX_TOKENS_TO_GENERATE))
+        ids = self.tokenizer.encode(prompts[0])
+        with self._lock:
+            toks, scores = beam_search(
+                self.params, jnp.asarray([ids], jnp.int32), self.cfg,
+                beam_size=int(beam_width),
+                max_new_tokens=tokens_to_generate,
+                eos_id=self.eos_id if self.eos_id >= 0 else 0,
+                length_penalty=float(length_penalty))
+        best = list(np.asarray(toks)[0, 0, len(ids):])
+        if self.eos_id in best:
+            best = best[:best.index(self.eos_id)]
+        return [self.tokenizer.decode([int(t) for t in best])], \
+            float(np.asarray(scores)[0, 0])
 
 
 def make_handler(service: GenerationService):
@@ -81,14 +125,36 @@ def make_handler(service: GenerationService):
                 prompts = req["prompts"]
                 if not isinstance(prompts, list) or not prompts:
                     raise ValueError("prompts must be a non-empty list")
-                texts = service(
-                    prompts,
-                    tokens_to_generate=req.get("tokens_to_generate", 32),
-                    temperature=req.get("temperature", 1.0),
-                    top_k=req.get("top_k", 0), top_p=req.get("top_p", 0.0),
-                    seed=req.get("random_seed", 0))
-                body = json.dumps({"text": texts, "segments": None,
-                                   "logprobs": None}).encode()
+                if req.get("prevent_newline_after_colon"):
+                    raise ValueError("prevent_newline_after_colon is not "
+                                     "supported (GPT2-BPE-specific logit "
+                                     "mask in the reference)")
+                if req.get("beam_width"):
+                    texts, score = service.beam(
+                        prompts,
+                        tokens_to_generate=req.get("tokens_to_generate", 32),
+                        beam_width=req.get("beam_width"),
+                        length_penalty=req.get("length_penalty", 1.0))
+                    body = json.dumps({"text": texts, "segments": None,
+                                       "logprobs": None,
+                                       "scores": [score]}).encode()
+                else:
+                    texts = service(
+                        prompts,
+                        tokens_to_generate=req.get("tokens_to_generate", 32),
+                        temperature=req.get("temperature", 1.0),
+                        top_k=req.get("top_k", 0),
+                        top_p=req.get("top_p", 0.0),
+                        seed=req.get("random_seed", 0),
+                        add_bos=req.get("add_BOS", False),
+                        top_p_decay=req.get("top_p_decay", 0.0),
+                        top_p_bound=req.get("top_p_bound", 0.0),
+                        stop_token=req.get("stop_token"),
+                        stop_on_eol=req.get("stop_on_eol", False),
+                        stop_on_double_eol=req.get("stop_on_double_eol",
+                                                   False))
+                    body = json.dumps({"text": texts, "segments": None,
+                                       "logprobs": None}).encode()
                 self.send_response(200)
                 self.send_header("Content-Type", "application/json")
                 self.send_header("Content-Length", str(len(body)))

@@ -205,7 +205,8 @@ def coca_generate(params, images, cfg: CLIPCfg, *, sot_id: int,
                 logits, i[None, None, None].repeat(b, 0), axis=1)[:, 0]
             rng, sub = jax.random.split(rng)
             tok = _sample(nxt_logits, sub, temperature, top_k,
-                          top_p).astype(jnp.int32)
+                          top_p if (top_p and top_p < 1.0) else None
+                          ).astype(jnp.int32)
             tok = jnp.where(done, 0, tok)
             tokens = jax.lax.dynamic_update_slice(
                 tokens, tok[:, None], (0, i + 1))

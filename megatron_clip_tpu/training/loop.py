@@ -52,12 +52,28 @@ def _model_overrides(args) -> dict:
         vision["patch_size"] = args.v_patch_size
     if args.v_image_size:
         vision["image_size"] = args.v_image_size
+    if getattr(args, "force_patch_dropout", None) is not None:
+        # open_CLIP --force-patch-dropout: override the config's rate
+        vision["patch_dropout"] = args.force_patch_dropout
     if vision:
         base = factory.get_model_config(args.model.replace("/", "-"))
         base_v = dict(base["vision_cfg"]) if base else {}
         base_v.update(vision)
         ov["vision_cfg"] = base_v
     return ov
+
+
+def _prune_older_checkpoints(root: str, keep_step: int) -> None:
+    """open_CLIP --delete-previous-checkpoint: only the newest survives."""
+    import glob
+    import shutil
+    for d in glob.glob(os.path.join(root, "iter_*")):
+        try:
+            s = int(os.path.basename(d)[5:])
+        except ValueError:
+            continue
+        if s != keep_step:
+            shutil.rmtree(d, ignore_errors=True)
 
 
 def run_training(args) -> dict:
@@ -271,6 +287,8 @@ def run_training(args) -> dict:
                 window_samples = 0
             if save_root and args.save_interval and step % args.save_interval == 0:
                 runner.save(save_root, step, consumed)
+                if args.delete_previous_checkpoint:
+                    _prune_older_checkpoints(save_root, step)
             if term["flag"]:
                 if save_root:
                     runner.save(save_root, step, consumed)
@@ -292,9 +310,12 @@ def run_training(args) -> dict:
                     signal.signal(signal.SIGTERM, prev_handler)
                 _finish()
                 return final_metrics
-        if save_root and ((epoch + 1) % args.save_frequency == 0):
+        if save_root and ((epoch + 1) % args.save_frequency == 0
+                          or args.save_most_recent):
             runner.save(save_root, step, consumed)
             _log(f"saved checkpoint @ step {step}")
+            if args.delete_previous_checkpoint:
+                _prune_older_checkpoints(save_root, step)
         # validation + zero-shot eval at epoch boundaries (open_CLIP
         # evaluate/zero_shot_eval cadence, train.py:530, main.py epoch loop)
         if ((epoch + 1) % max(args.val_frequency, 1) == 0
@@ -335,6 +356,19 @@ def run_training(args) -> dict:
                 _log("zero-shot: " + " ".join(f"{k}={v:.4f}"
                                               for k, v in zs.items()))
                 final_metrics.update(zs)
+                if args.imagenet_v2:
+                    # second eval set, same classifier (open_CLIP
+                    # --imagenet-v2, zero_shot.py zero_shot_eval)
+                    zs2 = zero_shot_eval(model_, params_, clf,
+                                         image_folder_batches(
+                                             args.imagenet_v2,
+                                             args.batch_size,
+                                             model_.image_size,
+                                             is_train=False, epochs=1))
+                    _log("zero-shot v2: " + " ".join(
+                        f"{k}={v:.4f}" for k, v in zs2.items()))
+                    final_metrics.update(
+                        {f"v2_{k}": v for k, v in zs2.items()})
     if nan_iters:
         _log(f"total non-finite loss iterations: {nan_iters}")
     if prev_handler is not None:
@@ -375,7 +409,8 @@ class _JointRunner:
         self.state = state
         self.step_fn = make_train_step(model, self.tx, loss_obj=loss_obj,
                                        mesh=self.mesh, teacher=teacher,
-                                       microbatches=max(1, args.accum_freq))
+                                       microbatches=max(1, args.accum_freq),
+                                       seed=args.seed)
 
     def step(self, images, texts):
         self.state, metrics = self.step_fn(self.state, jnp.asarray(images),

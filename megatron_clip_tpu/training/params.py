@@ -32,6 +32,10 @@ def parse_args(args=None):
     p.add_argument("--workers", type=int, default=4)
     p.add_argument("--dataset-resampled", action="store_true",
                    help="sample wds shards with replacement (ResampledShards2)")
+    p.add_argument("--train-data-upsampling-factors", type=str, default=None,
+                   help="'::'-separated per-source weights for a multi-source "
+                        "--train-data (open_CLIP flag; needs "
+                        "--dataset-resampled)")
 
     # --- model --------------------------------------------------------------
     p.add_argument("--model", type=str, default="ViT-B-32")
@@ -39,6 +43,13 @@ def parse_args(args=None):
     p.add_argument("--precision", choices=["amp", "amp_bf16", "bf16", "fp16",
                                            "fp32", "pure_bf16"], default="bf16")
     p.add_argument("--force-quick-gelu", action="store_true")
+    p.add_argument("--force-patch-dropout", type=float, default=None,
+                   help="override the model config's vision patch_dropout "
+                        "rate at train time (open_CLIP --force-patch-dropout)")
+    p.add_argument("--force-custom-text", action="store_true",
+                   help="accepted for open_CLIP CLI parity; text towers "
+                        "here are always the unified functional "
+                        "implementation (CustomTextCLIP semantics)")
     p.add_argument("--grad-checkpointing", action="store_true",
                    help="full activation recompute (megatron "
                         "--recompute-granularity full)")
@@ -129,6 +140,14 @@ def parse_args(args=None):
                    help="save every N epochs")
     p.add_argument("--save-interval", type=int, default=None,
                    help="save every N steps (megatron --save-interval)")
+    p.add_argument("--save-most-recent", action="store_true",
+                   help="also save at EVERY epoch boundary regardless of "
+                        "--save-frequency (open_CLIP epoch_latest.pt "
+                        "semantics; the tracker file always points at the "
+                        "newest checkpoint)")
+    p.add_argument("--delete-previous-checkpoint", action="store_true",
+                   help="after each save, remove older iter_* directories "
+                        "(open_CLIP --delete-previous-checkpoint)")
     p.add_argument("--resume", type=str, default=None,
                    help="'latest' or a checkpoint dir")
     p.add_argument("--log-interval", type=int, default=10,
@@ -154,6 +173,9 @@ def parse_args(args=None):
     p.add_argument("--val-frequency", type=int, default=1)
     p.add_argument("--imagenet-val", type=str, default=None,
                    help="path to ImageNet val dir for zero-shot eval")
+    p.add_argument("--imagenet-v2", type=str, default=None,
+                   help="path to ImageNet-V2 dir: a second zero-shot eval "
+                        "with the same classifier (open_CLIP --imagenet-v2)")
     p.add_argument("--zeroshot-frequency", type=int, default=2)
 
     ns = p.parse_args(args)

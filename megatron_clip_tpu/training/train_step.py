@@ -39,7 +39,7 @@ def make_train_step(model, tx, *, loss_obj: Optional[Callable] = None,
                     mesh: Optional[Mesh] = None, microbatches: int = 1,
                     sequence_parallel: bool = False,
                     teacher=None,
-                    jit: bool = True) -> Callable:
+                    jit: bool = True, seed: int = 0) -> Callable:
     """Build `step(state, images, texts) -> (state, metrics)`.
 
     model: factory.CLIPModel; tx: optax transformation.
@@ -52,9 +52,23 @@ def make_train_step(model, tx, *, loss_obj: Optional[Callable] = None,
     the same jit — no separate dispatch.
     """
     loss_obj = loss_obj or ClipLoss()
+    # patch dropout (open_CLIP vision_cfg.patch_dropout / FLIP): train-only,
+    # keyed by the step counter. The key is BUILT inside the trace (not a
+    # captured ArrayImpl closure const — those break jax 0.9's fastpath on
+    # donated steps; see training/workload.py _step)
+    pd_on = (getattr(model.cfg.vision, "patch_dropout", 0.0) or 0.0) > 0 \
+        and not getattr(model, "is_coca", False)
 
-    def loss_fn(params, images, texts):
-        out = model(params, images, texts)
+    def _pd_kw(step, mb_index=None):
+        if not pd_on:
+            return {}
+        key = jax.random.fold_in(jax.random.PRNGKey(seed + 1013), step)
+        if mb_index is not None:
+            key = jax.random.fold_in(key, mb_index)
+        return {"patch_dropout_rng": key}
+
+    def loss_fn(params, images, texts, step):
+        out = model(params, images, texts, **_pd_kw(step))
         if "logits" in out:
             # CoCa: contrastive + captioning terms (open_CLIP loss.py
             # CoCaLoss; create_loss dispatched the right loss_obj)
@@ -99,18 +113,22 @@ def make_train_step(model, tx, *, loss_obj: Optional[Callable] = None,
                                  *x.shape[1:])
             ims, txs = split(images), split(texts)
 
-            def collect(_, xs):
+            def collect(i, xs):
                 im, tx_ = xs
-                out = model(state.params, im, tx_)
-                return None, (out["image_features"], out["text_features"])
+                out = model(state.params, im, tx_,
+                            **_pd_kw(state.step, i))
+                return i + 1, (out["image_features"], out["text_features"])
 
-            _, (all_fi, all_ft) = jax.lax.scan(collect, None, (ims, txs))
+            _, (all_fi, all_ft) = jax.lax.scan(
+                collect, jnp.zeros((), jnp.int32), (ims, txs))
             all_fi = jax.lax.stop_gradient(all_fi)   # [M, mb, D]
             all_ft = jax.lax.stop_gradient(all_ft)
             d = all_fi.shape[-1]
 
             def block_loss(params, im, tx_, i):
-                out = model(params, im, tx_)
+                # the same (step, i) dropout key as the cache pass: the
+                # recomputed block-i features must equal the cached ones
+                out = model(params, im, tx_, **_pd_kw(state.step, i))
                 fi = jax.lax.dynamic_update_index_in_dim(
                     all_fi, out["image_features"], i, 0)
                 ft = jax.lax.dynamic_update_index_in_dim(
@@ -135,7 +153,8 @@ def make_train_step(model, tx, *, loss_obj: Optional[Callable] = None,
                 (jnp.arange(microbatches), ims, txs))
             scale = scales[-1]
         else:
-            (loss, scale), grads = grad_fn(state.params, images, texts)
+            (loss, scale), grads = grad_fn(state.params, images, texts,
+                                           state.step)
 
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)

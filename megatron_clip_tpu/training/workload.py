@@ -229,9 +229,13 @@ def runtime_cfg_from_args(args, name: str) -> RuntimeCfg:
         eval_interval=args.eval_interval,
         eval_iters=args.eval_iters,
         exit_duration_mins=getattr(args, "exit_duration_in_mins", None),
-        beta1=getattr(args, "adam_beta1", None) or 0.9,
-        beta2=getattr(args, "adam_beta2", None) or 0.999,
-        eps=getattr(args, "adam_eps", None) or 1e-8,
+        # explicit None checks: 0.0 is a legitimate beta1 (RMSProp-style)
+        beta1=(lambda v: 0.9 if v is None else v)(
+            getattr(args, "adam_beta1", None)),
+        beta2=(lambda v: 0.999 if v is None else v)(
+            getattr(args, "adam_beta2", None)),
+        eps=(lambda v: 1e-8 if v is None else v)(
+            getattr(args, "adam_eps", None)),
         optimizer=getattr(args, "optimizer", "adam"),
         sgd_momentum=getattr(args, "sgd_momentum", 0.9),
         no_load_optim=getattr(args, "no_load_optim", False),

@@ -58,3 +58,30 @@ def test_multi_prompt_batch(server):
                                 "tokens_to_generate": 3,
                                 "temperature": 1.0, "top_k": 5})
     assert status == 200 and len(out["text"]) == 2
+
+
+def test_reference_api_fields(server):
+    """The megatron text_generation_server JSON surface: add_BOS,
+    top_p_decay/bound, stop_token, random_seed."""
+    status, out = _put(server, {
+        "prompts": ["a photo of"], "tokens_to_generate": 4,
+        "temperature": 0.8, "top_p": 0.9, "top_p_decay": 0.9,
+        "top_p_bound": 0.1, "add_BOS": True, "random_seed": 7,
+        "stop_token": 0})
+    assert status == 200 and len(out["text"]) == 1
+
+
+def test_beam_endpoint(server):
+    status, out = _put(server, {"prompts": ["a photo of"],
+                                "tokens_to_generate": 4, "beam_width": 2,
+                                "length_penalty": 0.9})
+    assert status == 200 and len(out["text"]) == 1 and "scores" in out
+    # batch > 1 with beam is a clean 400, like the reference's assert
+    status, out = _put(server, {"prompts": ["a", "b"], "beam_width": 2})
+    assert status == 400
+
+
+def test_prevent_newline_after_colon_rejected(server):
+    status, out = _put(server, {"prompts": ["x"],
+                                "prevent_newline_after_colon": True})
+    assert status == 400 and "not supported" in out["message"]

@@ -26,6 +26,76 @@ def test_synthetic_one_epoch():
     assert np.isfinite(m["loss"]) and m["step"] == 4
 
 
+def test_save_most_recent_and_delete_previous(tmp_path):
+    """--save-most-recent saves at every epoch even when --save-frequency
+    wouldn't; --delete-previous-checkpoint leaves only the newest iter dir
+    (open_CLIP main.py:481-486 / --delete-previous-checkpoint)."""
+    save = str(tmp_path / "ckroot")
+    run_training(parse_args(TINY_ARGS[:-2] + [
+        "--train-num-samples", "32", "--epochs", "2", "--save", save,
+        "--save-frequency", "5", "--save-most-recent",
+        "--delete-previous-checkpoint"]))
+    root = os.path.join(save, "default")
+    iters = sorted(d for d in os.listdir(root) if d.startswith("iter_"))
+    assert iters == ["iter_0000004"], iters  # 2 epochs x 2 steps, only newest
+
+
+def test_patch_dropout_active_in_train_step():
+    """A patch_dropout model's train loss differs from the same model with
+    patch_dropout disabled (the rng actually reaches apply_vit) and is
+    deterministic per (seed, step)."""
+    import jax
+    import jax.numpy as jnp
+    from megatron_clip_tpu import factory
+    from megatron_clip_tpu.training import make_train_step, make_optimizer, cosine_lr
+    from megatron_clip_tpu.training.train_step import TrainState
+
+    def build(pd):
+        model, params = factory.create_model(
+            "test-tiny", precision="fp32", seed=0,
+            vision_cfg={"image_size": 32, "layers": 2, "width": 64,
+                        "head_width": 32, "patch_size": 8,
+                        "patch_dropout": pd})
+        tx = make_optimizer(params, cosine_lr(1e-3, 2, 10))
+        return model, TrainState.create(params, tx), tx
+
+    k = jax.random.PRNGKey(0)
+    images = jax.random.normal(k, (8, 32, 32, 3), jnp.float32)
+    texts = jax.random.randint(k, (8, 32), 1, 400).astype(jnp.int32)
+
+    model0, st0, tx0 = build(0.0)
+    step0 = make_train_step(model0, tx0, seed=3)
+    _, m0 = step0(st0, images, texts)
+
+    model1, st1, tx1 = build(0.5)
+    step1 = make_train_step(model1, tx1, seed=3)
+    _, m1 = step1(st1, images, texts)
+    assert abs(float(m0["loss"]) - float(m1["loss"])) > 1e-6
+
+    # deterministic: same seed -> same dropped patches -> same loss
+    _, st2, _ = build(0.5)
+    _, m2 = make_train_step(model1, tx1, seed=3)(st2, images, texts)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                               atol=1e-6)
+
+
+def test_wds_upsampling_factors():
+    """--train-data-upsampling-factors: per-source weights bias the
+    resampled shard draw (open_CLIP ResampledShards2 weights)."""
+    from megatron_clip_tpu.data.webdataset import expand_urls_with_weights
+    shards, w = expand_urls_with_weights(
+        "a-{0..2}.tar::b-{0..1}.tar", "1::3")
+    assert shards == ["a-0.tar", "a-1.tar", "a-2.tar", "b-0.tar", "b-1.tar"]
+    assert w == [1.0, 1.0, 1.0, 3.0, 3.0]
+    with pytest.raises(ValueError):
+        expand_urls_with_weights("a.tar::b.tar", "1")
+    # without --dataset-resampled the loader refuses (open_CLIP assert)
+    from megatron_clip_tpu.data.webdataset import WdsData
+    with pytest.raises(ValueError):
+        WdsData("x.tar", 4, None, None, num_samples=4,
+                upsampling_factors="2")
+
+
 def test_coca_through_training_app():
     """CoCa trains through pretrain_clip's loop: factory dispatches
     init/apply to the multimodal model, create_loss to CoCaLoss with the
