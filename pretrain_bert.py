@@ -18,6 +18,12 @@ def parse_args(argv=None):
     p.add_argument("--num-heads", type=int, default=12)
     p.add_argument("--seq-length", type=int, default=512)
     p.add_argument("--vocab-size", type=int, default=30592)
+    p.add_argument("--make-vocab-size-divisible-by", type=int, default=None,
+                   help="pad --vocab-size up to a multiple (megatron "
+                        "--make-vocab-size-divisible-by, x tp size there)")
+    p.add_argument("--bert-no-binary-head", action="store_true",
+                   help="train MLM only, no NSP head (megatron "
+                        "--bert-no-binary-head)")
     p.add_argument("--precision", default="bf16")
     p.add_argument("--attention-dropout", type=float, default=0.0)
     p.add_argument("--hidden-dropout", type=float, default=0.0)
@@ -49,9 +55,14 @@ def run(args):
     from megatron_clip_tpu.training.workload import (
         runtime_cfg_from_args, build_workload_mesh, run_workload)
 
+    vocab = args.vocab_size
+    if args.make_vocab_size_divisible_by:
+        d = args.make_vocab_size_divisible_by
+        vocab = -(-vocab // d) * d
     cfg = BertCfg(num_layers=args.num_layers, hidden_size=args.hidden_size,
-                  num_heads=args.num_heads, vocab_size=args.vocab_size,
-                  seq_length=args.seq_length)
+                  num_heads=args.num_heads, vocab_size=vocab,
+                  seq_length=args.seq_length,
+                  add_binary_head=not args.bert_no_binary_head)
     tcfg = cfg.transformer(remat=args.recompute_granularity,
                            attention_dropout=args.attention_dropout,
                            hidden_dropout=args.hidden_dropout)

@@ -28,6 +28,9 @@ def parse_args(argv=None):
     p.add_argument("--kv-heads", type=int, default=None)
     p.add_argument("--seq-length", type=int, default=1024)
     p.add_argument("--vocab-size", type=int, default=50304)
+    p.add_argument("--make-vocab-size-divisible-by", type=int, default=None,
+                   help="pad --vocab-size up to a multiple (megatron "
+                        "--make-vocab-size-divisible-by, x tp size there)")
     p.add_argument("--position-embedding", choices=["learned", "rope"],
                    default="learned")
     p.add_argument("--rotary-percent", type=float, default=1.0,
@@ -119,10 +122,14 @@ def run(args):
     from megatron_clip_tpu.training.workload import (
         runtime_cfg_from_args, build_workload_mesh, run_workload)
 
+    vocab = args.vocab_size
+    if args.make_vocab_size_divisible_by:
+        d = args.make_vocab_size_divisible_by
+        vocab = -(-vocab // d) * d
     cfg = GPTCfg(
         num_layers=args.num_layers, hidden_size=args.hidden_size,
         num_heads=args.num_heads, kv_heads=args.kv_heads,
-        vocab_size=args.vocab_size, seq_length=args.seq_length,
+        vocab_size=vocab, seq_length=args.seq_length,
         position_embedding=args.position_embedding,
         rotary_percent=args.rotary_percent,
         rope_interpolation=args.rotary_seq_len_interpolation_factor,

@@ -270,6 +270,22 @@ def test_tensorboard_dir(devices8, tmp_path):
     assert any(f.startswith("events") for f in os.listdir(tb))
 
 
+def test_vocab_padding_and_bert_no_nsp(devices8):
+    """--make-vocab-size-divisible-by pads the embedding/vocab dim;
+    --bert-no-binary-head drops the NSP head (megatron flags)."""
+    from pretrain_gpt import parse_args as ga, run as gr
+    m = gr(ga(["--num-layers", "2", "--hidden-size", "64", "--num-heads",
+               "4", "--seq-length", "32", "--vocab-size", "250",
+               "--make-vocab-size-divisible-by", "128", "--batch-size", "8",
+               "--train-steps", "2", "--log-interval", "1",
+               "--precision", "fp32"]))
+    assert np.isfinite(m["loss"])
+    from pretrain_bert import parse_args as ba, run as br
+    m2 = br(ba(BERT_COMMON + ["--train-steps", "2",
+                              "--bert-no-binary-head"]))
+    assert np.isfinite(m2["loss"])
+
+
 def test_gpt_three_axis_parity(devices8):
     """tp2 x pp2 x cp2 composed in one program == pure-dp run on the same
     synthetic stream (each axis has its own parity test; this pins the
