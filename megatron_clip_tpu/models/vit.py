@@ -103,7 +103,18 @@ def apply_vit(params, images, cfg: VisionCfg, embed_dim: int, *,
     b = x.shape[0]
     cls = params["cls"].astype(compute_dtype)[None, None].repeat(b, axis=0)
     x = jnp.concatenate([cls, x], axis=1)
-    x = x + params["pos_embed"].astype(compute_dtype)[None]
+    pe = params["pos_embed"]
+    if pe.shape[0] != x.shape[1]:
+        # input grid differs from the trained grid (e.g. DINO local crops):
+        # bilinear-interpolate the 2D position table (DeiT/DINO
+        # interpolate_pos_encoding)
+        g_from = int(round((pe.shape[0] - 1) ** 0.5))
+        g_to = int(round((x.shape[1] - 1) ** 0.5))
+        grid = pe[1:].reshape(g_from, g_from, -1)
+        grid = jax.image.resize(grid, (g_to, g_to, grid.shape[-1]),
+                                method="bilinear")
+        pe = jnp.concatenate([pe[:1], grid.reshape(g_to * g_to, -1)], axis=0)
+    x = x + pe.astype(compute_dtype)[None]
 
     if patch_dropout_rng is not None and cfg.patch_dropout > 0.0:
         # open_CLIP PatchDropout (transformer.py): keep cls, keep a random

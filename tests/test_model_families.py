@@ -89,8 +89,8 @@ def test_dino_loss_and_ema():
     # teacher receives no gradient; EMA moves teacher toward student
     student2 = jax.tree.map(lambda x: x + 1.0, state["student"])
     new_state = dino_update_teacher(state, student2, dcfg)
-    d = np.asarray(new_state["teacher"]["head"]["w"]
-                   - state["teacher"]["head"]["w"])
+    d = np.asarray(new_state["teacher"]["head"]["fc1"]["w"]
+                   - state["teacher"]["head"]["fc1"]["w"])
     np.testing.assert_allclose(d, 0.1, rtol=1e-4)
 
 

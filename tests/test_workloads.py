@@ -109,6 +109,23 @@ def test_dino_aux_state_resume(devices8, tmp_path):
     np.testing.assert_allclose(m_res["loss"], m_full["loss"], atol=1e-6)
 
 
+def test_dino_schedules(devices8):
+    """DINO teacher-temp warmup + cosine EMA momentum (megatron
+    --dino-warmup-teacher-temp[-epochs], dino.py momentum_schedule): the
+    step counter rides the checkpointable aux state."""
+    from pretrain_vision_dino import parse_args, run
+    m = run(parse_args([
+        "--num-layers", "2", "--hidden-size", "64", "--img-size", "32",
+        "--patch-size", "8", "--out-dim", "32", "--batch-size", "4",
+        "--train-steps", "3", "--log-interval", "1", "--precision", "fp32",
+        "--dino-teacher-temp", "0.07", "--dino-warmup-teacher-temp", "0.04",
+        "--dino-warmup-teacher-temp-iters", "2", "--dino-momentum-cosine",
+        "--dino-head-hidden-size", "32", "--dino-bottleneck-size", "16",
+        "--dino-norm-last-layer", "--dino-freeze-last-layer", "2",
+        "--dino-local-crops-number", "2", "--dino-local-img-size", "16"]))
+    assert np.isfinite(m["loss"])
+
+
 def test_gpt_resume_equivalence_nu_bf16(devices8, tmp_path):
     """Resume-equivalence with the fully-bf16 adam state (adamw_lowbits,
     --nu-dtype bf16): the lowbits optimizer state must roundtrip through
