@@ -13,13 +13,24 @@ from megatron_clip_tpu.data.transforms import image_transform
 _EXTS = (".jpg", ".jpeg", ".png", ".webp", ".bmp")
 
 
-def scan_image_folder(root: str) -> Tuple[List[Tuple[str, int]], List[str]]:
+def scan_image_folder(root: str, classes_fraction: float = 1.0,
+                      per_class_fraction: float = 1.0,
+                      ) -> Tuple[List[Tuple[str, int]], List[str]]:
+    """classes_fraction / per_class_fraction subsample the folder like
+    megatron's --classes-fraction / --data-per-class-fraction
+    (megatron/data/image_folder.py): keep the first fraction of classes,
+    and of each kept class's files."""
     classes = sorted(d for d in os.listdir(root)
                      if os.path.isdir(os.path.join(root, d)))
+    if classes_fraction < 1.0:
+        classes = classes[:max(1, int(len(classes) * classes_fraction))]
     samples = []
     for idx, c in enumerate(classes):
         cdir = os.path.join(root, c)
-        for fn in sorted(os.listdir(cdir)):
+        files = sorted(os.listdir(cdir))
+        if per_class_fraction < 1.0:
+            files = files[:max(1, int(len(files) * per_class_fraction))]
+        for fn in files:
             if fn.lower().endswith(_EXTS):
                 samples.append((os.path.join(cdir, fn), idx))
     return samples, classes
@@ -27,9 +38,11 @@ def scan_image_folder(root: str) -> Tuple[List[Tuple[str, int]], List[str]]:
 
 def image_folder_batches(root: str, batch_size: int, image_size: int, *,
                          is_train: bool = True, seed: int = 0,
-                         epochs: int = -1) -> Iterator:
+                         epochs: int = -1, classes_fraction: float = 1.0,
+                         per_class_fraction: float = 1.0) -> Iterator:
     from PIL import Image
-    samples, _ = scan_image_folder(root)
+    samples, _ = scan_image_folder(root, classes_fraction,
+                                   per_class_fraction)
     if not samples:
         raise ValueError(f"no class-dir images under {root}")
     pp = image_transform(image_size, is_train=is_train)

@@ -26,6 +26,14 @@ def parse_args(argv=None):
     p.add_argument("--data-path", type=str, default=None,
                    help="sentence-level indexed corpus prefix")
     p.add_argument("--titles-data-path", type=str, default=None)
+    p.add_argument("--query-in-block-prob", type=float, default=0.1,
+                   help="probability the query sentence stays in its "
+                        "evidence block (megatron --query-in-block-prob)")
+    import argparse as _ap
+    p.add_argument("--use-one-sent-docs", action=_ap.BooleanOptionalAction,
+                   default=True,
+                   help="allow single-sentence documents as blocks "
+                        "(megatron --use-one-sent-docs)")
     p.add_argument("--split", type=str, default="969,30,1",
                    help="train/valid/test doc-split weights over --data-path "
                         "(megatron --split semantics)")
@@ -81,7 +89,9 @@ def run(args):
             ds = ICTDataset(args.data_path,
                             args.titles_data_path or args.data_path,
                             max_seq_length=args.seq_length,
-                            num_epochs=1000, use_one_sent_blocks=True,
+                            num_epochs=1000,
+                            use_one_sent_blocks=args.use_one_sent_docs,
+                            query_in_block_prob=args.query_in_block_prob,
                             seed=seed,
                             max_num_samples=args.train_steps * args.batch_size)
             i = 0

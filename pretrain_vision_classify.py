@@ -16,6 +16,12 @@ def parse_args(argv=None):
     p.add_argument("--patch-size", type=int, default=16)
     p.add_argument("--img-size", type=int, default=224)
     p.add_argument("--num-classes", type=int, default=1000)
+    p.add_argument("--classes-fraction", type=float, default=1.0,
+                   help="train on the first fraction of classes "
+                        "(megatron --classes-fraction)")
+    p.add_argument("--data-per-class-fraction", type=float, default=1.0,
+                   help="train on the first fraction of each class's images "
+                        "(megatron --data-per-class-fraction)")
     p.add_argument("--backbone", choices=["vit", "swin", "mit"],
                    default="vit")
     p.add_argument("--precision", default="bf16")
@@ -77,9 +83,10 @@ def run(args):
         rng = np.random.RandomState(seed)
         if data_dir or args.data_dir:
             from megatron_clip_tpu.data.image_folder import image_folder_batches
-            yield from image_folder_batches(data_dir or args.data_dir,
-                                            args.batch_size,
-                                            args.img_size, seed=seed)
+            yield from image_folder_batches(
+                data_dir or args.data_dir, args.batch_size, args.img_size,
+                seed=seed, classes_fraction=args.classes_fraction,
+                per_class_fraction=args.data_per_class_fraction)
         while True:
             yield (jnp.asarray(rng.randn(args.batch_size, args.img_size,
                                          args.img_size, 3).astype(np.float32)),
