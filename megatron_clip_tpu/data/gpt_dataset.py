@@ -40,11 +40,13 @@ def train_valid_test_split(splits: str, n_docs: int):
 class GPTDataset:
     def __init__(self, prefix: str, seq_length: int, num_samples: int = 0,
                  seed: int = 0, cache: bool = True, documents=None,
-                 split_tag: str = ""):
+                 split_tag: str = "", cache_dir: str = None):
         """`documents`: optional int32 doc-index array restricting the
         dataset to a doc range (megatron's train/valid/test splits —
         gpt_dataset.py:240 takes the same argument). `split_tag` names the
-        split in the index cache path."""
+        split in the index cache path. `cache_dir` redirects the index
+        cache away from the (possibly read-only) data directory (megatron
+        --data-cache-path)."""
         self.data = MMapIndexedDataset(prefix)
         self.seq_length = seq_length
         if documents is None:
@@ -68,7 +70,11 @@ class GPTDataset:
         tag = (f"_{split_tag}{int(docs[0])}-{int(docs[-1])}"
                if documents is not None and len(docs) else
                (f"_{split_tag}" if split_tag else ""))
-        cache_path = (f"{prefix}_gpt_s{seq_length}_e{num_epochs}_r{seed}"
+        cache_base = prefix
+        if cache_dir:
+            os.makedirs(cache_dir, exist_ok=True)
+            cache_base = os.path.join(cache_dir, os.path.basename(prefix))
+        cache_path = (f"{cache_base}_gpt_s{seq_length}_e{num_epochs}_r{seed}"
                       f"{tag}_idx.npy")
         if cache and os.path.isfile(cache_path):
             self.sample_idx = np.load(cache_path)
@@ -106,7 +112,8 @@ class GPTDataset:
 
 def gpt_batch_iterator(prefix: str, batch_size: int, seq_length: int,
                        seed: int = 0, split: str = "",
-                       split_index: int = 0) -> Iterator[np.ndarray]:
+                       split_index: int = 0,
+                       cache_dir: str = None) -> Iterator[np.ndarray]:
     """Infinite [B, seq_length+1] int32 batches (consumed-samples resume is
     the caller's job via skipping). `split`: megatron --split weights
     ('969,30,1'); split_index 0/1/2 = train/valid/test doc range."""
@@ -120,7 +127,7 @@ def gpt_batch_iterator(prefix: str, batch_size: int, seq_length: int,
         documents = np.arange(lo, hi, dtype=np.int32)
         tag = ("train", "valid", "test")[split_index]
     ds = GPTDataset(prefix, seq_length, seed=seed, documents=documents,
-                    split_tag=tag)
+                    split_tag=tag, cache_dir=cache_dir)
     i = 0
     while True:
         batch = np.stack([np.asarray(ds[i + j], np.int32)[:seq_length + 1]

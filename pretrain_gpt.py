@@ -78,6 +78,9 @@ def parse_args(argv=None):
                         "TransformerEngine fp8 path)")
     p.add_argument("--data-path", type=str, default=None,
                    help="indexed dataset prefix (.bin/.idx); synthetic if unset")
+    p.add_argument("--data-cache-path", type=str, default=None,
+                   help="directory for the packing-index cache instead of "
+                        "next to the data (megatron --data-cache-path)")
     p.add_argument("--split", type=str, default="969,30,1",
                    help="train/valid/test doc-split weights over --data-path "
                         "(megatron --split semantics); --eval-interval "
@@ -189,7 +192,8 @@ def run(args):
             from megatron_clip_tpu.data.gpt_dataset import gpt_batch_iterator
             it = gpt_batch_iterator(args.data_path, args.batch_size,
                                     args.seq_length, seed=args.seed,
-                                    split=args.split, split_index=0)
+                                    split=args.split, split_index=0,
+                                    cache_dir=args.data_cache_path)
             for _ in range(start_step):
                 next(it)
             yield from it
@@ -211,7 +215,8 @@ def run(args):
             from megatron_clip_tpu.data.gpt_dataset import gpt_batch_iterator
             return gpt_batch_iterator(args.data_path, args.batch_size,
                                       args.seq_length, seed=args.seed,
-                                      split=args.split, split_index=1)
+                                      split=args.split, split_index=1,
+                                      cache_dir=args.data_cache_path)
 
         def synth():
             rng = np.random.RandomState(args.seed + 7919)

@@ -99,6 +99,24 @@ def test_gpt_dataset_packing(tmp_path):
     assert b.shape == (4, 33) and b.dtype == np.int32
 
 
+def test_gpt_dataset_cache_dir(tmp_path):
+    """--data-cache-path: the packing index lands in the cache dir, not
+    next to the (possibly read-only) data, and reloads from there."""
+    import os
+    rng = np.random.RandomState(2)
+    docs = [[[int(x) for x in rng.randint(1, 100, size=40)]]
+            for _ in range(8)]
+    prefix = _write_dataset(tmp_path, docs)
+    cache = str(tmp_path / "idxcache")
+    ds = GPTDataset(prefix, seq_length=16, seed=0, cache_dir=cache)
+    assert any(f.endswith("_idx.npy") for f in os.listdir(cache))
+    data_dir_npys = [f for f in os.listdir(tmp_path)
+                     if f.endswith(".npy")]
+    assert not data_dir_npys, data_dir_npys
+    ds2 = GPTDataset(prefix, seq_length=16, seed=0, cache_dir=cache)
+    np.testing.assert_array_equal(np.asarray(ds[0]), np.asarray(ds2[0]))
+
+
 def test_blendable_dataset(tmp_path):
     (tmp_path / "a").mkdir()
     (tmp_path / "b").mkdir()
