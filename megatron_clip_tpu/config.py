@@ -185,6 +185,10 @@ class CLIPCfg:
     convnext: Optional[str] = None
     convnext_proj: str = "linear"    # timm_proj: linear | mlp | none
     convnext_drop_path: float = 0.0  # timm_drop_path
+    # Swin tower (open_CLIP swin_*_patchX_windowY_SZ configs use timm; here
+    # native — models/swin.py). Set to the timm model name.
+    swin: Optional[str] = None
+    swin_proj: str = "linear"        # timm_proj: linear | mlp | none
     # HF text tower (open_CLIP text_cfg.hf_model_name -> HFTextEncoder;
     # here a native JAX BERT/RoBERTa encoder, models/hf_text.py). Holds
     # {model_name, pretrained, proj, pooler} — arch dims come from

@@ -102,7 +102,81 @@ _BUILTIN["test-tiny"] = {
                  "heads": 2, "layers": 2},
 }
 
+# the remaining reference model_configs/*.json shapes (same published
+# hyperparameters; megatron_clip_tpu towers are native re-implementations)
+_BUILTIN["ViT-B-16-plus"] = _vit(640, 12, 896, 16, 640, 10, 12)
+_BUILTIN["ViT-L-14-280"] = _vit(768, 24, 1024, 14, 768, 12, 12,
+                                image_size=280)
+_BUILTIN["ViT-L-16-320"] = _vit(768, 24, 1024, 16, 768, 12, 12,
+                                image_size=320)
+_BUILTIN["ViT-L-16-bigT"] = _vit(768, 24, 1408, 16, 1024, 16, 24)
+_BUILTIN["ViT-L-16-bigT-backup"] = _vit(768, 24, 1024, 16, 768, 12, 24)
+_BUILTIN["ViT-L-16-tiny"] = _vit(768, 2, 1024, 16, 1536, 12, 2)
+_BUILTIN["ViT-M-16-alt"] = _vit(384, 12, 512, 16, 384, 6, 12)
+_BUILTIN["ViT-M-16-alt"]["vision_cfg"]["ls_init_value"] = 1e-4
+_BUILTIN["ViT-M-32-alt"] = _vit(384, 12, 512, 32, 384, 6, 12)
+_BUILTIN["ViT-S-16-alt"] = _vit(256, 12, 384, 16, 256, 4, 10)
+_BUILTIN["ViT-S-32-alt"] = _vit(256, 12, 384, 32, 256, 4, 10)
+
+# HF-text-tower pairs (native towers: models/hf_text.py RoBERTa/XLM-R arch,
+# models/hf_t5_text.py mT5 encoder). text_cfg carries the checkpoint's arch
+# dims so from-scratch/offline init builds the right shapes.
+def _hf_pair(embed_dim, vjson, hf_name, width, heads, layers, vocab,
+             max_pos=514, proj="mlp", quick_gelu=False):
+    cfg = {
+        "embed_dim": embed_dim,
+        "vision_cfg": vjson,
+        "text_cfg": {"hf_model_name": hf_name, "proj": proj,
+                     "pooler_type": "mean_pooler", "width": width,
+                     "heads": heads, "layers": layers, "vocab_size": vocab,
+                     "context_length": max_pos},
+    }
+    if quick_gelu:
+        cfg["quick_gelu"] = True
+    return cfg
+
+
+_VITB32 = {"image_size": 224, "layers": 12, "width": 768, "patch_size": 32}
+_VITH14 = {"image_size": 224, "layers": 32, "width": 1280, "head_width": 80,
+           "patch_size": 14}
+_BUILTIN["roberta-ViT-B-32"] = _hf_pair(
+    512, _VITB32, "roberta-base", 768, 12, 12, 50265, quick_gelu=True)
+_BUILTIN["xlm-roberta-base-ViT-B-32"] = _hf_pair(
+    512, _VITB32, "xlm-roberta-base", 768, 12, 12, 250002)
+_BUILTIN["xlm-roberta-large-ViT-H-14"] = _hf_pair(
+    1024, _VITH14, "xlm-roberta-large", 1024, 16, 24, 250002)
+_BUILTIN["mt5-base-ViT-B-32"] = _hf_pair(
+    512, _VITB32, "google/mt5-base", 768, 12, 12, 250112)
+_BUILTIN["mt5-xl-ViT-H-14"] = _hf_pair(
+    1024, _VITH14, "google/mt5-xl", 2048, 32, 24, 250112)
+
+# timm-named towers on the native swin / GAP-ViT implementations
+_BUILTIN["swin_base_patch4_window7_224"] = {
+    "embed_dim": 640,
+    "vision_cfg": {"timm_model_name": "swin_base_patch4_window7_224",
+                   "timm_proj": "linear", "image_size": 224},
+    "text_cfg": {"context_length": 77, "vocab_size": 49408, "width": 640,
+                 "heads": 10, "layers": 12},
+}
+_BUILTIN["vit_medium_patch16_gap_256"] = {
+    "embed_dim": 512,
+    "vision_cfg": {"timm_model_name": "vit_medium_patch16_gap_256",
+                   "timm_proj": "linear", "image_size": 256},
+    "text_cfg": {"context_length": 77, "vocab_size": 49408, "width": 512,
+                 "heads": 8, "layers": 12},
+}
+
 # CoCa variants
+_BUILTIN["coca_base"] = {
+    "embed_dim": 512,
+    "vision_cfg": {"image_size": 288, "layers": 12, "width": 768,
+                   "patch_size": 18},
+    "text_cfg": {"context_length": 76, "vocab_size": 64000, "width": 768,
+                 "heads": 12, "layers": 12},
+    "multimodal_cfg": {"context_length": 76, "width": 768, "heads": 12,
+                       "layers": 12, "attn_pooler_heads": 8},
+    "custom_text": True,
+}
 _BUILTIN["coca_test-tiny"] = {
     "embed_dim": 64,
     "vision_cfg": {"image_size": 32, "layers": 2, "width": 64,
@@ -199,6 +273,8 @@ def parse_model_cfg(cfg_dict: dict) -> CLIPCfg:
     convnext = None
     convnext_proj = "linear"
     convnext_drop_path = 0.0
+    swin = None
+    swin_proj = "linear"
     if isinstance(vcfg_in.get("layers"), (list, tuple)):
         # open_CLIP marks ResNet towers with a list-typed layers field
         resnet_layers = tuple(vcfg_in.pop("layers"))
@@ -217,6 +293,10 @@ def parse_model_cfg(cfg_dict: dict) -> CLIPCfg:
                                      patch_size=32, image_size=224),
         "vit_large_patch14_224": dict(layers=24, width=1024, head_width=64,
                                       patch_size=14, image_size=224),
+        # GAP variant: no-CLS timm arch approximated with avg-pooled patches
+        "vit_medium_patch16_gap_256": dict(layers=12, width=512,
+                                           head_width=64, patch_size=16,
+                                           image_size=256, pool_type="avg"),
     }
     if vcfg_in.get("timm_model_name"):
         timm_name = vcfg_in.pop("timm_model_name")
@@ -236,11 +316,16 @@ def parse_model_cfg(cfg_dict: dict) -> CLIPCfg:
             convnext = timm_name
             convnext_proj = vcfg_in.pop("timm_proj", "linear") or "none"
             convnext_drop_path = vcfg_in.pop("timm_drop_path", 0.0)
+        elif timm_name.startswith("swin"):
+            swin = timm_name
+            swin_proj = vcfg_in.pop("timm_proj", "linear") or "none"
+            vcfg_in.pop("timm_pool", None)
+            vcfg_in.pop("timm_drop_path", None)
         else:
             raise NotImplementedError(
                 f"timm tower {timm_name!r} is not implemented (native "
-                "families here: vit_* ViTs, convnext_*; plus ModifiedResNet "
-                "via list-typed layers)")
+                "families here: vit_* ViTs, convnext_*, swin_*; plus "
+                "ModifiedResNet via list-typed layers)")
     v = _filter_fields(vcfg_in, VisionCfg)
     tcfg_in = dict(cfg_dict.get("text_cfg", {}))
     hf_text = None
@@ -270,6 +355,8 @@ def parse_model_cfg(cfg_dict: dict) -> CLIPCfg:
         convnext=convnext,
         convnext_proj=convnext_proj,
         convnext_drop_path=convnext_drop_path,
+        swin=swin,
+        swin_proj=swin_proj,
         hf_text=hf_text,
         init_logit_bias=cfg_dict.get("init_logit_bias"),
         multimodal=mm,

@@ -26,6 +26,62 @@ def _resnet_cfg(cfg: CLIPCfg):
                      heads=cfg.resnet_width * 32 // 64)
 
 
+# timm swin arch table (swin_transformer.py published hyperparameters)
+_SWIN_ARCHS = {
+    "tiny": (96, (2, 2, 6, 2), (3, 6, 12, 24)),
+    "small": (96, (2, 2, 18, 2), (3, 6, 12, 24)),
+    "base": (128, (2, 2, 18, 2), (4, 8, 16, 32)),
+    "large": (192, (2, 2, 18, 2), (6, 12, 24, 48)),
+}
+
+
+def _swin_cfg(cfg: CLIPCfg):
+    """SwinCfg from a timm swin model name, e.g.
+    swin_base_patch4_window7_224 (open_CLIP swin configs delegate to timm;
+    native tower here — models/swin.py)."""
+    import re
+    from megatron_clip_tpu.models.swin import SwinCfg
+    m = re.match(r"swin_(tiny|small|base|large)_patch(\d+)_window(\d+)_(\d+)",
+                 cfg.swin)
+    if not m:
+        raise ValueError(f"unrecognized swin arch name {cfg.swin!r}")
+    embed, depths, heads = _SWIN_ARCHS[m.group(1)]
+    return SwinCfg(image_size=int(m.group(4)), patch_size=int(m.group(2)),
+                   embed_dim=embed, depths=depths, num_heads=heads,
+                   window_size=int(m.group(3)))
+
+
+def _init_swin_tower(key, cfg: CLIPCfg, dtype):
+    from megatron_clip_tpu.models.swin import init_swin
+    scfg = _swin_cfg(cfg)
+    k1, k2, k3 = jax.random.split(key, 3)
+    nf, e = scfg.num_features, cfg.embed_dim
+    visual = {"trunk": init_swin(k1, scfg, dtype=dtype)}
+    if cfg.swin_proj == "linear":
+        visual["proj"] = {"w": (nf ** -0.5 * jax.random.normal(
+            k2, (nf, e))).astype(dtype)}
+    elif cfg.swin_proj == "mlp":
+        visual["proj"] = {
+            "w1": (nf ** -0.5 * jax.random.normal(k2, (nf, nf))).astype(dtype),
+            "b1": jnp.zeros((nf,), dtype),
+            "w2": (nf ** -0.5 * jax.random.normal(k3, (nf, e))).astype(dtype),
+        }
+    return visual
+
+
+def _apply_swin_tower(params, images, cfg: CLIPCfg, compute_dtype):
+    from megatron_clip_tpu.models.swin import apply_swin
+    f = apply_swin(params["visual"]["trunk"], images, _swin_cfg(cfg),
+                   compute_dtype=compute_dtype)
+    pr = params["visual"].get("proj")
+    if pr is None:
+        return f.astype(jnp.float32)
+    if "w1" in pr:
+        h = jax.nn.gelu(f @ pr["w1"].astype(f.dtype) + pr["b1"].astype(f.dtype))
+        return (h @ pr["w2"].astype(h.dtype)).astype(jnp.float32)
+    return (f @ pr["w"].astype(f.dtype)).astype(jnp.float32)
+
+
 def _convnext_cfg(cfg: CLIPCfg):
     from megatron_clip_tpu.models.convnext import CONVNEXT_ARCHS, ConvNeXtCfg
     depths, dims = CONVNEXT_ARCHS[cfg.convnext]
@@ -111,6 +167,8 @@ def init_clip(key, cfg: CLIPCfg, dtype=jnp.float32):
         from megatron_clip_tpu.models.convnext import init_convnext
         visual = init_convnext(kv, _convnext_cfg(cfg), cfg.embed_dim,
                                dtype=dtype)
+    elif cfg.swin is not None:
+        visual = _init_swin_tower(kv, cfg, dtype)
     else:
         visual = init_vit(kv, cfg.vision, cfg.embed_dim, act=cfg.act,
                           dtype=dtype)
@@ -167,10 +225,12 @@ def encode_image(params, images, cfg: CLIPCfg, *, normalize: bool = True,
                  remat: str = "none", sequence_parallel: bool = False,
                  scan_layers: bool = True, layers_fn=None):
     if layers_fn is not None and (cfg.resnet_layers is not None
-                                  or cfg.convnext is not None):
+                                  or cfg.convnext is not None
+                                  or cfg.swin is not None):
         raise ValueError("pipeline parallelism (layers_fn) requires a "
-                         "transformer vision tower; ResNet/ConvNeXt towers "
-                         "have no uniform layer stack to shard over stages")
+                         "uniform transformer vision tower; ResNet/ConvNeXt/"
+                         "Swin towers have no uniform layer stack to shard "
+                         "over stages")
     if cfg.resnet_layers is not None:
         # ModifiedResNet tower. NOTE: through this generic path BatchNorm
         # runs on stored running stats (frozen-BN training regime); full
@@ -184,6 +244,9 @@ def encode_image(params, images, cfg: CLIPCfg, *, normalize: bool = True,
         f = apply_convnext(params["visual"], images, _convnext_cfg(cfg),
                            cfg.embed_dim, compute_dtype=compute_dtype)
         return _l2_normalize(f) if normalize else f.astype(jnp.float32)
+    if cfg.swin is not None:
+        f = _apply_swin_tower(params, images, cfg, compute_dtype)
+        return _l2_normalize(f) if normalize else f
     f = apply_vit(params["visual"], images, cfg.vision, cfg.embed_dim,
                   act=cfg.act, compute_dtype=compute_dtype,
                   tcfg=cfg.vision.transformer(act=cfg.act, remat=remat,

@@ -108,12 +108,18 @@ def test_factory_registry():
     assert cfg["vision_cfg"]["width"] == 768
     model, params = create_model("ViT-B-32", init_params=False)
     assert model.image_size == 224 and model.context_length == 77
-    # convnext is supported natively now (models/convnext.py); remaining
-    # timm families still raise clearly
+    # convnext and swin are native towers now (models/convnext.py,
+    # models/swin.py); the one remaining timm family (relative-position
+    # ViT) still raises clearly
     model, _ = create_model("convnext_base", init_params=False)
     assert model.cfg.convnext == "convnext_base"
+    model, _ = create_model("swin_base_patch4_window7_224",
+                            init_params=False)
+    assert model.cfg.swin == "swin_base_patch4_window7_224"
     with pytest.raises(NotImplementedError):
-        create_model("swin_base_patch4_window7_224")
+        create_model("ViT-B-32", init_params=False, vision_cfg={
+            "timm_model_name": "vit_relpos_medium_patch16_cls_224",
+            "image_size": 224})
 
 
 def test_quick_gelu_variant_differs():

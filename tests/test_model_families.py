@@ -94,6 +94,41 @@ def test_dino_loss_and_ema():
     np.testing.assert_allclose(d, 0.1, rtol=1e-4)
 
 
+NEW_ZOO = ["ViT-B-16-plus", "ViT-L-14-280", "ViT-L-16-320", "ViT-L-16-bigT",
+           "ViT-L-16-bigT-backup", "ViT-L-16-tiny", "ViT-M-16-alt",
+           "ViT-M-32-alt", "ViT-S-16-alt", "ViT-S-32-alt", "coca_base",
+           "roberta-ViT-B-32", "xlm-roberta-base-ViT-B-32",
+           "xlm-roberta-large-ViT-H-14", "mt5-base-ViT-B-32",
+           "mt5-xl-ViT-H-14", "swin_base_patch4_window7_224",
+           "vit_medium_patch16_gap_256"]
+
+
+def test_reference_zoo_configs_parse():
+    """Every reference model_configs/*.json shape resolves through the
+    factory (vit_relpos_* stays NotImplemented: relative-position timm
+    ViT)."""
+    from megatron_clip_tpu.factory import create_model
+    for name in NEW_ZOO:
+        model, params = create_model(name, precision="fp32",
+                                     init_params=False)
+        assert params is None and model.cfg.embed_dim > 0, name
+
+
+def test_swin_and_gap_vit_towers_forward():
+    """The two new native timm towers produce normalized embeddings."""
+    import jax
+    import jax.numpy as jnp
+    from megatron_clip_tpu.factory import create_model
+    for name, size in [("swin_base_patch4_window7_224", 224),
+                       ("vit_medium_patch16_gap_256", 256)]:
+        model, params = create_model(name, precision="fp32", seed=0)
+        img = jax.random.normal(jax.random.PRNGKey(0), (1, size, size, 3))
+        f = model.encode_image(params, img)
+        assert f.shape == (1, model.cfg.embed_dim), name
+        np.testing.assert_allclose(float(jnp.linalg.norm(f)), 1.0,
+                                   rtol=1e-4)
+
+
 def test_entry_points_smoke():
     import pretrain_bert, pretrain_t5, pretrain_vision_classify, pretrain_vision_dino
     m = pretrain_bert.run(pretrain_bert.parse_args(
