@@ -84,6 +84,10 @@ class TransformerCfg:
     # ops/quant.py). "int8" runs the MLP GEMMs as int8 x int8 -> int32
     # with straight-through-estimator backward.
     quantize: str = "none"  # none | int8
+    # weight init: None = the open_CLIP width-derived scheme; a float =
+    # megatron --init-method-std (inputs at std, residual outputs at
+    # std/sqrt(2L) — model/utils.py scaled_init_method)
+    init_std: Optional[float] = None
     # execution knobs
     remat: str = "none"  # none | full | selective  (megatron --recompute-granularity)
     use_flash: bool = True  # Pallas flash attention when on TPU

@@ -72,8 +72,14 @@ class GPTDataset:
                (f"_{split_tag}" if split_tag else ""))
         cache_base = prefix
         if cache_dir:
+            import hashlib
             os.makedirs(cache_dir, exist_ok=True)
-            cache_base = os.path.join(cache_dir, os.path.basename(prefix))
+            # key by the full corpus path, not just the basename — two
+            # corpora named 'corpus' must not share an index (megatron
+            # hashes the path set into its cache key for the same reason)
+            h = hashlib.sha1(os.path.abspath(prefix).encode()).hexdigest()[:10]
+            cache_base = os.path.join(
+                cache_dir, f"{os.path.basename(prefix)}_{h}")
         cache_path = (f"{cache_base}_gpt_s{seq_length}_e{num_epochs}_r{seed}"
                       f"{tag}_idx.npy")
         if cache and os.path.isfile(cache_path):

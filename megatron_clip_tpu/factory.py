@@ -487,12 +487,15 @@ def create_model_and_transforms(model_name: str, pretrained: str = "",
     return model, params, pp_train, pp_val
 
 
-def create_loss(args):
+def create_loss(args, model=None):
     """Dispatch mirroring open_CLIP create_loss (factory.py:250-283).
-    `args` may be an argparse Namespace or any object with the same fields."""
+    `args` may be an argparse Namespace or any object with the same fields.
+    `model` (a CLIPModel) makes the CoCa dispatch shape-based — a custom
+    JSON config with multimodal_cfg gets CoCaLoss regardless of its name."""
     get = lambda k, d=None: getattr(args, k, d)
     axis = get("loss_axis_name")
-    if get("model", "").startswith("coca") or get("is_coca"):
+    if (model is not None and getattr(model, "is_coca", False)) \
+            or get("model", "").startswith("coca"):
         return CoCaLoss(
             caption_loss_weight=get("coca_caption_loss_weight", 2.0),
             clip_loss_weight=get("coca_contrastive_loss_weight", 1.0),

@@ -53,6 +53,7 @@ class GPTCfg:
             rotary_percent=self.rotary_percent,
             rope_interpolation=self.rope_interpolation,
             kv_heads=self.kv_heads,
+            init_std=self.init_std,
             num_experts=self.num_experts, **overrides)
 
 

@@ -150,14 +150,19 @@ def dino_loss(student_params, state, views1, views2, vcfg: VisionCfg,
         logps = jax.nn.log_softmax(s / dcfg.student_temp, axis=-1)
         return -(pt * logps).sum(-1).mean()
 
-    terms = [ce(s1, t2), ce(s2, t1)]
+    loss = ce(s1, t2) + ce(s2, t1)
+    n_terms = 2
     if local_views is not None:
         sl = _dino_head(student_params, local_views, local_vcfg,
                         compute_dtype, dcfg, freeze_last)   # [L*B, out]
         reps = sl.shape[0] // t1.shape[0]
-        terms.append(ce(sl, jnp.tile(t1, (reps, 1))))
-        terms.append(ce(sl, jnp.tile(t2, (reps, 1))))
-    loss = sum(terms) / len(terms)
+        # each of the L local crops is its own (student, teacher) pair —
+        # the tiled ce is the MEAN over the L pairs, so scale by L to
+        # average over 2 + 2L individual pairs like dino.py n_loss_terms
+        loss = loss + reps * (ce(sl, jnp.tile(t1, (reps, 1)))
+                              + ce(sl, jnp.tile(t2, (reps, 1))))
+        n_terms += 2 * reps
+    loss = loss / n_terms
     batch_center = 0.5 * (t1.mean(0) + t2.mean(0))
     new_center = dcfg.center_momentum * center \
         + (1 - dcfg.center_momentum) * batch_center

@@ -51,9 +51,17 @@ def apply_norm(p, x, norm: str = "layernorm"):
 def init_block(key, cfg: TransformerCfg, dtype=jnp.float32):
     """One pre-LN residual block: ln_1 -> attn -> (+) -> ln_2 -> mlp -> (+)."""
     w = cfg.width
-    proj_std = (w ** -0.5) * ((2 * cfg.layers) ** -0.5)
-    attn_std = w ** -0.5
-    fc_std = (2 * w) ** -0.5
+    if cfg.init_std is not None:
+        # megatron init_method_normal(--init-method-std) for inputs +
+        # scaled_init_method (std / sqrt(2L)) for the residual-output
+        # projections (megatron/model/utils.py)
+        attn_std = fc_std = cfg.init_std
+        proj_std = cfg.init_std * ((2 * cfg.layers) ** -0.5)
+    else:
+        # open_CLIP transformer init scheme (transformer.py init_parameters)
+        proj_std = (w ** -0.5) * ((2 * cfg.layers) ** -0.5)
+        attn_std = w ** -0.5
+        fc_std = (2 * w) ** -0.5
     k_qkv, k_o, k_fc, k_proj = jax.random.split(key, 4)
     mlp_in = cfg.mlp_hidden * (2 if cfg.act == "swiglu" else 1)
     hkv = cfg.kv_heads or cfg.heads

@@ -141,7 +141,7 @@ def run_training(args) -> dict:
             weight_decay=args.wd, grad_clip_norm=args.grad_clip_norm,
             lock_mask=lock_mask)
 
-    loss_obj = factory.create_loss(args)
+    loss_obj = factory.create_loss(args, model=model)
 
     # distillation teacher (open_CLIP main.py dist_model; runs under
     # stop_gradient inside the student's jitted step)
@@ -337,7 +337,8 @@ def run_training(args) -> dict:
                 if wandb_run is not None:
                     wandb_run.log({f"val/{k}": v for k, v in em.items()
                                    if isinstance(v, (int, float))}, step=step)
-            if args.imagenet_val and tokenizer is not None and \
+            if (args.imagenet_val or args.imagenet_v2) \
+                    and tokenizer is not None and \
                     (epoch + 1) % max(args.zeroshot_frequency, 1) == 0:
                 from megatron_clip_tpu.evaluation import (
                     build_zero_shot_classifier, zero_shot_eval)
@@ -346,16 +347,21 @@ def run_training(args) -> dict:
                 from megatron_clip_tpu.data.image_folder import image_folder_batches, scan_image_folder
                 names, templates = load_imagenet_metadata()
                 if names is None:
-                    _, names = scan_image_folder(args.imagenet_val)
+                    _, names = scan_image_folder(args.imagenet_val
+                                                 or args.imagenet_v2)
                     templates = SIMPLE_IMAGENET_TEMPLATES
                 clf = build_zero_shot_classifier(model_, params_, names,
                                                  templates, tokenizer)
-                zs = zero_shot_eval(model_, params_, clf, image_folder_batches(
-                    args.imagenet_val, args.batch_size, model_.image_size,
-                    is_train=False, epochs=1))
-                _log("zero-shot: " + " ".join(f"{k}={v:.4f}"
-                                              for k, v in zs.items()))
-                final_metrics.update(zs)
+                if args.imagenet_val:
+                    zs = zero_shot_eval(model_, params_, clf,
+                                        image_folder_batches(
+                                            args.imagenet_val,
+                                            args.batch_size,
+                                            model_.image_size,
+                                            is_train=False, epochs=1))
+                    _log("zero-shot: " + " ".join(f"{k}={v:.4f}"
+                                                  for k, v in zs.items()))
+                    final_metrics.update(zs)
                 if args.imagenet_v2:
                     # second eval set, same classifier (open_CLIP
                     # --imagenet-v2, zero_shot.py zero_shot_eval)

@@ -265,7 +265,17 @@ _RUN_ARG_KEYS = frozenset({
     "optimizer", "sgd_momentum", "no_load_optim", "no_save_optim",
     "lr_warmup_fraction", "weight_decay_incr_style", "start_weight_decay",
     "end_weight_decay", "skip_train", "tensorboard_dir",
+    # execution-strategy / environment knobs, never architecture
+    "precision", "params_dtype", "quantize_matmuls", "sequence_parallel",
+    "context_parallel_layout", "fused_ce", "loss_seq_chunk",
+    "attention_dropout", "hidden_dropout", "eod_token", "eod_mask_loss",
+    "reset_position_ids", "reset_attention_mask",
 })
+
+
+def _is_run_key(k: str) -> bool:
+    # any path/dir/file-valued flag describes the environment, not the model
+    return k in _RUN_ARG_KEYS or k.endswith(("_path", "_dir", "_file"))
 
 
 def maybe_apply_checkpoint_args(args):
@@ -288,7 +298,7 @@ def maybe_apply_checkpoint_args(args):
                          "args record; cannot --use-checkpoint-args")
     applied = {}
     for k, v in stored.items():
-        if k in _RUN_ARG_KEYS or not hasattr(args, k):
+        if _is_run_key(k) or not hasattr(args, k):
             continue
         if getattr(args, k) != v:
             applied[k] = (getattr(args, k), v)
@@ -464,20 +474,34 @@ def run_workload(params, loss_fn: Callable, batch_iter: Iterator,
             s["aux"] = aux
         return s
 
+    def _place_like(loaded, template):
+        return jax.tree.map(
+            lambda v, p: jax.device_put(
+                jnp.asarray(v, dtype=p.dtype),
+                p.sharding if isinstance(p, jax.Array) else None),
+            loaded, template)
+
     def _params_only_load(root):
-        """Restore only the params subtree, re-placed on this run's
+        """Restore the params subtree (and the aux subtree, when both the
+        checkpoint and this run have one), re-placed on this run's
         shardings; the caller re-inits the optimizer (megatron
-        --no-load-optim / --finetune model-only load)."""
+        --no-load-optim / --finetune model-only load). Aux is MODEL state
+        (e.g. DINO's EMA teacher/center/schedule step), not optimizer
+        state — dropping it on --no-load-optim would silently reset the
+        distillation target."""
         from megatron_clip_tpu.checkpoints import load_params_subtree
         loaded, from_step = load_params_subtree(root)
         if jax.tree.structure(loaded) != jax.tree.structure(params):
             raise ValueError(f"params loaded from {root} do not match this "
                              "model's parameter tree")
-        return jax.tree.map(
-            lambda v, p: jax.device_put(
-                jnp.asarray(v, dtype=p.dtype),
-                p.sharding if isinstance(p, jax.Array) else None),
-            loaded, params), from_step
+        loaded_aux = None
+        if aux is not None:
+            try:
+                raw_aux, _ = load_params_subtree(root, key="aux")
+                loaded_aux = _place_like(raw_aux, aux)
+            except KeyError:
+                pass
+        return _place_like(loaded, params), loaded_aux, from_step
 
     def _meta(i):
         m = {"consumed_samples": i * rc.batch_size}
@@ -490,7 +514,8 @@ def run_workload(params, loss_fn: Callable, batch_iter: Iterator,
     start_step = 0
     if rc.resume and rc.save and latest_checkpoint_step(rc.save) is not None:
         if rc.no_load_optim:
-            params, start_step = _params_only_load(rc.save)
+            params, loaded_aux, start_step = _params_only_load(rc.save)
+            aux = loaded_aux if loaded_aux is not None else aux
             opt_state = tx.init(params)
             print(f"[{rc.name}] resumed params-only from {rc.save} @ step "
                   f"{start_step} (--no-load-optim: fresh optimizer)",
@@ -504,13 +529,21 @@ def run_workload(params, loss_fn: Callable, batch_iter: Iterator,
                   flush=True)
     elif rc.load:
         if rc.finetune:
-            params, from_step = _params_only_load(rc.load)
+            params, loaded_aux, from_step = _params_only_load(rc.load)
+            if loaded_aux is not None:
+                if isinstance(loaded_aux, dict) and "step" in loaded_aux:
+                    # --finetune = fresh schedules: model-state aux (EMA
+                    # teacher/center) restores, its schedule counter resets
+                    loaded_aux = dict(loaded_aux,
+                                      step=jnp.zeros_like(loaded_aux["step"]))
+                aux = loaded_aux
             opt_state = tx.init(params)
             print(f"[{rc.name}] finetune init: params from {rc.load} "
                   f"@ step {from_step} (optimizer/iteration reset)",
                   flush=True)
         elif rc.no_load_optim:
-            params, start_step = _params_only_load(rc.load)
+            params, loaded_aux, start_step = _params_only_load(rc.load)
+            aux = loaded_aux if loaded_aux is not None else aux
             opt_state = tx.init(params)
             print(f"[{rc.name}] loaded params-only {rc.load} @ step "
                   f"{start_step} (--no-load-optim: fresh optimizer)",
@@ -523,14 +556,19 @@ def run_workload(params, loss_fn: Callable, batch_iter: Iterator,
                   f"(continuing; saving to {rc.save})", flush=True)
 
     if rc.skip_train:
-        # megatron --skip-train (training.py): validation only, no training
+        # megatron --skip-train (training.py): validation only, no training.
+        # The eval traces INSIDE the mesh context: sequence/context-parallel
+        # sharding constraints silently no-op without an ambient mesh
         if eval_step is None:
             raise SystemExit("--skip-train needs a validation source "
                              "(this entry provides none)")
-        vit = val_iter_factory()
-        vals = [float(eval_step(params, jax.tree.map(jnp.asarray,
-                                                     next(vit))))
-                for _ in range(rc.eval_iters)]
+        import contextlib
+        with (jax.sharding.set_mesh(mesh) if mesh is not None
+              else contextlib.nullcontext()):
+            vit = val_iter_factory()
+            vals = [float(eval_step(params, jax.tree.map(jnp.asarray,
+                                                         next(vit))))
+                    for _ in range(rc.eval_iters)]
         v = float(np.mean(vals))
         print(f"[{rc.name}] --skip-train: val loss {v:.4f} over "
               f"{rc.eval_iters} batches", flush=True)

@@ -173,7 +173,7 @@ def run(args):
     out = run_workload(student, loss_fn, batches(), rc, mesh=mesh,
                        param_specs=specs, aux_state=aux,
                        aux_update=aux_update, args_ns=args)
-    return {"loss": out["loss"]}
+    return {"loss": out["loss"], "history": out["history"]}
 
 
 if __name__ == "__main__":

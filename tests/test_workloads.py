@@ -126,6 +126,25 @@ def test_dino_schedules(devices8):
     assert np.isfinite(m["loss"])
 
 
+def test_dino_no_load_optim_keeps_teacher(devices8, tmp_path):
+    """--no-load-optim restores the model-state aux (EMA teacher/center/
+    schedule step) alongside params — only the optimizer re-inits. A
+    dropped teacher would silently reset the distillation target."""
+    from pretrain_vision_dino import parse_args, run
+    common = ["--num-layers", "2", "--hidden-size", "64", "--img-size",
+              "32", "--patch-size", "8", "--out-dim", "32", "--batch-size",
+              "4", "--log-interval", "1", "--precision", "fp32",
+              "--seed", "5"]
+    ck = str(tmp_path / "dino_nlo")
+    m0 = run(parse_args(common + ["--train-steps", "2", "--save", ck]))
+    m = run(parse_args(common + ["--train-steps", "4", "--save", ck,
+                                 "--resume", "--no-load-optim"]))
+    assert np.isfinite(m["loss"])
+    # the teacher moved with training; a reset teacher is the random-init
+    # copy of the student and produces the step-1 loss again
+    assert abs(m["history"][0][1] - m0["history"][0][1]) > 1e-6
+
+
 def test_gpt_resume_equivalence_nu_bf16(devices8, tmp_path):
     """Resume-equivalence with the fully-bf16 adam state (adamw_lowbits,
     --nu-dtype bf16): the lowbits optimizer state must roundtrip through
