@@ -66,6 +66,20 @@ _PRETRAINED: Dict[str, Dict[str, str]] = {
         "laion2b_s39b_b160k": _HF_BASE.format(
             repo="laion/CLIP-ViT-bigG-14-laion2B-39B-b160k"),
     },
+    # multilingual towers (open_CLIP pretrained.py roberta/xlm entries)
+    "roberta-ViT-B-32": {
+        "laion2b_s12b_b32k": _HF_BASE.format(
+            repo="laion/CLIP-ViT-B-32-roberta-base-laion2B-s12B-b32k"),
+    },
+    "xlm-roberta-base-ViT-B-32": {
+        "laion5b_s13b_b90k": _HF_BASE.format(
+            repo="laion/CLIP-ViT-B-32-xlm-roberta-base-laion5B-s13B-b90k"),
+    },
+    "xlm-roberta-large-ViT-H-14": {
+        "frozen_laion5b_s13b_b90k": _HF_BASE.format(
+            repo="laion/CLIP-ViT-H-14-frozen-xlm-roberta-large-laion5B"
+                 "-s13B-b90k"),
+    },
 }
 
 
