@@ -105,6 +105,7 @@ class RuntimeCfg:
     no_load_optim: bool = False
     no_save_optim: bool = False
     tensorboard_dir: Optional[str] = None  # megatron --tensorboard-dir
+    log_params_norm: bool = False          # megatron --log-params-norm
 
 
 def add_runtime_args(p, *, lr: float = 1e-4, weight_decay: float = 0.01,
@@ -194,6 +195,9 @@ def add_runtime_args(p, *, lr: float = 1e-4, weight_decay: float = 0.01,
                    help="write train/val scalars here (megatron "
                         "--tensorboard-dir; every workload logs TB, "
                         "training.py training_log)")
+    p.add_argument("--log-params-norm", action="store_true",
+                   help="log the global parameter norm each interval "
+                        "(megatron --log-params-norm)")
     p.add_argument("--seed", type=int, default=0)
     return p
 
@@ -241,6 +245,7 @@ def runtime_cfg_from_args(args, name: str) -> RuntimeCfg:
         no_load_optim=getattr(args, "no_load_optim", False),
         no_save_optim=getattr(args, "no_save_optim", False),
         tensorboard_dir=getattr(args, "tensorboard_dir", None),
+        log_params_norm=getattr(args, "log_params_norm", False),
         seed=args.seed, name=name,
         nu_dtype=None if getattr(args, "nu_dtype", "fp32") == "fp32"
         else args.nu_dtype)
@@ -264,7 +269,7 @@ _RUN_ARG_KEYS = frozenset({
     "recompute_granularity", "adam_beta1", "adam_beta2", "adam_eps",
     "optimizer", "sgd_momentum", "no_load_optim", "no_save_optim",
     "lr_warmup_fraction", "weight_decay_incr_style", "start_weight_decay",
-    "end_weight_decay", "skip_train", "tensorboard_dir",
+    "end_weight_decay", "skip_train", "tensorboard_dir", "log_params_norm",
     # execution-strategy / environment knobs, never architecture
     "precision", "params_dtype", "quantize_matmuls", "sequence_parallel",
     "context_parallel_layout", "fused_ce", "loss_seq_chunk",
@@ -409,13 +414,18 @@ def run_workload(params, loss_fn: Callable, batch_iter: Iterator,
         else:
             loss, grads = jax.value_and_grad(
                 lambda p: loss_fn(p, batch, rng))(params)
+        # megatron training_log metrics: grad norm always, params norm
+        # opt-in (--log-params-norm); both computed inside the jit
+        metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}
+        if rc.log_params_norm:
+            metrics["params_norm"] = optax.global_norm(params)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         if post_step is not None:
             params = post_step(params)
         if aux_update is not None:
             aux = aux_update(aux, params, loss_aux)
-        return params, opt_state, aux, loss
+        return params, opt_state, aux, metrics
 
     aux = aux_state
     if mesh is not None:
@@ -601,9 +611,10 @@ def run_workload(params, loss_fn: Callable, batch_iter: Iterator,
     with mesh_ctx:
         for i in range(start_step + 1, rc.train_steps + 1):
             batch = jax.tree.map(jnp.asarray, next(batch_iter))
-            params, opt_state, aux, loss = step(params, opt_state, aux,
-                                                batch, jnp.int32(i),
-                                                base_rng)
+            params, opt_state, aux, metrics = step(params, opt_state, aux,
+                                                   batch, jnp.int32(i),
+                                                   base_rng)
+            loss = metrics["loss"]
             last_step = i
             if i % rc.log_interval == 0 or i == rc.train_steps:
                 l = float(loss)
@@ -612,14 +623,22 @@ def run_workload(params, loss_fn: Callable, batch_iter: Iterator,
                 ips = rc.log_interval * rc.batch_size / dt
                 extra = (f" | {ips * rc.tokens_per_sample:.0f} tok/s"
                          if rc.tokens_per_sample else "")
+                gn = float(metrics["grad_norm"])
+                pn = (f" | params norm {float(metrics['params_norm']):.2f}"
+                      if "params_norm" in metrics else "")
                 print(f"[{rc.name}] step {i}/{rc.train_steps} | "
-                      f"loss {l:.4f} | {ips:.1f} samples/s{extra}",
+                      f"loss {l:.4f} | grad norm {gn:.3f}{pn} | "
+                      f"{ips:.1f} samples/s{extra}",
                       flush=True)
                 if writer is not None:
                     # megatron training_log TB scalars (training.py:503-698)
                     writer.add_scalar("train/loss", l, i)
                     writer.add_scalar("train/learning-rate",
                                       float(lr_sched(i)), i)
+                    writer.add_scalar("train/grad-norm", gn, i)
+                    if "params_norm" in metrics:
+                        writer.add_scalar("train/params-norm",
+                                          float(metrics["params_norm"]), i)
                     writer.add_scalar("train/samples-per-s", ips, i)
                 t0 = time.perf_counter()
             if rc.save and rc.save_interval and i % rc.save_interval == 0:
