@@ -121,6 +121,10 @@ class VisionCfg:
     attn_pooler_heads: int = 8
     no_ln_pre: bool = False
     pool_type: str = "tok"  # tok | avg | none
+    # BEiT-style learned relative-position attention bias instead of the
+    # absolute position embedding (timm vit_relpos_* family; reference zoo
+    # config vit_relpos_medium_patch16_cls_224.json via timm_model.py)
+    rel_pos_bias: bool = False
     final_ln_after_pool: bool = False
     output_tokens: bool = False
 

@@ -165,6 +165,14 @@ _BUILTIN["vit_medium_patch16_gap_256"] = {
     "text_cfg": {"context_length": 77, "vocab_size": 49408, "width": 512,
                  "heads": 8, "layers": 12},
 }
+# reference vit_relpos_medium_patch16_cls_224.json (relative-position ViT)
+_BUILTIN["vit_relpos_medium_patch16_cls_224"] = {
+    "embed_dim": 512,
+    "vision_cfg": {"timm_model_name": "vit_relpos_medium_patch16_cls_224",
+                   "timm_proj": "linear", "image_size": 224},
+    "text_cfg": {"context_length": 77, "vocab_size": 49408, "width": 512,
+                 "heads": 8, "layers": 12},
+}
 
 # CoCa variants
 _BUILTIN["coca_base"] = {
@@ -297,6 +305,12 @@ def parse_model_cfg(cfg_dict: dict) -> CLIPCfg:
         "vit_medium_patch16_gap_256": dict(layers=12, width=512,
                                            head_width=64, patch_size=16,
                                            image_size=256, pool_type="avg"),
+        # relative-position ViT: learned BEiT-style relpos attention bias
+        # instead of absolute position embeddings (timm
+        # vision_transformer_relpos.py; medium = 512 wide, 12 deep, 8 heads)
+        "vit_relpos_medium_patch16_cls_224": dict(
+            layers=12, width=512, head_width=64, patch_size=16,
+            image_size=224, rel_pos_bias=True),
     }
     if vcfg_in.get("timm_model_name"):
         timm_name = vcfg_in.pop("timm_model_name")

@@ -21,6 +21,36 @@ from megatron_clip_tpu.nn.transformer import (
 from megatron_clip_tpu.ops import layer_norm, multi_head_attention
 
 
+def relative_position_index(grid: int, trained_grid: int = None):
+    """BEiT/timm-RelPosBias gather map for a cls-token ViT.
+
+    Returns [S, S] int32 (S = grid*grid + 1) indexing a learned bias table
+    of size (2*G-1)^2 + 3 where G = trained_grid (displacements flattened in
+    the TRAINED grid's coordinate system, so smaller eval grids — e.g. DINO
+    local crops — index a valid subset). The 3 extra slots are the BEiT
+    cls entries: cls->token (N-3), token->cls (N-2), cls->cls (N-1).
+    Mirrors timm's gen_relative_position_index (pos_embed_rel.py), the
+    relative-position machinery behind the reference zoo's
+    vit_relpos_medium_patch16_cls_224 (timm_model.py tower).
+    """
+    import numpy as np
+    g_t = trained_grid or grid
+    assert grid <= g_t, "eval grid larger than the trained bias table"
+    span = 2 * g_t - 1
+    n = span * span + 3
+    coords = np.stack(np.meshgrid(np.arange(grid), np.arange(grid),
+                                  indexing="ij")).reshape(2, -1)
+    rel = (coords[:, :, None] - coords[:, None, :]).transpose(1, 2, 0)
+    flat = (rel[..., 0] + g_t - 1) * span + (rel[..., 1] + g_t - 1)
+    s = grid * grid + 1
+    idx = np.zeros((s, s), dtype=np.int32)
+    idx[1:, 1:] = flat
+    idx[0, :] = n - 3   # cls attends to tokens
+    idx[:, 0] = n - 2   # tokens attend to cls
+    idx[0, 0] = n - 1   # cls to itself
+    return jnp.asarray(idx), n
+
+
 def patchify(images, patch_size: int):
     """[B, H, W, C] -> [B, gh*gw, p*p*C] for non-overlapping patches."""
     b, h, w, c = images.shape
@@ -41,11 +71,22 @@ def init_vit(key, cfg: VisionCfg, embed_dim: int, act: str = "gelu",
         "patch_embed": {"w": (jax.random.normal(keys[0], (patch_dim, w))
                               * patch_dim ** -0.5).astype(dtype)},
         "cls": (scale * jax.random.normal(keys[1], (w,))).astype(dtype),
-        "pos_embed": (scale * jax.random.normal(keys[2], (cfg.seq_len, w))).astype(dtype),
         "ln_post": init_layer_norm(w, dtype),
         "proj": (scale * jax.random.normal(keys[4], (w, embed_dim))).astype(dtype),
         "blocks": init_transformer(keys[3], cfg.transformer(act=act), dtype),
     }
+    if cfg.rel_pos_bias:
+        # per-layer learned relative-position bias table replaces the
+        # absolute position embedding (timm vit_relpos; trunc-normal .02
+        # init like timm RelPosBias). Lives inside the stacked blocks so
+        # lax.scan / pipeline stage-slicing thread it per layer for free.
+        _, n_idx = relative_position_index(cfg.grid)
+        params["blocks"]["rel_pos"] = (
+            0.02 * jax.random.normal(keys[2], (cfg.layers, n_idx, cfg.heads))
+        ).astype(dtype)
+    else:
+        params["pos_embed"] = (
+            scale * jax.random.normal(keys[2], (cfg.seq_len, w))).astype(dtype)
     if not cfg.no_ln_pre:
         params["ln_pre"] = init_layer_norm(w, dtype)
     if cfg.attentional_pool:
@@ -103,18 +144,33 @@ def apply_vit(params, images, cfg: VisionCfg, embed_dim: int, *,
     b = x.shape[0]
     cls = params["cls"].astype(compute_dtype)[None, None].repeat(b, axis=0)
     x = jnp.concatenate([cls, x], axis=1)
-    pe = params["pos_embed"]
-    if pe.shape[0] != x.shape[1]:
-        # input grid differs from the trained grid (e.g. DINO local crops):
-        # bilinear-interpolate the 2D position table (DeiT/DINO
-        # interpolate_pos_encoding)
-        g_from = int(round((pe.shape[0] - 1) ** 0.5))
-        g_to = int(round((x.shape[1] - 1) ** 0.5))
-        grid = pe[1:].reshape(g_from, g_from, -1)
-        grid = jax.image.resize(grid, (g_to, g_to, grid.shape[-1]),
-                                method="bilinear")
-        pe = jnp.concatenate([pe[:1], grid.reshape(g_to * g_to, -1)], axis=0)
-    x = x + pe.astype(compute_dtype)[None]
+    rel_index = None
+    if cfg.rel_pos_bias:
+        if layers_fn is not None:
+            raise NotImplementedError(
+                "rel_pos_bias towers do not run under the pipeline "
+                "layers_fn (per-layer bias is not threaded through the "
+                "stage schedule)")
+        if patch_dropout_rng is not None and cfg.patch_dropout > 0.0:
+            raise NotImplementedError(
+                "rel_pos_bias + patch_dropout: dropping patches would "
+                "require gathering the bias map per kept token")
+        g_in = int(round((x.shape[1] - 1) ** 0.5))
+        rel_index, _ = relative_position_index(g_in, cfg.grid)
+    else:
+        pe = params["pos_embed"]
+        if pe.shape[0] != x.shape[1]:
+            # input grid differs from the trained grid (e.g. DINO local
+            # crops): bilinear-interpolate the 2D position table (DeiT/DINO
+            # interpolate_pos_encoding)
+            g_from = int(round((pe.shape[0] - 1) ** 0.5))
+            g_to = int(round((x.shape[1] - 1) ** 0.5))
+            grid = pe[1:].reshape(g_from, g_from, -1)
+            grid = jax.image.resize(grid, (g_to, g_to, grid.shape[-1]),
+                                    method="bilinear")
+            pe = jnp.concatenate([pe[:1], grid.reshape(g_to * g_to, -1)],
+                                 axis=0)
+        x = x + pe.astype(compute_dtype)[None]
 
     if patch_dropout_rng is not None and cfg.patch_dropout > 0.0:
         # open_CLIP PatchDropout (transformer.py): keep cls, keep a random
@@ -129,7 +185,8 @@ def apply_vit(params, images, cfg: VisionCfg, embed_dim: int, *,
     if "ln_pre" in params:
         x = layer_norm(x, params["ln_pre"]["scale"], params["ln_pre"]["bias"])
     if layers_fn is None:
-        x = apply_transformer(params["blocks"], x, tcfg, causal=False)
+        x = apply_transformer(params["blocks"], x, tcfg, causal=False,
+                              rel_index=rel_index)
     else:
         x = layers_fn(params["blocks"], x, tcfg, causal=False)
 

@@ -154,14 +154,25 @@ def dropout(x, rate: float, key):
 
 
 def apply_block(block, x, cfg: TransformerCfg, *, causal: bool = False,
-                bias: Optional[jax.Array] = None, rope=None, rng=None):
+                bias: Optional[jax.Array] = None, rope=None, rng=None,
+                rel_index: Optional[jax.Array] = None):
     """x: [B, S, W] in compute dtype. `rng`: per-layer PRNG key enabling
     dropout (training); None = eval / dropout-free. Sites match megatron:
     attention-prob dropout (CoreAttention) and hidden dropout before each
-    residual add (bias_dropout_add, model/transformer.py:813-841)."""
+    residual add (bias_dropout_add, model/transformer.py:813-841).
+
+    `rel_index` ([S, S] int32): gather map into the block's learned
+    relative-position bias table (`block["rel_pos"]` [N, H], timm
+    vit_relpos / BEiT style) — the per-layer bias is added to the
+    attention logits."""
     k_attn = k_h1 = k_h2 = None
     if rng is not None and (cfg.attention_dropout > 0 or cfg.hidden_dropout > 0):
         k_attn, k_h1, k_h2 = jax.random.split(rng, 3)
+    if "rel_pos" in block and rel_index is not None:
+        # [N, H] table gathered to [S, S, H] -> [1, H, S, S] logits bias
+        rb = block["rel_pos"][rel_index]
+        rb = jnp.transpose(rb, (2, 0, 1))[None]
+        bias = rb if bias is None else bias + rb.astype(bias.dtype)
     x = _sp_constraint(x, cfg)
     h = apply_norm(block["ln_1"], x, cfg.norm)
     h = multi_head_attention(h, block["attn"], cfg.heads, causal=causal,
@@ -256,7 +267,7 @@ def _dots_except_mlp_up_policy(cfg: TransformerCfg):
 
 def apply_transformer(blocks, x, cfg: TransformerCfg, *, causal: bool = False,
                       bias: Optional[jax.Array] = None, rope=None, rng=None,
-                      layer_keys=None, position_ids=None):
+                      layer_keys=None, position_ids=None, rel_index=None):
     """Run the stacked blocks. `blocks` leaves have leading layer axis.
 
     Activation recompute: cfg.remat
@@ -275,6 +286,9 @@ def apply_transformer(blocks, x, cfg: TransformerCfg, *, causal: bool = False,
     `position_ids` ([S] int32): global token positions for the rope tables
     when the array order differs from position order (zigzag context-parallel
     layout, ops/ring_attention.zigzag_shard).
+    `rel_index` ([S, S] int32): relative-position gather map for blocks that
+    carry a learned `rel_pos` bias table (timm vit_relpos towers; see
+    models/vit.relative_position_index).
     """
     if rope is None and cfg.rope:
         from megatron_clip_tpu.ops.rope import rope_cos_sin
@@ -295,7 +309,8 @@ def apply_transformer(blocks, x, cfg: TransformerCfg, *, causal: bool = False,
 
     def block_fn(block, x, key):
         return apply_block(block, x, cfg=cfg, causal=causal, bias=bias,
-                           rope=rope, rng=key if has_rng else None)
+                           rope=rope, rng=key if has_rng else None,
+                           rel_index=rel_index)
 
     if cfg.remat == "full":
         block_fn = jax.checkpoint(block_fn)

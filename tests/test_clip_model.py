@@ -108,17 +108,19 @@ def test_factory_registry():
     assert cfg["vision_cfg"]["width"] == 768
     model, params = create_model("ViT-B-32", init_params=False)
     assert model.image_size == 224 and model.context_length == 77
-    # convnext and swin are native towers now (models/convnext.py,
-    # models/swin.py); the one remaining timm family (relative-position
-    # ViT) still raises clearly
+    # convnext, swin, and relpos-ViT are native towers now
+    # (models/convnext.py, models/swin.py, models/vit.py rel_pos_bias)
     model, _ = create_model("convnext_base", init_params=False)
     assert model.cfg.convnext == "convnext_base"
     model, _ = create_model("swin_base_patch4_window7_224",
                             init_params=False)
     assert model.cfg.swin == "swin_base_patch4_window7_224"
+    model, _ = create_model("vit_relpos_medium_patch16_cls_224",
+                            init_params=False)
+    assert model.cfg.vision.rel_pos_bias
     with pytest.raises(NotImplementedError):
         create_model("ViT-B-32", init_params=False, vision_cfg={
-            "timm_model_name": "vit_relpos_medium_patch16_cls_224",
+            "timm_model_name": "vit_srelpos_unknown_arch",
             "image_size": 224})
 
 

@@ -100,13 +100,12 @@ NEW_ZOO = ["ViT-B-16-plus", "ViT-L-14-280", "ViT-L-16-320", "ViT-L-16-bigT",
            "roberta-ViT-B-32", "xlm-roberta-base-ViT-B-32",
            "xlm-roberta-large-ViT-H-14", "mt5-base-ViT-B-32",
            "mt5-xl-ViT-H-14", "swin_base_patch4_window7_224",
-           "vit_medium_patch16_gap_256"]
+           "vit_medium_patch16_gap_256", "vit_relpos_medium_patch16_cls_224"]
 
 
 def test_reference_zoo_configs_parse():
     """Every reference model_configs/*.json shape resolves through the
-    factory (vit_relpos_* stays NotImplemented: relative-position timm
-    ViT)."""
+    factory."""
     from megatron_clip_tpu.factory import create_model
     for name in NEW_ZOO:
         model, params = create_model(name, precision="fp32",
@@ -127,6 +126,60 @@ def test_swin_and_gap_vit_towers_forward():
         assert f.shape == (1, model.cfg.embed_dim), name
         np.testing.assert_allclose(float(jnp.linalg.norm(f)), 1.0,
                                    rtol=1e-4)
+
+
+def test_relpos_vit_tower():
+    """Relative-position ViT (timm vit_relpos family): BEiT-style index map
+    is displacement-pure, the tower forward/backward works on a tiny config,
+    and a shifted input sees shifted (not identical) features — i.e. the
+    bias really enters the logits."""
+    from megatron_clip_tpu.models.vit import (
+        relative_position_index, init_vit, apply_vit)
+
+    idx, n = relative_position_index(3)
+    idx = np.asarray(idx)
+    assert n == 5 * 5 + 3 and idx.shape == (10, 10)
+    # same displacement -> same index (patch (0,0)->(1,1) vs (1,1)->(2,2))
+    flat = lambda r, c: 1 + r * 3 + c
+    assert idx[flat(0, 0), flat(1, 1)] == idx[flat(1, 1), flat(2, 2)]
+    assert idx[flat(2, 0), flat(0, 2)] != idx[flat(0, 2), flat(2, 0)]
+    # the three cls slots are distinct and out of the grid range
+    assert len({idx[0, 0], idx[0, 5], idx[5, 0]}) == 3
+    assert min(idx[0, 0], idx[0, 5], idx[5, 0]) >= 25
+    # smaller eval grid indexes a valid subset of the trained table
+    idx2, n2 = relative_position_index(2, trained_grid=3)
+    assert n2 == n and int(np.asarray(idx2).max()) < n
+
+    cfg = VisionCfg(layers=2, width=64, head_width=32, patch_size=8,
+                    image_size=24, rel_pos_bias=True)
+    params = init_vit(jax.random.PRNGKey(0), cfg, embed_dim=32)
+    assert "pos_embed" not in params
+    assert params["blocks"]["rel_pos"].shape == (2, 5 * 5 + 3, 2)
+    img = jax.random.normal(jax.random.PRNGKey(1), (2, 24, 24, 3))
+
+    def feat_sum(p):
+        return apply_vit(p, img, cfg, 32, compute_dtype=jnp.float32).sum()
+
+    g = jax.grad(feat_sum)(params)
+    assert float(jnp.abs(g["blocks"]["rel_pos"]).sum()) > 0
+    # zeroing the table changes features -> bias is live in the logits
+    p0 = dict(params, blocks=dict(params["blocks"],
+                                  rel_pos=params["blocks"]["rel_pos"] * 0))
+    f1 = apply_vit(params, img, cfg, 32, compute_dtype=jnp.float32)
+    f0 = apply_vit(p0, img, cfg, 32, compute_dtype=jnp.float32)
+    assert not np.allclose(np.asarray(f1), np.asarray(f0))
+
+
+def test_relpos_zoo_model_builds():
+    """The last reference zoo config resolves AND initializes (shapes only —
+    full 224px forward is covered by the tiny-config test above)."""
+    from megatron_clip_tpu.factory import create_model
+    model, params = create_model("vit_relpos_medium_patch16_cls_224",
+                                 precision="fp32", seed=0)
+    v = model.cfg.vision
+    assert v.rel_pos_bias and v.width == 512 and v.layers == 12
+    assert params["visual"]["blocks"]["rel_pos"].shape == (12, 27 * 27 + 3, 8)
+    assert "pos_embed" not in params["visual"]
 
 
 def test_entry_points_smoke():

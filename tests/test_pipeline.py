@@ -313,6 +313,7 @@ def test_joint_clip_pipeline_matches_single_device(devices8):
 
     class A:
         accum_freq = 1
+        seed = 0
 
     tx_factory = lambda p: make_optimizer(p, lambda s: 1e-3)
     rng = np.random.RandomState(0)
