@@ -351,6 +351,7 @@ def run_workload(params, loss_fn: Callable, batch_iter: Iterator,
                  use_rng: bool = False, post_step: Callable = None,
                  val_iter_factory: Callable = None,
                  eval_loss_fn: Callable = None,
+                 custom_eval: Callable = None,
                  aux_state: Any = None, aux_update: Callable = None,
                  args_ns=None) -> dict:
     """Train `loss_fn(params, batch, rng) -> scalar` for rc.train_steps.
@@ -463,7 +464,7 @@ def run_workload(params, loss_fn: Callable, batch_iter: Iterator,
             eval_step = jax.jit(lambda p, b: loss_fn(p, b, None))
         # aux entries (EMA-teacher losses) must pass an explicit
         # eval_loss_fn: the default would bake a stale aux into the jit
-    if rc.eval_interval and eval_step is None:
+    if rc.eval_interval and eval_step is None and custom_eval is None:
         print(f"[{rc.name}] WARNING: --eval-interval set but this entry "
               "provides no validation data source / eval fn; skipping eval",
               flush=True)
@@ -654,6 +655,17 @@ def run_workload(params, loss_fn: Callable, batch_iter: Iterator,
                       f"val loss {np.mean(vals):.4f}", flush=True)
                 if writer is not None:
                     writer.add_scalar("val/loss", float(np.mean(vals)), i)
+            if (rc.eval_interval and custom_eval is not None
+                    and i % rc.eval_interval == 0):
+                # entry-specific eval hook (e.g. DINO's weighted-kNN
+                # monitor, pretrain_vision_dino.py loss_func eval branch)
+                metrics_ce = custom_eval(params, aux, i)
+                line = " ".join(f"{k} {v:.4f}"
+                                for k, v in metrics_ce.items())
+                print(f"[{rc.name}] eval @ {i}: {line}", flush=True)
+                if writer is not None:
+                    for k, v in metrics_ce.items():
+                        writer.add_scalar(f"val/{k}", float(v), i)
             if rc.exit_duration_mins is not None and \
                     time.perf_counter() - run_t0 > rc.exit_duration_mins * 60:
                 # megatron --exit-duration-in-mins (training.py:829-851):

@@ -50,6 +50,18 @@ def parse_args(argv=None):
     p.add_argument("--precision", default="bf16")
     p.add_argument("--data-dir", type=str, default=None,
                    help="ImageFolder dir; synthetic if unset")
+    # weighted-kNN monitor (megatron knn_monitor.py + the eval branch of
+    # pretrain_vision_dino.py loss_func): teacher-feature bank over the
+    # train ImageFolder, knn_acc_{10,20,100,200} on a val ImageFolder
+    p.add_argument("--knn-eval-dir", type=str, default=None,
+                   help="val ImageFolder for the kNN monitor (runs every "
+                        "--eval-interval steps; needs --data-dir for the "
+                        "feature bank)")
+    p.add_argument("--knn-bank-size", type=int, default=0,
+                   help="cap the feature bank (0 = embed the full train "
+                        "folder like the reference)")
+    p.add_argument("--knn-t", type=float, default=0.07,
+                   help="kNN softmax temperature (knn_monitor.py uses 0.07)")
     from megatron_clip_tpu.training.workload import add_runtime_args
     add_runtime_args(p, lr=5e-4, weight_decay=0.04, batch_size=32)
     return p.parse_args(argv)
@@ -170,10 +182,45 @@ def run(args):
         aux = dict(aux, center=new_center, step=aux["step"] + 1)
         return dino_update_teacher(aux, params, dcfg, momentum=m)
 
+    custom_eval = None
+    if args.knn_eval_dir:
+        if not args.data_dir:
+            raise SystemExit("--knn-eval-dir needs --data-dir (the train "
+                             "ImageFolder provides the feature bank)")
+        from megatron_clip_tpu.data.image_folder import (
+            image_folder_batches, scan_image_folder)
+        from megatron_clip_tpu.evaluation.knn import (
+            compute_feature_bank, knn_eval)
+        from megatron_clip_tpu.models.vit import apply_vit
+        _, classes = scan_image_folder(args.data_dir)
+
+        @jax.jit
+        def teacher_feats(teacher, images):
+            return apply_vit(teacher["backbone"], images, vcfg, vcfg.width,
+                             compute_dtype=compute)
+
+        def custom_eval(params, aux, step):
+            enc = lambda im: teacher_feats(aux["teacher"], im)
+            bank, bank_lbl = compute_feature_bank(
+                enc, image_folder_batches(
+                    args.data_dir, args.batch_size, args.img_size,
+                    is_train=False, epochs=1, seed=args.seed),
+                max_samples=args.knn_bank_size)
+            return knn_eval(enc, bank, bank_lbl, len(classes),
+                            image_folder_batches(
+                                args.knn_eval_dir, args.batch_size,
+                                args.img_size, is_train=False, epochs=1,
+                                seed=args.seed),
+                            knn_t=args.knn_t)
+
     out = run_workload(student, loss_fn, batches(), rc, mesh=mesh,
                        param_specs=specs, aux_state=aux,
-                       aux_update=aux_update, args_ns=args)
-    return {"loss": out["loss"], "history": out["history"]}
+                       aux_update=aux_update, custom_eval=custom_eval,
+                       args_ns=args)
+    result = {"loss": out["loss"], "history": out["history"]}
+    if custom_eval is not None:
+        result["knn"] = custom_eval(out["params"], out["aux"], -1)
+    return result
 
 
 if __name__ == "__main__":

@@ -73,3 +73,57 @@ def test_cli_roundtrip(tmp_path):
         capture_output=True, text=True, cwd="/root/repo")
     assert r.returncode == 0, r.stderr
     assert len(uniq.read_text().splitlines()) == 1     # near-dup collapsed
+
+
+def test_filter_ngrams_splits_and_threshold():
+    from corpus_cleanup import (build_task_ngrams, ngram_free_splits,
+                                count_ngram_matches)
+    task = ("the quick brown fox jumps over the lazy dog near the old "
+            "river bank")  # 14 words -> two 13-grams
+    ngrams = build_task_ngrams([task], max_n=13, min_n=8)
+    assert len(ngrams) == 2 and all(len(k.split()) == 13 for k in ngrams)
+    lengths = [13]
+
+    # filler needs internal sentence punctuation: the splitter backs off
+    # from the match to the previous/next sentence boundary
+    filler = ". ".join(" ".join(f"tok{i}" for i in range(j, j + 20))
+                       for j in range(0, 80, 20))
+    contaminated = f"{filler}. {task}! {filler}."
+    pieces = ngram_free_splits(contaminated, ngrams, lengths,
+                               margin=5, min_chars=50)
+    assert len(pieces) == 2
+    joined = " ".join(pieces)
+    assert "quick brown fox" not in joined
+    assert "tok0" in pieces[0] and "tok79" in pieces[1]
+
+    clean = f"{filler}. totally unrelated text. {filler}."
+    assert ngram_free_splits(clean, ngrams, lengths) == [clean]
+
+    # frequency pass: the ngram appears twice in this corpus
+    freq = count_ngram_matches([contaminated, contaminated], ngrams, lengths)
+    assert sum(freq.values()) == 2
+
+
+def test_filter_ngrams_cli(tmp_path):
+    task_words = " ".join(f"answer{i}" for i in range(13))
+    tasks = tmp_path / "task.jsonl"
+    tasks.write_text(json.dumps({"text": task_words}) + "\n")
+    filler = ". ".join(" ".join(f"w{i}" for i in range(j, j + 30))
+                       for j in range(0, 120, 30))
+    corpus = tmp_path / "corpus.jsonl"
+    docs = [{"text": f"{filler}. {task_words}. {filler}.", "url": "a"},
+            {"text": f"{filler} clean doc", "url": "b"}]
+    corpus.write_text("\n".join(json.dumps(d) for d in docs))
+    out = tmp_path / "out.jsonl"
+    r = subprocess.run(
+        [sys.executable, "tools/corpus_cleanup.py", "filter-ngrams",
+         "--input", str(corpus), "--output", str(out),
+         "--task-files", str(tasks), "--key-threshold", "10",
+         "--filter-text-char-len", "50", "--remove-char-each-side", "5"],
+        capture_output=True, text=True, cwd="/root/repo")
+    assert r.returncode == 0, r.stderr
+    lines = [json.loads(x) for x in out.read_text().splitlines()]
+    # contaminated doc split into 2 clean pieces + the clean doc untouched
+    assert len(lines) == 3
+    assert sum("split_id" in d for d in lines) == 2
+    assert all("answer3" not in d["text"] for d in lines)
