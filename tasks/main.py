@@ -63,6 +63,13 @@ def parse_args(argv=None):
     p.add_argument("--patch-size", type=int, default=16)
     p.add_argument("--ignore-index", type=int, default=255,
                    help="segmentation ignore label (cityscapes.py)")
+    p.add_argument("--seg-dataset", choices=["folder", "cityscapes"],
+                   default="folder",
+                   help="folder = images/+masks/ pairs; cityscapes = the "
+                        "official leftImg8bit/gtFine layout with the "
+                        "labelId->trainId remap (19 classes, ignore 19)")
+    p.add_argument("--seg-split", default="train",
+                   help="cityscapes split directory (train/val)")
     p.add_argument("--seg-arch", choices=["segformer", "setr"],
                    default="segformer",
                    help="segformer = MiT backbone + all-MLP head "

@@ -210,6 +210,54 @@ def apply_setr(params, images, cfg, num_classes, *, compute_dtype=None):
     return logits.astype(jnp.float32)
 
 
+# Cityscapes labelId -> trainId (the published Cityscapes metadata table,
+# reference tasks/vision/segmentation/cityscapes.py:109-148): 19 train
+# classes, everything else (void/rare ids, license plate -1) -> ignore=19
+CITYSCAPES_LABEL2TRAIN = {
+    7: 0, 8: 1, 11: 2, 12: 3, 13: 4, 17: 5, 19: 6, 20: 7, 21: 8, 22: 9,
+    23: 10, 24: 11, 25: 12, 26: 13, 27: 14, 28: 15, 31: 16, 32: 17, 33: 18}
+CITYSCAPES_NUM_CLASSES = 19
+CITYSCAPES_IGNORE = 19
+
+
+def _cityscapes_dir(root, kind, split):
+    """Accept both the official archive layout (leftImg8bit_trainvaltest/
+    leftImg8bit/<split>/<city>) and a flattened leftImg8bit/<split>."""
+    for base in (f"{kind}_trainvaltest/{kind}", kind):
+        d = os.path.join(root, base, split)
+        if os.path.isdir(d):
+            return d
+    raise FileNotFoundError(f"no {kind}/{split} under {root}")
+
+
+def _load_cityscapes_pairs(root, split, img_size, mode="gtFine"):
+    """Cityscapes directory layout -> (images [N,H,W,3] f32, trainId masks
+    [N,H,W] i32) with the labelId->trainId remap (cityscapes.py:188-195)."""
+    from PIL import Image
+    img_root = _cityscapes_dir(root, "leftImg8bit", split)
+    tgt_root = _cityscapes_dir(root, mode, split)
+    remap = np.full(256, CITYSCAPES_IGNORE, np.int32)
+    for k, v in CITYSCAPES_LABEL2TRAIN.items():
+        remap[k] = v
+    xs, ys = [], []
+    for city in sorted(os.listdir(img_root)):
+        cdir = os.path.join(img_root, city)
+        for name in sorted(os.listdir(cdir)):
+            if not name.endswith("_leftImg8bit.png"):
+                continue
+            base = name[:-len("_leftImg8bit.png")]
+            im = Image.open(os.path.join(cdir, name)).convert("RGB") \
+                .resize((img_size, img_size), Image.BILINEAR)
+            mk = Image.open(os.path.join(
+                tgt_root, city, f"{base}_{mode}_labelIds.png")) \
+                .resize((img_size, img_size), Image.NEAREST)
+            xs.append(np.asarray(im, np.float32) / 255.0)
+            ys.append(remap[np.asarray(mk, np.int64).clip(0, 255)])
+    if not xs:
+        raise FileNotFoundError(f"no *_leftImg8bit.png under {img_root}")
+    return np.stack(xs), np.stack(ys)
+
+
 def _load_seg_pairs(data_dir, img_size):
     """images/*.png|jpg + masks/<same-name>.png (int label map)."""
     from PIL import Image
@@ -239,8 +287,13 @@ def run_vision_segment(args):
     from megatron_clip_tpu.ops.cross_entropy import cross_entropy
     from megatron_clip_tpu.training.optim import make_optimizer, cosine_lr
 
-    num_classes = args.num_classes or 21
-    ignore = args.ignore_index
+    cityscapes = getattr(args, "seg_dataset", "folder") == "cityscapes"
+    if cityscapes:
+        num_classes = CITYSCAPES_NUM_CLASSES
+        ignore = CITYSCAPES_IGNORE
+    else:
+        num_classes = args.num_classes or 21
+        ignore = args.ignore_index
     key = jax.random.PRNGKey(args.seed)
     kb, kh = jax.random.split(key)
     if getattr(args, "seg_arch", "segformer") == "setr":
@@ -270,7 +323,12 @@ def run_vision_segment(args):
         }
         apply_fn = apply_segformer
 
-    xs, ys = _load_seg_pairs(args.data_dir, args.img_size)
+    if cityscapes:
+        xs, ys = _load_cityscapes_pairs(args.data_dir,
+                                        getattr(args, "seg_split", "train"),
+                                        args.img_size)
+    else:
+        xs, ys = _load_seg_pairs(args.data_dir, args.img_size)
     n = len(xs)
     steps_per_epoch = max(1, n // args.batch_size)
     total = steps_per_epoch * args.epochs

@@ -80,3 +80,54 @@ def test_vision_segment_setr_learns(seg_folder):
         "--epochs", "6", "--lr", "1e-3", "--seg-embed-dim", "32",
         "--num-layers", "2", "--hidden-size", "64", "--patch-size", "8"]))
     assert out["miou"] > 0.6, out
+
+
+@pytest.fixture(scope="module")
+def cityscapes_root(tmp_path_factory):
+    """Official layout: leftImg8bit_trainvaltest/leftImg8bit/train/<city>/
+    *_leftImg8bit.png + gtFine_trainvaltest/gtFine/... _gtFine_labelIds.png.
+    Left half road (labelId 7 -> trainId 0), right half sky (23 -> 10),
+    a center column of void (0 -> ignore 19)."""
+    from PIL import Image
+    root = tmp_path_factory.mktemp("cs")
+    rng = np.random.RandomState(0)
+    for city in ("aaa", "bbb"):
+        imd = root / "leftImg8bit_trainvaltest" / "leftImg8bit" / "train" / city
+        gtd = root / "gtFine_trainvaltest" / "gtFine" / "train" / city
+        imd.mkdir(parents=True)
+        gtd.mkdir(parents=True)
+        for i in range(4):
+            img = np.zeros((32, 32, 3), np.uint8)
+            img[:, :16] = (90, 60, 90)
+            img[:, 16:] = (70, 130, 180)
+            img = np.clip(img + rng.randn(32, 32, 3) * 10, 0, 255
+                          ).astype(np.uint8)
+            mask = np.zeros((32, 32), np.uint8)
+            mask[:, :16] = 7
+            mask[:, 16:] = 23
+            mask[:, 15:17] = 0
+            base = f"{city}_0000{i}_000019"
+            Image.fromarray(img).save(imd / f"{base}_leftImg8bit.png")
+            Image.fromarray(mask).save(gtd / f"{base}_gtFine_labelIds.png")
+    return str(root)
+
+
+def test_cityscapes_loader_remap(cityscapes_root):
+    from tasks.vision import _load_cityscapes_pairs, CITYSCAPES_IGNORE
+    xs, ys = _load_cityscapes_pairs(cityscapes_root, "train", 32)
+    assert xs.shape == (8, 32, 32, 3) and ys.shape == (8, 32, 32)
+    assert set(np.unique(ys)) == {0, 10, CITYSCAPES_IGNORE}
+    assert (ys[:, :, :8] == 0).all() and (ys[:, :, -8:] == 10).all()
+
+
+def test_vision_segment_cityscapes(cityscapes_root):
+    from tasks.main import parse_args, run
+    out = run(parse_args([
+        "--task", "vision-segment", "--seg-dataset", "cityscapes",
+        "--data-dir", cityscapes_root, "--img-size", "32",
+        "--patch-size", "8", "--batch-size", "4", "--epochs", "3",
+        "--seg-dims", "16", "32", "40", "64",
+        "--seg-depths", "1", "1", "1", "1", "--seg-embed-dim", "32",
+        "--lr", "3e-3"]))
+    assert out["num_classes"] == 19
+    assert out["miou"] > 0.5, out   # two trivially-separable classes
