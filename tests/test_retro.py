@@ -146,3 +146,54 @@ def test_retro_build_staged_ivf(tmp_path):
     for i in range(0, len(chunks), 7):
         assert not np.array_equal(nbrs[i, 0, :16], chunks[i]) or \
             not chunks[i].any()
+
+
+def test_retro_cli(tmp_path, capsys):
+    """tools/retro_cli.py (reference tools/retro/cli): stats, chunk text,
+    stored neighbors, and a free query against the built db."""
+    from megatron_clip_tpu.data.indexed_dataset import MMapIndexedDatasetBuilder
+    rng = np.random.RandomState(3)
+    prefix = str(tmp_path / "corpus")
+    b = MMapIndexedDatasetBuilder(prefix, dtype=np.int32)
+    for _d in range(6):
+        b.add_item(rng.randint(4, 200, size=48).astype(np.int32))
+        b.end_document()
+    b.finalize()
+
+    import sys
+    sys.path.insert(0, "/root/repo/tools")
+    from retro_build import parse_args as rb_args, run as rb_run
+    out = str(tmp_path / "retro")
+    rb_run(rb_args([
+        "--data-path", prefix, "--out", out, "--chunk-length", "16",
+        "--num-neighbors", "2", "--embed-dim", "16", "--encoder-layers",
+        "1", "--encoder-width", "32", "--vocab-size", "256",
+        "--batch-size", "8"]))
+
+    from retro_cli import RetroDB, main as cli_main
+    db = RetroDB(out)
+    st = db.stats()
+    assert st["num_chunks"] == 18 and st["chunk_length"] == 16
+    assert st["num_docs"] == 6 and st["embedded"]
+    c = db.chunk_text(0)
+    assert c["doc"] == 0 and c["continuation"]      # 3 chunks per doc
+    assert len(c["text"].split()) == 16             # raw ids, no tokenizer
+    nb = db.neighbor_texts(0)
+    assert len(nb) == 2 and all(d["text"] for d in nb)
+
+    # query by ids: the query equal to chunk 0's tokens must rank a
+    # different-doc chunk first only if scores say so — just check shape,
+    # score ordering, and that results carry text
+    ids = [int(t) for t in db.chunks[0]]
+    res = db.query(ids, k=3)
+    assert len(res) == 3
+    assert res[0]["score"] >= res[1]["score"] >= res[2]["score"]
+
+    # CLI surface with the null tokenizer (space-separated int ids)
+    cli_main(["--db", out, "--tokenizer-type", "null", "stats"])
+    cli_main(["--db", out, "--tokenizer-type", "null", "chunk", "1"])
+    cli_main(["--db", out, "--tokenizer-type", "null", "query",
+              " ".join(map(str, ids[:8]))])
+    out_text = capsys.readouterr().out
+    assert '"num_chunks": 18' in out_text
+    assert "score" in out_text

@@ -228,6 +228,12 @@ def stage_query(args):
 
 def run(args):
     res = {"num_chunks": 0, "num_neighbors": args.num_neighbors}
+    # persist the build args next to the artifacts so tools/retro_cli.py can
+    # rebuild the encoder and know the layout (the reference stores args.json
+    # in the retro workdir, tools/retro/utils.get_args_path)
+    import json
+    with open(args.out + "_args.json", "w") as f:
+        json.dump(vars(args), f, indent=1)
     if args.stage in ("chunks", "all"):
         stage_chunks(args)
     if args.stage in ("embed", "all"):
