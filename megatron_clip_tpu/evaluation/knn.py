@@ -19,7 +19,21 @@ import numpy as np
 DEFAULT_KS = (10, 20, 100, 200)
 
 
-@partial(jax.jit, static_argnames=("classes", "knn_k"))
+@partial(jax.jit, static_argnames=("knn_k",))
+def _topk_neighbors(feature, feature_bank, feature_labels, *, knn_k: int):
+    """One [B,N] similarity GEMM + top_k (descending); (weights, labels)."""
+    sim = jnp.einsum("bd,nd->bn", feature.astype(jnp.float32),
+                     feature_bank.astype(jnp.float32))
+    w, idx = jax.lax.top_k(sim, knn_k)                     # [B, K] sorted
+    return w, feature_labels[idx]
+
+
+def _weighted_vote(w, lbl, classes: int, knn_t: float):
+    onehot = jax.nn.one_hot(lbl, classes, dtype=jnp.float32)
+    scores = jnp.sum(onehot * jnp.exp(w / knn_t)[..., None], axis=1)
+    return jnp.argmax(scores, axis=-1).astype(jnp.int32)
+
+
 def knn_predict(feature, feature_bank, feature_labels, *, classes: int,
                 knn_k: int, knn_t: float = 0.07):
     """InstDisc weighted kNN (knn_monitor.py:104-131).
@@ -30,14 +44,9 @@ def knn_predict(feature, feature_bank, feature_labels, *, classes: int,
     Returns [B] int32 predicted labels (the reference returns the full
     ranking and takes column 0 — same top-1).
     """
-    sim = jnp.einsum("bd,nd->bn", feature.astype(jnp.float32),
-                     feature_bank.astype(jnp.float32))
-    w, idx = jax.lax.top_k(sim, knn_k)                     # [B, K]
-    lbl = feature_labels[idx]                              # [B, K]
-    w = jnp.exp(w / knn_t)
-    onehot = jax.nn.one_hot(lbl, classes, dtype=jnp.float32)
-    scores = jnp.sum(onehot * w[..., None], axis=1)        # [B, C]
-    return jnp.argmax(scores, axis=-1).astype(jnp.int32)
+    w, lbl = _topk_neighbors(feature, feature_bank, feature_labels,
+                             knn_k=knn_k)
+    return _weighted_vote(w, lbl, classes, knn_t)
 
 
 def _l2n(x):
@@ -86,13 +95,17 @@ def knn_eval(encode_fn: Callable,
     name = {min(int(k), bank.shape[0]): int(k) for k in reversed(ks)}
     correct = {k: 0 for k in eff}
     total = 0
+    kmax = eff[-1]
     for images, lab in batches:
         f = jnp.asarray(_l2n(encode_fn(jnp.asarray(images))))
         lab = np.asarray(lab, np.int32)
         total += lab.shape[0]
+        # ONE similarity GEMM + top_k at max(K); smaller Ks vote over a
+        # prefix of the sorted ranking (what the reference loop reuses too)
+        w, nb_lbl = _topk_neighbors(f, bank_j, lbl_j, knn_k=kmax)
         for k in eff:
-            pred = np.asarray(knn_predict(f, bank_j, lbl_j, classes=classes,
-                                          knn_k=k, knn_t=knn_t))
+            pred = np.asarray(_weighted_vote(w[:, :k], nb_lbl[:, :k],
+                                             classes, knn_t))
             correct[k] += int((pred == lab).sum())
     if total == 0:
         raise ValueError("empty kNN eval source")

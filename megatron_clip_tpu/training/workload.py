@@ -106,19 +106,33 @@ class RuntimeCfg:
     no_save_optim: bool = False
     tensorboard_dir: Optional[str] = None  # megatron --tensorboard-dir
     log_params_norm: bool = False          # megatron --log-params-norm
+    log_num_zeros_in_grad: bool = False    # megatron --log-num-zeros-in-grad
 
 
 def add_runtime_args(p, *, lr: float = 1e-4, weight_decay: float = 0.01,
                      batch_size: int = 8, warmup: int = 10):
-    """Attach the shared runtime flags to an entry's argparse parser."""
-    p.add_argument("--batch-size", type=int, default=batch_size)
-    p.add_argument("--train-steps", type=int, default=20)
+    """Attach the shared runtime flags to an entry's argparse parser.
+
+    Megatron spellings are registered as aliases of the same dest
+    (--global-batch-size, --train-iters, --lr-warmup-iters, --clip-grad):
+    a step consumes the global batch here — grad accumulation dissolves
+    into the jit (microbatching exists only as the pipeline schedule)."""
+    p.add_argument("--batch-size", "--global-batch-size", type=int,
+                   default=batch_size,
+                   help="samples consumed per step (megatron "
+                        "--global-batch-size)")
+    p.add_argument("--micro-batch-size", type=int, default=None,
+                   help="megatron per-rank microbatch; with pp>1 derives "
+                        "num_microbatches = batch_size // micro (otherwise "
+                        "informational — the TPU step takes the full batch)")
+    p.add_argument("--train-steps", "--train-iters", type=int, default=20)
     p.add_argument("--train-samples", type=int, default=None,
                    help="run length in samples instead of steps (megatron "
                         "--train-samples; converted to "
                         "ceil(samples/batch-size) steps)")
     p.add_argument("--lr", type=float, default=lr)
-    p.add_argument("--warmup", type=int, default=warmup)
+    p.add_argument("--warmup", "--lr-warmup-iters", type=int,
+                   default=warmup)
     p.add_argument("--lr-decay-style",
                    choices=["constant", "linear", "cosine",
                             "inverse-square-root"], default="cosine",
@@ -137,7 +151,8 @@ def add_runtime_args(p, *, lr: float = 1e-4, weight_decay: float = 0.01,
                         "--end-weight-decay over the run (megatron flag)")
     p.add_argument("--start-weight-decay", type=float, default=None)
     p.add_argument("--end-weight-decay", type=float, default=None)
-    p.add_argument("--grad-clip-norm", type=float, default=1.0)
+    p.add_argument("--grad-clip-norm", "--clip-grad", type=float,
+                   default=1.0)
     p.add_argument("--skip-train", action="store_true",
                    help="run validation only, no training (megatron "
                         "--skip-train)")
@@ -195,6 +210,9 @@ def add_runtime_args(p, *, lr: float = 1e-4, weight_decay: float = 0.01,
                    help="write train/val scalars here (megatron "
                         "--tensorboard-dir; every workload logs TB, "
                         "training.py training_log)")
+    p.add_argument("--log-num-zeros-in-grad", action="store_true",
+                   help="count exact zeros in the gradients each logged "
+                        "step (megatron --log-num-zeros-in-grad)")
     p.add_argument("--log-params-norm", action="store_true",
                    help="log the global parameter norm each interval "
                         "(megatron --log-params-norm)")
@@ -226,7 +244,14 @@ def runtime_cfg_from_args(args, name: str) -> RuntimeCfg:
         pp=args.pipeline_model_parallel_size,
         vpp=args.virtual_pipeline_parallel_size,
         cp=getattr(args, "context_parallel_size", 1),
-        num_microbatches=args.num_microbatches,
+        # megatron --micro-batch-size: with pipelining, the microbatch
+        # count is global/micro (microbatches.py with dp folded into the
+        # jit-sharded batch); without pp it is informational
+        num_microbatches=max(
+            args.num_microbatches,
+            (args.batch_size // args.micro_batch_size)
+            if getattr(args, "micro_batch_size", None)
+            and args.pipeline_model_parallel_size > 1 else 1),
         save=args.save, save_interval=args.save_interval,
         resume=args.resume, load=getattr(args, "load", None),
         finetune=getattr(args, "finetune", False),
@@ -246,6 +271,7 @@ def runtime_cfg_from_args(args, name: str) -> RuntimeCfg:
         no_save_optim=getattr(args, "no_save_optim", False),
         tensorboard_dir=getattr(args, "tensorboard_dir", None),
         log_params_norm=getattr(args, "log_params_norm", False),
+        log_num_zeros_in_grad=getattr(args, "log_num_zeros_in_grad", False),
         seed=args.seed, name=name,
         nu_dtype=None if getattr(args, "nu_dtype", "fp32") == "fp32"
         else args.nu_dtype)
@@ -270,6 +296,7 @@ _RUN_ARG_KEYS = frozenset({
     "optimizer", "sgd_momentum", "no_load_optim", "no_save_optim",
     "lr_warmup_fraction", "weight_decay_incr_style", "start_weight_decay",
     "end_weight_decay", "skip_train", "tensorboard_dir", "log_params_norm",
+    "log_num_zeros_in_grad", "micro_batch_size",
     # execution-strategy / environment knobs, never architecture
     "precision", "params_dtype", "quantize_matmuls", "sequence_parallel",
     "context_parallel_layout", "fused_ce", "loss_seq_chunk",
@@ -420,6 +447,11 @@ def run_workload(params, loss_fn: Callable, batch_iter: Iterator,
         metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}
         if rc.log_params_norm:
             metrics["params_norm"] = optax.global_norm(params)
+        if rc.log_num_zeros_in_grad:
+            # float accumulator: int32 would overflow past ~2B zeros
+            metrics["num_zeros"] = sum(
+                jnp.sum(g == 0).astype(jnp.float32)
+                for g in jax.tree.leaves(grads))
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         if post_step is not None:
@@ -609,6 +641,7 @@ def run_workload(params, loss_fn: Callable, batch_iter: Iterator,
     loss = None
     history = []
     last_step, exited_early = start_step, False
+    last_custom_eval, last_custom_eval_step = None, -1
     with mesh_ctx:
         for i in range(start_step + 1, rc.train_steps + 1):
             batch = jax.tree.map(jnp.asarray, next(batch_iter))
@@ -627,6 +660,8 @@ def run_workload(params, loss_fn: Callable, batch_iter: Iterator,
                 gn = float(metrics["grad_norm"])
                 pn = (f" | params norm {float(metrics['params_norm']):.2f}"
                       if "params_norm" in metrics else "")
+                if "num_zeros" in metrics:
+                    pn += f" | num zeros {int(metrics['num_zeros'])}"
                 print(f"[{rc.name}] step {i}/{rc.train_steps} | "
                       f"loss {l:.4f} | grad norm {gn:.3f}{pn} | "
                       f"{ips:.1f} samples/s{extra}",
@@ -660,6 +695,7 @@ def run_workload(params, loss_fn: Callable, batch_iter: Iterator,
                 # entry-specific eval hook (e.g. DINO's weighted-kNN
                 # monitor, pretrain_vision_dino.py loss_func eval branch)
                 metrics_ce = custom_eval(params, aux, i)
+                last_custom_eval, last_custom_eval_step = metrics_ce, i
                 line = " ".join(f"{k} {v:.4f}"
                                 for k, v in metrics_ce.items())
                 print(f"[{rc.name}] eval @ {i}: {line}", flush=True)
@@ -687,4 +723,7 @@ def run_workload(params, loss_fn: Callable, batch_iter: Iterator,
     if writer is not None:
         writer.close()
     return {"loss": float(loss) if loss is not None else None,
-            "params": params, "aux": aux, "history": history}
+            "params": params, "aux": aux, "history": history,
+            "last_step": last_step,
+            "last_custom_eval": last_custom_eval,
+            "last_custom_eval_step": last_custom_eval_step}

@@ -219,7 +219,14 @@ def run(args):
                        args_ns=args)
     result = {"loss": out["loss"], "history": out["history"]}
     if custom_eval is not None:
-        result["knn"] = custom_eval(out["params"], out["aux"], -1)
+        # skip the final re-run when the loop's periodic eval already fired
+        # on the last step (same teacher state — it would duplicate the
+        # full bank-embedding pass)
+        ran_at_end = (out.get("last_custom_eval") is not None
+                      and out.get("last_custom_eval_step")
+                      == out.get("last_step"))
+        result["knn"] = out["last_custom_eval"] if ran_at_end else \
+            custom_eval(out["params"], out["aux"], -1)
     return result
 
 

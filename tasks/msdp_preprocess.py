@@ -156,7 +156,12 @@ def process_woi(raw_file: str, processed_file: str,
 def get_database(test_path: str, train_path: str, data_type: str):
     """preprocessing.get_database: per-topic prompt instances from the train
     tsv, filtered by knowledge quality; `(last_turn) topic => knowledge`
-    instances + the dialog text used for similarity."""
+    instances + the dialog text used for similarity.
+
+    Note (reference-faithful): the knowledge-length/pronoun filters apply
+    only to examples whose topic is NOT in the test set — test-topic
+    instances enter both the per-topic store and the global example pool
+    unfiltered, exactly as in preprocessing.py:297-319."""
     assert data_type in ("wow_seen", "wow_unseen", "woi")
     with open(test_path) as f:
         test_topics = {line.split("\t")[0] for line in f if line.strip()}
@@ -314,12 +319,14 @@ def prepare_input(test_file: str, knwl_gen_file: str,
                      for k in f.readlines()]
     n = 0
     with open(test_file) as fr, open(processed_file, "w") as fw:
-        for i, line in enumerate(fr):
+        for line in fr:
             line = line.strip()
             if not line:
                 continue
             topic, ctx, _, response = line.split("\t")[:4]
-            fw.write("\t".join((topic, ctx, knowledge[i], response)) + "\n")
+            # index by sample count, not raw line number: blank test-file
+            # lines must not shift the knowledge alignment
+            fw.write("\t".join((topic, ctx, knowledge[n], response)) + "\n")
             n += 1
     return n
 

@@ -230,10 +230,15 @@ def run(args):
     res = {"num_chunks": 0, "num_neighbors": args.num_neighbors}
     # persist the build args next to the artifacts so tools/retro_cli.py can
     # rebuild the encoder and know the layout (the reference stores args.json
-    # in the retro workdir, tools/retro/utils.get_args_path)
-    import json
-    with open(args.out + "_args.json", "w") as f:
-        json.dump(vars(args), f, indent=1)
+    # in the retro workdir, tools/retro/utils.get_args_path). Only the stages
+    # that (re)create chunks/embeddings may write it — a later
+    # `--stage query` run with default flags must not clobber the encoder
+    # config the embeddings were actually built with.
+    if args.stage in ("all", "chunks", "embed") \
+            or not os.path.exists(args.out + "_args.json"):
+        import json
+        with open(args.out + "_args.json", "w") as f:
+            json.dump(vars(args), f, indent=1)
     if args.stage in ("chunks", "all"):
         stage_chunks(args)
     if args.stage in ("embed", "all"):

@@ -65,7 +65,11 @@ class RetroDB:
         return out
 
     def detok(self, ids):
-        ids = [int(t) for t in ids if t != 0]
+        # strip TRAILING padding zeros only — id 0 can be a real vocab
+        # token mid-chunk (gpt2-bpe id 0 = "!")
+        ids = list(map(int, ids))
+        while ids and ids[-1] == 0:
+            ids.pop()
         if self.tokenizer is None:
             return " ".join(map(str, ids))
         return self.tokenizer.detokenize(ids)
