@@ -15,7 +15,8 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser("BERT pretraining")
     p.add_argument("--num-layers", type=int, default=12)
     p.add_argument("--hidden-size", type=int, default=768)
-    p.add_argument("--num-heads", type=int, default=12)
+    p.add_argument("--num-heads", "--num-attention-heads",
+                   type=int, default=12)
     p.add_argument("--seq-length", type=int, default=512)
     p.add_argument("--vocab-size", type=int, default=30592)
     p.add_argument("--make-vocab-size-divisible-by", type=int, default=None,

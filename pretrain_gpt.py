@@ -24,8 +24,19 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser("megatron_clip_tpu GPT pretraining")
     p.add_argument("--num-layers", type=int, default=12)
     p.add_argument("--hidden-size", type=int, default=768)
-    p.add_argument("--num-heads", type=int, default=12)
-    p.add_argument("--kv-heads", type=int, default=None)
+    p.add_argument("--num-heads", "--num-attention-heads",
+                   type=int, default=12)
+    p.add_argument("--kv-heads", "--num-query-groups", type=int,
+                   default=None,
+                   help="GQA kv-head count (megatron --num-query-groups;\n"
+                        "--group-query-attention is implied when set)")
+    p.add_argument("--group-query-attention",
+                   action="store_true",
+                   help="accepted for megatron CLI parity; GQA activates\n"
+                        "when --num-query-groups/--kv-heads is set")
+    p.add_argument("--ffn-hidden-size", type=int, default=None,
+                   help="MLP hidden size (megatron --ffn-hidden-size;\n"
+                        "default 4*hidden, or swiglu sizing)")
     p.add_argument("--seq-length", type=int, default=1024)
     p.add_argument("--vocab-size", type=int, default=50304)
     p.add_argument("--make-vocab-size-divisible-by", type=int, default=None,
@@ -132,6 +143,8 @@ def run(args):
     cfg = GPTCfg(
         num_layers=args.num_layers, hidden_size=args.hidden_size,
         num_heads=args.num_heads, kv_heads=args.kv_heads,
+        mlp_ratio=(args.ffn_hidden_size / args.hidden_size
+                   if args.ffn_hidden_size else 4.0),
         vocab_size=vocab, seq_length=args.seq_length,
         position_embedding=args.position_embedding,
         rotary_percent=args.rotary_percent,

@@ -14,10 +14,13 @@ import numpy as np
 
 def parse_args(argv=None):
     p = argparse.ArgumentParser("T5 pretraining")
-    p.add_argument("--num-layers", type=int, default=12)
-    p.add_argument("--num-decoder-layers", type=int, default=12)
+    p.add_argument("--num-layers", "--encoder-num-layers",
+                   type=int, default=12)
+    p.add_argument("--num-decoder-layers",
+                   "--decoder-num-layers", type=int, default=12)
     p.add_argument("--hidden-size", type=int, default=768)
-    p.add_argument("--num-heads", type=int, default=12)
+    p.add_argument("--num-heads", "--num-attention-heads",
+                   type=int, default=12)
     p.add_argument("--encoder-seq-length", type=int, default=512)
     p.add_argument("--decoder-seq-length", type=int, default=128)
     p.add_argument("--vocab-size", type=int, default=30592)

@@ -354,3 +354,38 @@ def test_gpt_three_axis_with_moe_and_dropout(devices8):
         "--context-parallel-size", "2", "--hidden-dropout", "0.1",
         "--num-experts", "2"]))
     assert np.isfinite(m["loss"])
+
+
+def test_megatron_flag_aliases():
+    """Megatron spellings parse as aliases of the native flags
+    (arguments.py: --global-batch-size/--train-iters/--lr-warmup-iters/
+    --clip-grad/--num-attention-heads/--num-query-groups/
+    --ffn-hidden-size), and --micro-batch-size derives the pipeline
+    microbatch count like microbatches.py."""
+    import pretrain_gpt
+    from megatron_clip_tpu.training.workload import runtime_cfg_from_args
+    a = pretrain_gpt.parse_args([
+        "--num-layers", "2", "--hidden-size", "64",
+        "--num-attention-heads", "4", "--seq-length", "32",
+        "--vocab-size", "256", "--global-batch-size", "8",
+        "--train-iters", "3", "--lr-warmup-iters", "1",
+        "--clip-grad", "0.5", "--ffn-hidden-size", "192",
+        "--num-query-groups", "2", "--group-query-attention"])
+    assert (a.num_heads, a.batch_size, a.train_steps) == (4, 8, 3)
+    assert (a.warmup, a.grad_clip_norm, a.kv_heads) == (1, 0.5, 2)
+    assert a.ffn_hidden_size == 192
+    # micro-batch-size is informational without pp, drives microbatches
+    # under pp>1 (global/micro)
+    rc = runtime_cfg_from_args(pretrain_gpt.parse_args(
+        ["--global-batch-size", "8", "--micro-batch-size", "4"]), "gpt")
+    assert rc.num_microbatches == 1
+    rc = runtime_cfg_from_args(pretrain_gpt.parse_args(
+        ["--global-batch-size", "8", "--micro-batch-size", "2",
+         "--pipeline-model-parallel-size", "2"]), "gpt")
+    assert rc.num_microbatches == 4
+
+    import pretrain_t5
+    a = pretrain_t5.parse_args([
+        "--encoder-num-layers", "3", "--decoder-num-layers", "2",
+        "--num-attention-heads", "4"])
+    assert (a.num_layers, a.num_decoder_layers, a.num_heads) == (3, 2, 4)
