@@ -32,6 +32,9 @@ def _log(msg: str):
 
 
 def _make_schedule(args, total_steps: int):
+    if getattr(args, "skip_scheduler", False):
+        # open_CLIP --skip-scheduler: raw constant lr, no warmup/decay
+        return lambda step: args.lr
     if args.lr_scheduler == "cosine":
         return cosine_lr(args.lr, args.warmup, total_steps)
     if args.lr_scheduler == "const":
@@ -39,6 +42,31 @@ def _make_schedule(args, total_steps: int):
     cooldown = (args.epochs_cooldown or 1) * max(total_steps // max(args.epochs, 1), 1)
     return const_lr_cooldown(args.lr, args.warmup, total_steps, cooldown,
                              args.lr_cooldown_power, args.lr_cooldown_end)
+
+
+def _load_pretrained_init(args, model, params):
+    """open_CLIP main.py: --pretrained initializes the trained model from a
+    released checkpoint (finetune workflow); --pretrained-image grafts only
+    the vision tower (timm pretrained-image analogue / LiT-style init)
+    leaving the text tower at random init."""
+    pre = getattr(args, "pretrained", "")
+    pre_img = getattr(args, "pretrained_image", "")
+    if not (pre or pre_img):
+        return params
+    from megatron_clip_tpu.checkpoints.torch_interop import \
+        load_openclip_checkpoint
+    from megatron_clip_tpu.pretrained import resolve_pretrained
+    name = args.model.replace("/", "-")
+    if pre:
+        params = load_openclip_checkpoint(
+            resolve_pretrained(name, pre), model.cfg, params)
+        _log(f"initialized from pretrained {pre!r}")
+    if pre_img:
+        full = load_openclip_checkpoint(
+            resolve_pretrained(name, pre_img), model.cfg, params)
+        params = dict(params, visual=full["visual"])
+        _log(f"vision tower initialized from {pre_img!r}")
+    return params
 
 
 def _model_overrides(args) -> dict:
@@ -87,6 +115,7 @@ def run_training(args) -> dict:
     model, params = factory.create_model(
         args.model, precision=args.precision, seed=args.seed,
         force_quick_gelu=args.force_quick_gelu, **_model_overrides(args))
+    params = _load_pretrained_init(args, model, params)
     model = dataclasses.replace(model, remat=args.recompute_granularity,
                                 sequence_parallel=args.sequence_parallel)
     if model.is_coca:
@@ -185,6 +214,21 @@ def run_training(args) -> dict:
                  f"(consumed_samples={consumed})")
 
     save_root = os.path.join(args.save, args.name or "default") if args.save else None
+    if getattr(args, "copy_codebase", False) and save_root:
+        # open_CLIP --copy-codebase (main.py copy_codebase): snapshot the
+        # code into the experiment dir for reproducibility
+        import shutil
+        code_dir = os.path.join(save_root, "code")
+        if not os.path.exists(code_dir):
+            src = os.path.dirname(os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__))))
+            shutil.copytree(
+                src, code_dir,
+                ignore=shutil.ignore_patterns(
+                    ".git", "__pycache__", "*.pyc", "logs", "wandb",
+                    # never recurse into the experiment dir itself
+                    os.path.basename(os.path.normpath(args.save))))
+            _log(f"copied codebase to {code_dir}")
     writer = None
     if "tensorboard" in (args.report_to or "") and save_root:
         try:
@@ -199,7 +243,9 @@ def run_training(args) -> dict:
         try:
             import wandb
             wandb_run = wandb.init(project=args.wandb_project_name,
-                                   name=args.name or None, config=vars(args))
+                                   name=args.name or None,
+                                   notes=getattr(args, "wandb_notes", None),
+                                   config=vars(args))
         except Exception as e:  # noqa: BLE001 — logging must not kill training
             _log(f"wandb unavailable ({type(e).__name__}); skipping")
     # background checkpoint mirroring (open_CLIP --remote-sync,

@@ -40,6 +40,10 @@ def parse_args(args=None):
     # --- model --------------------------------------------------------------
     p.add_argument("--model", type=str, default="ViT-B-32")
     p.add_argument("--pretrained", type=str, default="")
+    p.add_argument("--pretrained-image", type=str, default="",
+                   help="initialize ONLY the vision tower from this "
+                        "pretrained tag/path (open_CLIP --pretrained-image "
+                        "/ LiT-style init); text tower stays at init")
     p.add_argument("--precision", choices=["amp", "amp_bf16", "bf16", "fp16",
                                            "fp32", "pure_bf16"], default="bf16")
     p.add_argument("--force-quick-gelu", action="store_true")
@@ -150,9 +154,16 @@ def parse_args(args=None):
                         "(open_CLIP --delete-previous-checkpoint)")
     p.add_argument("--resume", type=str, default=None,
                    help="'latest' or a checkpoint dir")
-    p.add_argument("--log-interval", type=int, default=10,
+    p.add_argument("--log-interval", "--log-every-n-steps", type=int,
+                   default=10,
                    help="console/TB metrics every N steps (megatron "
-                        "--log-interval)")
+                        "--log-interval / open_CLIP --log-every-n-steps)")
+    p.add_argument("--skip-scheduler", action="store_true",
+                   help="raw constant lr, no warmup/decay (open_CLIP)")
+    p.add_argument("--wandb-notes", type=str, default=None)
+    p.add_argument("--copy-codebase", action="store_true",
+                   help="snapshot the code tree into <save>/<name>/code "
+                        "(open_CLIP main.py copy_codebase)")
     p.add_argument("--report-to", type=str, default="",
                    help="comma list: tensorboard,wandb (wandb is a no-op "
                         "with a warning if the package is absent)")

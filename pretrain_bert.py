@@ -38,7 +38,8 @@ def parse_args(argv=None):
     p.add_argument("--split", type=str, default="969,30,1",
                    help="train/valid/test doc-split weights over --data-path "
                         "(megatron --split semantics)")
-    p.add_argument("--masked-lm-prob", type=float, default=0.15)
+    p.add_argument("--masked-lm-prob", "--mask-prob",
+                   type=float, default=0.15)
     p.add_argument("--mask-id", type=int, default=3)
     from megatron_clip_tpu.training.workload import add_runtime_args
     add_runtime_args(p, lr=1e-4, weight_decay=0.01)

@@ -28,7 +28,8 @@ def parse_args(argv=None):
     p.add_argument("--data-path", type=str, default=None,
                    help="sentence-level indexed corpus prefix (.bin/.idx): "
                         "real span-corruption samples via data/t5_dataset.py")
-    p.add_argument("--masked-lm-prob", type=float, default=0.15)
+    p.add_argument("--masked-lm-prob", "--mask-prob",
+                   type=float, default=0.15)
     p.add_argument("--short-seq-prob", type=float, default=0.1)
     p.add_argument("--split", type=str, default="969,30,1",
                    help="train/valid/test doc-split weights over --data-path "

@@ -288,3 +288,50 @@ def test_remote_sync(tmp_path):
     import time; time.sleep(1.1)
     assert rs.final() >= 1
     assert (dst / "latest_checkpointed_iteration.txt").read_text() == "2"
+
+
+def test_pretrained_init_and_image_only(tmp_path):
+    """--pretrained initializes the trained model from a released .pt
+    (open_CLIP main.py finetune workflow); --pretrained-image grafts the
+    vision tower only (LiT-style init)."""
+    torch = pytest.importorskip("torch")
+    import jax
+    from megatron_clip_tpu.checkpoints.torch_interop import \
+        openclip_state_dict_from_params
+    from megatron_clip_tpu.factory import create_model
+    from megatron_clip_tpu.training.loop import _load_pretrained_init
+
+    model, src = create_model("test-tiny", precision="fp32", seed=7)
+    sd = openclip_state_dict_from_params(src, model.cfg)
+    path = tmp_path / "epoch_3.pt"
+    torch.save({"state_dict": {
+        k: torch.from_numpy(np.ascontiguousarray(v))
+        for k, v in sd.items()}}, path)
+
+    _, fresh = create_model("test-tiny", precision="fp32", seed=0)
+
+    class A:
+        model = "test-tiny"
+        pretrained = str(path)
+        pretrained_image = ""
+    full = _load_pretrained_init(A(), model, fresh)
+    np.testing.assert_allclose(
+        np.asarray(full["text"]["tok_embed"]),
+        np.asarray(src["text"]["tok_embed"]), rtol=1e-6)
+
+    class B:
+        model = "test-tiny"
+        pretrained = ""
+        pretrained_image = str(path)
+    img_only = _load_pretrained_init(B(), model, fresh)
+    np.testing.assert_allclose(
+        np.asarray(img_only["visual"]["cls"]),
+        np.asarray(src["visual"]["cls"]), rtol=1e-6)
+    assert not np.allclose(np.asarray(img_only["text"]["tok_embed"]),
+                           np.asarray(src["text"]["tok_embed"]))
+
+    # the full CLI path accepts the flag end-to-end
+    m = run_training(parse_args(TINY_ARGS[:-2] + [
+        "--train-num-samples", "32", "--pretrained", str(path),
+        "--skip-scheduler"]))
+    assert np.isfinite(m["loss"])
