@@ -238,7 +238,7 @@ class ParallelCfg:
     ParallelCfg (see parallel/branch.py).
     """
 
-    dp: int = 1            # data-parallel axis size
+    dp: int = 1            # data-parallel axis size (within one ICI slice)
     fsdp: int = 1          # optimizer/param shard axis (ZeRO-1/3 analogue)
     tp: int = 1            # tensor-parallel axis size
     pp: int = 1            # pipeline-parallel stage count
@@ -246,6 +246,13 @@ class ParallelCfg:
     cp: int = 1            # context-parallel axis (ring attention over seq;
                            # completes megatron's --context-parallel-size,
                            # which is plumbing-only in the reference)
+    dcn_dp: int = 1        # data parallelism ACROSS slices/pods (DCN): the
+                           # outer-major blocks of the `data` axis, laid out
+                           # slice-contiguous so only grad all-reduce crosses
+                           # the data-center network while tp/pp/cp/fsdp
+                           # collectives stay on ICI (the reference's
+                           # inter-node DP over IB, here via
+                           # mesh_utils.create_hybrid_device_mesh)
     microbatches: int = 1  # pipeline microbatches per step
     sequence_parallel: bool = False  # shard activations on seq within tp group
     # NOTE: there is intentionally no separate expert-parallel axis — MoE
@@ -254,10 +261,11 @@ class ParallelCfg:
 
     @property
     def num_devices(self) -> int:
-        return self.dp * self.fsdp * self.tp * self.pp * self.cp
+        return (self.dp * self.fsdp * self.tp * self.pp * self.cp
+                * self.dcn_dp)
 
     def validate(self) -> None:
-        for k in ("dp", "fsdp", "tp", "pp", "cp", "microbatches"):
+        for k in ("dp", "fsdp", "tp", "pp", "cp", "microbatches", "dcn_dp"):
             v = getattr(self, k)
             if v < 1:
                 raise ValueError(f"ParallelCfg.{k} must be >= 1, got {v}")

@@ -208,33 +208,19 @@ def _sample(logits, rng, temperature, top_k, top_p):
     return jax.random.categorical(rng, logits, axis=-1)
 
 
-@partial(jax.jit, static_argnames=("cfg", "max_new_tokens", "temperature",
-                                   "top_k", "top_p", "eos_id",
-                                   "return_lengths", "top_p_decay",
-                                   "top_p_bound"))
-def generate(params, prompt, prompt_len, cfg: GPTCfg, *,
-             max_new_tokens: int = 32, temperature: float = 1.0,
-             top_k: int = 0, top_p: float = 0.0, eos_id: int = -1,
-             seed: int = 0, return_lengths: bool = False,
-             top_p_decay: float = 0.0, top_p_bound: float = 0.0):
-    """prompt: [B, P] right-padded; prompt_len: [B] actual lengths.
-    Returns tokens [B, P + max_new_tokens] with generations in-filled at each
-    row's own prompt_len (megatron text_generation/generation.py semantics:
-    a short row's first generated token lands at position prompt_len, with
-    per-row rope/pos-embed indices, never attending to the pad region of the
-    cache). With return_lengths=True also returns [B] counts of generated
-    tokens (including the EOS, when one was produced).
-    One compiled computation: prefill + scan of decode steps.
-    """
+def _decode_program(fwd, params, prompt, prompt_len, cache, cfg: GPTCfg, *,
+                    max_new_tokens, temperature, top_k, top_p, eos_id, seed,
+                    return_lengths, top_p_decay, top_p_bound, compute):
+    """Shared prefill + decode-scan body. `fwd(params, tokens, pos, cache)
+    -> (logits, cache)` is the model forward (plain `_forward_cached`, or
+    the pipeline-staged forward in pp_generation.py)."""
     b, p = prompt.shape
     max_len = p + max_new_tokens
-    cache = KVCache.create(cfg, b, max_len)
-    compute = jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
 
     # Prefill the padded prompt at shared positions 0..P-1: correct for every
     # row's real tokens; the pad region's cache entries are masked out during
     # decode (per-row frontier) and overwritten as generation in-fills them.
-    logits, cache = _forward_cached(params, prompt, 0, cache, cfg, compute)
+    logits, cache = fwd(params, prompt, 0, cache)
     # next-token logits come from each row's last real prompt token
     last = jnp.take_along_axis(logits, (prompt_len - 1)[:, None, None], axis=1)[:, 0]
 
@@ -264,8 +250,7 @@ def generate(params, prompt, prompt_len, cfg: GPTCfg, *,
         n_gen = n_gen + (~done).astype(jnp.int32)
         done = done | (tok == eos_id)
 
-        logits, cache2 = _forward_cached(params, tok[:, None], wpos, cache,
-                                         cfg, compute)
+        logits, cache2 = fwd(params, tok[:, None], wpos, cache)
         return (out, cache2, logits[:, 0], rng, done, n_gen), None
 
     init = (out, cache, last, rng, jnp.zeros((b,), bool),
@@ -275,6 +260,36 @@ def generate(params, prompt, prompt_len, cfg: GPTCfg, *,
     if return_lengths:
         return out, n_gen
     return out
+
+
+@partial(jax.jit, static_argnames=("cfg", "max_new_tokens", "temperature",
+                                   "top_k", "top_p", "eos_id",
+                                   "return_lengths", "top_p_decay",
+                                   "top_p_bound"))
+def generate(params, prompt, prompt_len, cfg: GPTCfg, *,
+             max_new_tokens: int = 32, temperature: float = 1.0,
+             top_k: int = 0, top_p: float = 0.0, eos_id: int = -1,
+             seed: int = 0, return_lengths: bool = False,
+             top_p_decay: float = 0.0, top_p_bound: float = 0.0):
+    """prompt: [B, P] right-padded; prompt_len: [B] actual lengths.
+    Returns tokens [B, P + max_new_tokens] with generations in-filled at each
+    row's own prompt_len (megatron text_generation/generation.py semantics:
+    a short row's first generated token lands at position prompt_len, with
+    per-row rope/pos-embed indices, never attending to the pad region of the
+    cache). With return_lengths=True also returns [B] counts of generated
+    tokens (including the EOS, when one was produced).
+    One compiled computation: prefill + scan of decode steps.
+    """
+    b, p = prompt.shape
+    cache = KVCache.create(cfg, b, p + max_new_tokens)
+    compute = jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
+    fwd = lambda prm, toks, pos, c: _forward_cached(prm, toks, pos, c, cfg,
+                                                    compute)
+    return _decode_program(
+        fwd, params, prompt, prompt_len, cache, cfg,
+        max_new_tokens=max_new_tokens, temperature=temperature, top_k=top_k,
+        top_p=top_p, eos_id=eos_id, seed=seed, return_lengths=return_lengths,
+        top_p_decay=top_p_decay, top_p_bound=top_p_bound, compute=compute)
 
 
 def greedy_generate(params, prompt, cfg: GPTCfg, max_new_tokens: int = 32,

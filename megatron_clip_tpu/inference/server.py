@@ -35,14 +35,26 @@ def _bucket(n: int) -> int:
 
 
 class GenerationService:
-    """Wraps a GPT model + tokenizer into a prompt->text callable."""
+    """Wraps a GPT model + tokenizer into a prompt->text callable.
 
-    def __init__(self, params, cfg, tokenizer, eos_id: Optional[int] = None):
+    `mesh`: serve under a device mesh (megatron's TP×PP inference). With a
+    `stage` axis > 1 decode runs the pipeline-parallel program
+    (inference/pp_generation.py — params must be placed with
+    stage_axis=STAGE specs); otherwise the mesh is set as ambient so the
+    TP/dp sharding constraints in generation.py apply."""
+
+    def __init__(self, params, cfg, tokenizer, eos_id: Optional[int] = None,
+                 mesh=None):
         self.params = params
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.eos_id = eos_id if eos_id is not None else -1
+        self.mesh = mesh
         self._lock = threading.Lock()
+
+    def _pp_stages(self) -> int:
+        from megatron_clip_tpu.parallel.mesh import STAGE
+        return self.mesh.shape.get(STAGE, 1) if self.mesh is not None else 1
 
     MAX_TOKENS_TO_GENERATE = 1024
 
@@ -63,14 +75,26 @@ class GenerationService:
         for r, seq in enumerate(ids):
             batch[r, :len(seq)] = seq
             lens[r] = len(seq)
+        kw = dict(max_new_tokens=tokens_to_generate,
+                  temperature=float(temperature), top_k=int(top_k),
+                  top_p=float(top_p), eos_id=self.eos_id, seed=seed,
+                  return_lengths=True, top_p_decay=float(top_p_decay),
+                  top_p_bound=float(top_p_bound))
         with self._lock:  # one compiled computation at a time on the chip
-            out, n_gen = generate(
-                self.params, jnp.asarray(batch), jnp.asarray(lens),
-                self.cfg, max_new_tokens=tokens_to_generate,
-                temperature=float(temperature), top_k=int(top_k),
-                top_p=float(top_p), eos_id=self.eos_id, seed=seed,
-                return_lengths=True, top_p_decay=float(top_p_decay),
-                top_p_bound=float(top_p_bound))
+            if self._pp_stages() > 1:
+                from megatron_clip_tpu.inference.pp_generation import \
+                    pp_generate
+                out, n_gen = pp_generate(
+                    self.params, jnp.asarray(batch), jnp.asarray(lens),
+                    self.cfg, self.mesh, **kw)
+            elif self.mesh is not None:
+                import jax
+                with jax.sharding.set_mesh(self.mesh):
+                    out, n_gen = generate(self.params, jnp.asarray(batch),
+                                          jnp.asarray(lens), self.cfg, **kw)
+            else:
+                out, n_gen = generate(self.params, jnp.asarray(batch),
+                                      jnp.asarray(lens), self.cfg, **kw)
         out, n_gen = np.asarray(out), np.asarray(n_gen)
         texts = []
         for r in range(len(ids)):
@@ -99,13 +123,22 @@ class GenerationService:
         tokens_to_generate = max(1, min(int(tokens_to_generate),
                                         self.MAX_TOKENS_TO_GENERATE))
         ids = self.tokenizer.encode(prompts[0])
+        if self._pp_stages() > 1:
+            raise ValueError("beam search is not supported under "
+                             "pipeline-parallel serving; use a tp-only mesh")
         with self._lock:
-            toks, scores = beam_search(
-                self.params, jnp.asarray([ids], jnp.int32), self.cfg,
-                beam_size=int(beam_width),
-                max_new_tokens=tokens_to_generate,
-                eos_id=self.eos_id if self.eos_id >= 0 else 0,
-                length_penalty=float(length_penalty))
+            import contextlib
+            ctx = contextlib.nullcontext()
+            if self.mesh is not None:
+                import jax
+                ctx = jax.sharding.set_mesh(self.mesh)
+            with ctx:
+                toks, scores = beam_search(
+                    self.params, jnp.asarray([ids], jnp.int32), self.cfg,
+                    beam_size=int(beam_width),
+                    max_new_tokens=tokens_to_generate,
+                    eos_id=self.eos_id if self.eos_id >= 0 else 0,
+                    length_penalty=float(length_penalty))
         best = list(np.asarray(toks)[0, 0, len(ids):])
         if self.eos_id in best:
             best = best[:best.index(self.eos_id)]

@@ -49,7 +49,23 @@ def build_mesh(cfg, devices: Optional[Sequence] = None,
         raise ValueError(f"need {need} devices for {cfg}, have {len(devices)}")
     devices = devices[:need]
     cp = getattr(cfg, "cp", 1)
-    arr = np.asarray(devices).reshape(cfg.dp, cfg.fsdp, cfg.pp, cp, cfg.tp)
+    dcn = getattr(cfg, "dcn_dp", 1)
+    if dcn > 1:
+        # Multi-slice: data parallelism across slices rides DCN; everything
+        # else stays within a slice on ICI. When the runtime exposes slice
+        # topology (real multi-slice TPU), create_hybrid_device_mesh groups
+        # devices slice-major; otherwise (single slice / virtual CPU devices)
+        # a contiguous split is the same layout by construction.
+        shape_ici = (cfg.dp, cfg.fsdp, cfg.pp, cp, cfg.tp)
+        try:
+            from jax.experimental import mesh_utils
+            arr = mesh_utils.create_hybrid_device_mesh(
+                shape_ici, (dcn, 1, 1, 1, 1), devices=devices)
+        except Exception:  # noqa: BLE001 — no slice_index on these devices
+            arr = np.asarray(devices).reshape(dcn * cfg.dp, cfg.fsdp,
+                                              cfg.pp, cp, cfg.tp)
+    else:
+        arr = np.asarray(devices).reshape(cfg.dp, cfg.fsdp, cfg.pp, cp, cfg.tp)
     # mesh dims ordered (data, fsdp, stage, context, tensor): tensor
     # fastest-varying so TP collectives ride the fastest ICI hops; context
     # adjacent so the ring-attention ppermute is neighbour-to-neighbour

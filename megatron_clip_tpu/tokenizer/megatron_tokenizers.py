@@ -172,32 +172,35 @@ class GPT2BPETokenizer:
 
 class SentencePieceTokenizer:
     """SentencePiece model wrapper (megatron SentencePieceTokenizer /
-    Llama2Tokenizer). Requires the `sentencepiece` package + a local .model
-    file; raises a clear error if either is missing."""
+    Llama2Tokenizer). Uses the `sentencepiece` package when installed;
+    otherwise falls back to the dependency-free native reader/encoder
+    (`sentencepiece_py.SentencePieceModel`: protobuf wire-format parse +
+    unigram Viterbi / BPE best-merge encoding + byte fallback)."""
 
     def __init__(self, model_file: str):
         try:
             import sentencepiece as spm
-        except ImportError as e:
-            raise ImportError(
-                "SentencePieceTokenizer requires the `sentencepiece` package "
-                "(not installed in this image); use bert-wordpiece, gpt2-bpe "
-                "or clip tokenizers instead") from e
-        self._sp = spm.SentencePieceProcessor(model_file=model_file)
+            self._sp = spm.SentencePieceProcessor(model_file=model_file)
+            self._eos = self._sp.eos_id()
+        except ImportError:
+            from megatron_clip_tpu.tokenizer.sentencepiece_py import \
+                SentencePieceModel
+            self._sp = SentencePieceModel(model_file)
+            self._eos = self._sp.eos_id
 
     @property
     def vocab_size(self):
         return self._sp.get_piece_size()
 
     def tokenize(self, text: str) -> List[int]:
-        return self._sp.encode(text)
+        return list(self._sp.encode(text))
 
     def detokenize(self, ids) -> str:
         return self._sp.decode([int(i) for i in ids])
 
     @property
     def eod(self):
-        return self._sp.eos_id()
+        return self._eos
 
 
 def build_tokenizer(tokenizer_type: str, *, vocab_file: Optional[str] = None,

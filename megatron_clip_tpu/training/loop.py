@@ -109,8 +109,9 @@ def run_training(args) -> dict:
     tp, pp = args.tensor_model_parallel_size, args.pipeline_model_parallel_size
     fsdp = args.fsdp_parallel_size
     extra = args.extra_world_size
+    dcn = getattr(args, "dcn_data_parallel_size", 1)
     main_world = len(devices) - extra
-    dp = max(1, main_world // (tp * pp * fsdp))
+    dp = max(1, main_world // (tp * pp * fsdp * dcn))
 
     model, params = factory.create_model(
         args.model, precision=args.precision, seed=args.seed,
@@ -201,6 +202,7 @@ def run_training(args) -> dict:
         runner = _JointRunner(args, model, params, tx_factory,
                               ParallelCfg(dp=dp, fsdp=fsdp, tp=tp, pp=pp,
                                           vpp=args.virtual_pipeline_parallel_size,
+                                          dcn_dp=dcn,
                                           microbatches=args.num_microbatches),
                               loss_obj, teacher=teacher)
 

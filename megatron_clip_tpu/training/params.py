@@ -123,6 +123,10 @@ def parse_args(args=None):
                    help="param/optimizer shard axis (ZeRO / distributed "
                         "optimizer analogue, --use-distributed-optimizer)")
     p.add_argument("--num-microbatches", type=int, default=1)
+    p.add_argument("--dcn-data-parallel-size", type=int, default=1,
+                   help="data parallelism across slices/pods over DCN "
+                        "(outer-major blocks of the data axis; only grad "
+                        "all-reduce crosses the data-center network)")
     p.add_argument("--sequence-parallel", action="store_true")
     p.add_argument("--extra-world-size", type=int, default=0,
                    help="devices for the text branch; >0 enables "

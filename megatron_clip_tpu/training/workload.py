@@ -70,6 +70,7 @@ class RuntimeCfg:
     pp: int = 1
     vpp: int = 1
     cp: int = 1
+    dcn_dp: int = 1   # data parallelism across slices/pods (DCN)
     num_microbatches: int = 1
     tokens_per_sample: int = 0   # >0: log tok/s alongside samples/s
     # checkpointing (megatron --save/--save-interval/--load/--finetune)
@@ -161,6 +162,11 @@ def add_runtime_args(p, *, lr: float = 1e-4, weight_decay: float = 0.01,
     p.add_argument("--fsdp-parallel-size", type=int, default=1)
     p.add_argument("--pipeline-model-parallel-size", type=int, default=1)
     p.add_argument("--virtual-pipeline-parallel-size", type=int, default=1)
+    p.add_argument("--dcn-data-parallel-size", type=int, default=1,
+                   help="data parallelism across slices/pods over DCN "
+                        "(carved out of the auto-computed dp; only the "
+                        "grad all-reduce crosses the DCN, every other "
+                        "collective stays on ICI)")
     p.add_argument("--num-microbatches", type=int, default=1)
     p.add_argument("--save", type=str, default=None,
                    help="checkpoint root (iter_XXXXXXX dirs + tracker file)")
@@ -244,6 +250,7 @@ def runtime_cfg_from_args(args, name: str) -> RuntimeCfg:
         pp=args.pipeline_model_parallel_size,
         vpp=args.virtual_pipeline_parallel_size,
         cp=getattr(args, "context_parallel_size", 1),
+        dcn_dp=getattr(args, "dcn_data_parallel_size", 1),
         # megatron --micro-batch-size: with pipelining, the microbatch
         # count is global/micro (microbatches.py with dp folded into the
         # jit-sharded batch); without pp it is informational
@@ -357,12 +364,12 @@ def build_workload_mesh(rc: RuntimeCfg):
     from megatron_clip_tpu.parallel import build_mesh
 
     devices = jax.devices()
-    denom = rc.tp * rc.fsdp * rc.pp * rc.cp
+    denom = rc.tp * rc.fsdp * rc.pp * rc.cp * rc.dcn_dp
     dp = max(1, len(devices) // denom)
     if dp * denom == 1:
         return None, None
     mesh = build_mesh(ParallelCfg(dp=dp, fsdp=rc.fsdp, tp=rc.tp, pp=rc.pp,
-                                  vpp=rc.vpp, cp=rc.cp,
+                                  vpp=rc.vpp, cp=rc.cp, dcn_dp=rc.dcn_dp,
                                   microbatches=rc.num_microbatches))
     layers_fn = None
     if rc.pp > 1:

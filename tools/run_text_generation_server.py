@@ -42,7 +42,26 @@ def main(argv=None):
         params = tree["params"]
         print(f"loaded checkpoint @ step {step}")
 
-    service = GenerationService(params, cfg, tok, eos_id=tok.eot_token_id)
+    # serve under a TP×PP mesh (megatron text_generation/communication.py):
+    # --tensor-model-parallel-size shards heads/mlp + the KV cache;
+    # --pipeline-model-parallel-size runs the staged decode program
+    mesh = None
+    tp = getattr(args, "tensor_model_parallel_size", 1) or 1
+    pp = getattr(args, "pipeline_model_parallel_size", 1) or 1
+    if tp * pp > 1:
+        from megatron_clip_tpu.config import ParallelCfg
+        from megatron_clip_tpu.models.gpt import gpt_param_specs
+        from megatron_clip_tpu.parallel import build_mesh
+        from megatron_clip_tpu.parallel.mesh import STAGE
+        from megatron_clip_tpu.parallel.sharding import make_sharding_tree
+        mesh = build_mesh(ParallelCfg(tp=tp, pp=pp))
+        params = jax.device_put(params, make_sharding_tree(
+            mesh, gpt_param_specs(params,
+                                  stage_axis=STAGE if pp > 1 else None)))
+        print(f"serving under mesh tp={tp} pp={pp}")
+
+    service = GenerationService(params, cfg, tok, eos_id=tok.eot_token_id,
+                                mesh=mesh)
     server = run_server(service, port=srv_args.port)
     print(f"serving on :{srv_args.port} (PUT /api)", flush=True)
     try:
