@@ -150,6 +150,21 @@ _BUILTIN["mt5-base-ViT-B-32"] = _hf_pair(
 _BUILTIN["mt5-xl-ViT-H-14"] = _hf_pair(
     1024, _VITH14, "google/mt5-xl", 2048, 32, 24, 250112)
 
+# CoCa with an HF RoBERTa unimodal text tower (reference
+# model_configs/coca_roberta-ViT-B-32.json)
+_BUILTIN["coca_roberta-ViT-B-32"] = {
+    "embed_dim": 512,
+    "vision_cfg": {"image_size": 224, "layers": 12, "width": 768,
+                   "patch_size": 32, "output_tokens": True},
+    "text_cfg": {"hf_model_name": "roberta-base", "proj": "linear",
+                 "pooler_type": "mean_pooler", "width": 768, "heads": 12,
+                 "layers": 12, "vocab_size": 50265, "context_length": 76,
+                 "output_tokens": True},
+    "multimodal_cfg": {"context_length": 76, "width": 768, "heads": 8,
+                       "layers": 12},
+    "custom_text": True,
+}
+
 # timm-named towers on the native swin / GAP-ViT implementations
 _BUILTIN["swin_base_patch4_window7_224"] = {
     "embed_dim": 640,

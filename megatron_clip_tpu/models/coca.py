@@ -58,6 +58,18 @@ def _init_mm_block(key, cfg: MultimodalCfg, dtype=jnp.float32):
     }
 
 
+def _hf_coca_cfg(cfg: CLIPCfg):
+    """HFTextCfg for a CoCa unimodal HF text tower (the reference's
+    coca_roberta-ViT-B-32.json: open_CLIP hf_model.py tower feeding the
+    multimodal decoder). T5-family towers have no CoCa pairing in the
+    reference zoo."""
+    from megatron_clip_tpu.models.clip import _hf_is_t5, _hf_text_cfg
+    if _hf_is_t5(cfg.hf_text):
+        raise ValueError("CoCa with a T5/mT5 text tower has no reference "
+                         "config; use a BERT/RoBERTa-family hf_model_name")
+    return _hf_text_cfg(cfg)
+
+
 def init_coca(key, cfg: CLIPCfg, dtype=jnp.float32):
     assert cfg.multimodal is not None, "CoCa needs multimodal_cfg"
     mm = cfg.multimodal
@@ -66,9 +78,29 @@ def init_coca(key, cfg: CLIPCfg, dtype=jnp.float32):
     # vision tower pools with 1 + n_queries attentional queries
     vcfg = dataclasses.replace(cfg.vision, attentional_pool=True,
                                attn_pooler_queries=mm.attn_pooler_queries + 1)
+    text_width, text_vocab = cfg.text.width, cfg.text.vocab_size
+    if cfg.hf_text is not None:
+        # HF unimodal tower (coca_roberta-ViT-B-32): pretrained checkpoint
+        # when asked for, else offline init at the recorded arch dims
+        hcfg = _hf_coca_cfg(cfg)
+        if cfg.hf_text.get("pretrained") and cfg.hf_text.get("model_name"):
+            from megatron_clip_tpu.models.hf_text import (
+                load_hf_text_tower, persist_hf_text_cfg)
+            hcfg, text = load_hf_text_tower(
+                cfg.hf_text["model_name"], output_dim=cfg.embed_dim,
+                proj=cfg.hf_text.get("proj", "linear"),
+                pooler=cfg.hf_text.get("pooler"))
+            persist_hf_text_cfg(cfg.hf_text, hcfg)
+        else:
+            from megatron_clip_tpu.models.hf_text import init_hf_text
+            text = init_hf_text(kt, hcfg, dtype)
+        text_width, text_vocab = hcfg.width, hcfg.vocab_size
+    else:
+        text = init_text(kt, cfg.text, cfg.embed_dim, act=cfg.act,
+                         dtype=dtype)
     params = {
         "visual": init_vit(kv, vcfg, cfg.embed_dim, act=cfg.act, dtype=dtype),
-        "text": init_text(kt, cfg.text, cfg.embed_dim, act=cfg.act, dtype=dtype),
+        "text": text,
         "logit_scale": jnp.asarray(cfg.init_logit_scale, jnp.float32),
         # text pooling uses argmax-EOT (same contract as open_CLIP's CLS-at-
         # end: one position summarizes the caption for the contrastive head)
@@ -76,17 +108,17 @@ def init_coca(key, cfg: CLIPCfg, dtype=jnp.float32):
         "mm_ln": init_layer_norm(mm.width, dtype),
         "mm_proj": {
             # text-width -> decoder-width adapters when sizes differ
-            "w": (jax.random.normal(kp, (cfg.text.width, mm.width))
-                  * cfg.text.width ** -0.5).astype(dtype),
+            "w": (jax.random.normal(kp, (text_width, mm.width))
+                  * text_width ** -0.5).astype(dtype),
         },
         "img_proj": {
             "w": (jax.random.normal(kh, (cfg.embed_dim, mm.width))
                   * cfg.embed_dim ** -0.5).astype(dtype),
         },
         "lm_head": {
-            "w": (jax.random.normal(km, (mm.width, cfg.text.vocab_size))
+            "w": (jax.random.normal(km, (mm.width, text_vocab))
                   * mm.width ** -0.5).astype(dtype),
-            "b": jnp.zeros((cfg.text.vocab_size,), dtype=dtype),
+            "b": jnp.zeros((text_vocab,), dtype=dtype),
         },
     }
     keys = jax.random.split(km, mm.layers)
@@ -148,21 +180,37 @@ def apply_coca(params, images, texts, cfg: CLIPCfg, *,
     image_features, img_ctx = _vision_context(params, images, cfg,
                                               compute_dtype)
 
-    # text: tokens through the unimodal tower; CLS appended at the end
-    pooled_txt, tok_out = apply_text(params["text"], texts, cfg.text,
-                                     cfg.embed_dim, act=cfg.act,
-                                     compute_dtype=compute_dtype,
-                                     output_tokens=True)
+    if cfg.hf_text is not None:
+        # HF unimodal tower (reference hf_model.py:138-151 output_tokens):
+        # cls_pooler drops the CLS position from the token states, mean
+        # pooler keeps all; labels are the last len(tokens) text positions
+        # (coca_model.py:156 labels = text[:, -token_embs.shape[1]:])
+        from megatron_clip_tpu.models.hf_text import apply_hf_text
+        hcfg = _hf_coca_cfg(cfg)
+        pooled_txt, tok_out = apply_hf_text(params["text"], texts, hcfg,
+                                            compute_dtype=compute_dtype,
+                                            return_tokens=True)
+        if hcfg.pooler == "cls_pooler":
+            tok_out = tok_out[:, 1:]
+        labels = texts[:, -tok_out.shape[1]:]
+    else:
+        # text: tokens through the unimodal tower; CLS appended at the end
+        pooled_txt, tok_out = apply_text(params["text"], texts, cfg.text,
+                                         cfg.embed_dim, act=cfg.act,
+                                         compute_dtype=compute_dtype,
+                                         output_tokens=True)
+        # decoder input: unimodal token states (teacher forcing, drop last)
+        tok_out = tok_out[:, :-1]
+        labels = texts[:, 1:]
     text_features = _l2_normalize(pooled_txt)
 
-    # decoder input: unimodal token states (teacher forcing, drop last)
-    logits = _decode_logits(params, tok_out[:, :-1], img_ctx, mm)
+    logits = _decode_logits(params, tok_out, img_ctx, mm)
 
     return {
         "image_features": image_features,
         "text_features": text_features,
         "logits": logits,
-        "labels": texts[:, 1:],
+        "labels": labels,
         "logit_scale": jnp.exp(jnp.minimum(params["logit_scale"],
                                            LOGIT_SCALE_MAX)),
     }
@@ -186,8 +234,27 @@ def coca_generate(params, images, cfg: CLIPCfg, *, sot_id: int,
     b = images.shape[0]
     _, img_ctx = _vision_context(params, images, cfg, compute_dtype)
 
+    # position holding the logits for token i+1 at scan step i: the native
+    # tower's logits[j] predicts token j+1 (pos = i); the HF tower follows
+    # the reference's labels = text[:, -len(tokens):] alignment, so with the
+    # mean pooler (all token states kept) logits[j] predicts token j
+    # (pos = i + 1), with cls_pooler (CLS state dropped) pos = i again.
+    pos_off = 0
+    if cfg.hf_text is not None:
+        pos_off = 0 if _hf_coca_cfg(cfg).pooler == "cls_pooler" else 1
+
     def step_logits(tokens, img_ctx_):
-        """tokens [N, L] -> next-token logits for every position [N, L-1, V]."""
+        """tokens [N, L] -> per-position next-token logits ([N, L-1, V]
+        native; [N, L or L-1, V] for an HF tower, see pos_off)."""
+        if cfg.hf_text is not None:
+            from megatron_clip_tpu.models.hf_text import apply_hf_text
+            hcfg = _hf_coca_cfg(cfg)
+            _, tok_out = apply_hf_text(params["text"], tokens, hcfg,
+                                       compute_dtype=compute_dtype,
+                                       return_tokens=True)
+            if hcfg.pooler == "cls_pooler":
+                tok_out = tok_out[:, 1:]
+            return _decode_logits(params, tok_out, img_ctx_, mm)
         _, tok_out = apply_text(params["text"], tokens, cfg.text,
                                 cfg.embed_dim, act=cfg.act,
                                 compute_dtype=compute_dtype,
@@ -202,7 +269,8 @@ def coca_generate(params, images, cfg: CLIPCfg, *, sot_id: int,
             tokens, rng, done = carry
             logits = step_logits(tokens, img_ctx)
             nxt_logits = jnp.take_along_axis(
-                logits, i[None, None, None].repeat(b, 0), axis=1)[:, 0]
+                logits, (i + pos_off)[None, None, None].repeat(b, 0),
+                axis=1)[:, 0]
             rng, sub = jax.random.split(rng)
             tok = _sample(nxt_logits, sub, temperature, top_k,
                           top_p if (top_p and top_p < 1.0) else None
@@ -231,7 +299,8 @@ def coca_generate(params, images, cfg: CLIPCfg, *, sot_id: int,
         tokens, scores, done = carry
         logits = step_logits(tokens.reshape(b * k, max_len), img_ctx_k)
         nxt = jax.nn.log_softmax(
-            logits.reshape(b, k, max_len - 1, -1)[:, :, i], axis=-1)
+            logits.reshape(b, k, logits.shape[1], -1)[:, :, i + pos_off],
+            axis=-1)
         v = nxt.shape[-1]
         # finished beams only extend with pad (id 0) at no cost
         pad_only = jnp.full((b, k, v), -1e30).at[:, :, 0].set(0.0)

@@ -49,7 +49,9 @@ def test_build_tokenizer_dispatch(vocab_file):
                       BertWordPieceTokenizer)
     clip = build_tokenizer("CLIPTokenizer")
     assert clip.vocab_size == 49408
-    with pytest.raises(ImportError):
+    # sentencepiece now has a native .model reader (sentencepiece_py):
+    # a missing model file is a file error, not a missing-package gate
+    with pytest.raises(FileNotFoundError):
         build_tokenizer("SentencePieceTokenizer", tokenizer_model="x.model")
     with pytest.raises(ValueError):
         build_tokenizer("bogus")
