@@ -254,23 +254,49 @@ class SentencePieceModel:
     def _encode_bpe(self, s: str) -> List[int]:
         """Iterated best-scoring adjacent merge (bpe_model.cc): symbols start
         as single characters; repeatedly merge the adjacent pair whose
-        concatenation is a vocab piece with the highest score."""
-        syms = list(s)
-        if not syms:
+        concatenation is a vocab piece with the highest score. Heap + linked
+        list over the symbol sequence (the C++ implementation's agenda), so
+        long inputs stay O(n log n) rather than rescanning every pair."""
+        import heapq
+        n = len(s)
+        if n == 0:
             return []
-        while True:
-            best_score, best_i = None, -1
-            for i in range(len(syms) - 1):
-                pid = self.index.get(syms[i] + syms[i + 1], -1)
-                if pid < 0 or not self._encodable[pid] \
-                        or self.types[pid] == UNKNOWN:
-                    continue
-                sc = self.scores[pid]
-                if best_score is None or sc > best_score:
-                    best_score, best_i = sc, i
-            if best_i < 0:
-                break
-            syms[best_i:best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+        syms = list(s)
+        nxt = list(range(1, n)) + [-1]
+        prv = [-1] + list(range(0, n - 1))
+        alive = [True] * n
+        heap: List[tuple] = []
+
+        def push(i):
+            j = nxt[i]
+            if i < 0 or j < 0:
+                return
+            pid = self.index.get(syms[i] + syms[j], -1)
+            if pid >= 0 and self._encodable[pid] \
+                    and self.types[pid] != UNKNOWN:
+                # (-score, i) orders by best score, leftmost on ties —
+                # matching the linear scan's first-max choice
+                heapq.heappush(heap, (-self.scores[pid], i,
+                                      syms[i], syms[j]))
+
+        for i in range(n - 1):
+            push(i)
+        while heap:
+            _, i, a, b = heapq.heappop(heap)
+            if not alive[i] or syms[i] != a:
+                continue
+            j = nxt[i]
+            if j < 0 or not alive[j] or syms[j] != b:
+                continue
+            syms[i] = a + b
+            alive[j] = False
+            nxt[i] = nxt[j]
+            if nxt[j] >= 0:
+                prv[nxt[j]] = i
+            if prv[i] >= 0:
+                push(prv[i])
+            push(i)
+        syms = [syms[i] for i in range(n) if alive[i]]
         out: List[int] = []
         for sym in syms:
             pid = self.index.get(sym, -1)

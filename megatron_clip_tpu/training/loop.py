@@ -197,6 +197,11 @@ def run_training(args) -> dict:
                              "branch-parallel training (--extra-world-size "
                              "> 0); the teacher forward lives in the joint "
                              "step")
+        if dcn > 1:
+            raise ValueError("--dcn-data-parallel-size is not supported "
+                             "with branch-parallel training (the two "
+                             "sub-meshes are carved within one slice); "
+                             "drop --extra-world-size or the dcn flag")
         runner = _BranchRunner(args, model, tx_factory, devices)
     else:
         runner = _JointRunner(args, model, params, tx_factory,

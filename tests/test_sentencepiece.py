@@ -128,3 +128,43 @@ def test_unknown_fields_are_skipped():
     data += _vi(200, 12345) + _ld(201, b"future-proto-field")
     m = SentencePieceModel(data=data)
     assert [m.id_to_piece(i) for i in m.encode("ok")] == ["▁ok"]
+
+
+def test_bpe_heap_matches_naive_rescan():
+    """The heap/linked-list BPE agenda must reproduce the naive
+    best-scoring-pair rescan on random inputs (unique scores)."""
+    import random
+
+    rng = random.Random(0)
+    alphabet = "abcd"
+    pieces = [(c, -5.0 - i, NORMAL) for i, c in enumerate("▁" + alphabet)]
+    merged, seen = [], set()
+    for _ in range(40):
+        a = rng.choice(alphabet + "▁")
+        b = rng.choice(alphabet)
+        w = a + b
+        if w not in seen:
+            seen.add(w)
+            merged.append((w, -float(len(merged)) - 0.5, NORMAL))
+    m = SentencePieceModel(data=build_model_bytes(
+        _specials() + pieces + merged, model_type=BPE))
+
+    def naive(s):
+        syms = list(s)
+        while True:
+            best, bi = None, -1
+            for i in range(len(syms) - 1):
+                pid = m.index.get(syms[i] + syms[i + 1], -1)
+                if pid < 0 or m.types[pid] == UNKNOWN:
+                    continue
+                if best is None or m.scores[pid] > best:
+                    best, bi = m.scores[pid], i
+            if bi < 0:
+                return syms
+            syms[bi:bi + 2] = [syms[bi] + syms[bi + 1]]
+
+    for _ in range(25):
+        text = "".join(rng.choice(alphabet + " ") for _ in range(rng.randint(1, 60)))
+        got = [m.id_to_piece(i) for i in m.encode(text)]
+        want = naive(m.normalize(text))
+        assert got == want, (text, got, want)
