@@ -210,10 +210,18 @@ def _sample(logits, rng, temperature, top_k, top_p):
 
 def _decode_program(fwd, params, prompt, prompt_len, cache, cfg: GPTCfg, *,
                     max_new_tokens, temperature, top_k, top_p, eos_id, seed,
-                    return_lengths, top_p_decay, top_p_bound, compute):
+                    return_lengths, top_p_decay, top_p_bound, compute,
+                    return_logprobs: bool = False):
     """Shared prefill + decode-scan body. `fwd(params, tokens, pos, cache)
     -> (logits, cache)` is the model forward (plain `_forward_cached`, or
-    the pipeline-staged forward in pp_generation.py)."""
+    the pipeline-staged forward in pp_generation.py).
+
+    With return_logprobs, also returns `lp` [B, P+max_new-1] where lp[:, j]
+    is the log-probability of out[:, j+1] given its prefix — megatron's
+    output_log_probs over the whole padded sequence
+    (text_generation/generation.py:78 gather of selected-token log-probs);
+    entries in each row's pad gap (between prompt_len and P) are undefined,
+    exactly like the reference's pad positions."""
     b, p = prompt.shape
     max_len = p + max_new_tokens
 
@@ -223,6 +231,14 @@ def _decode_program(fwd, params, prompt, prompt_len, cache, cfg: GPTCfg, *,
     logits, cache = fwd(params, prompt, 0, cache)
     # next-token logits come from each row's last real prompt token
     last = jnp.take_along_axis(logits, (prompt_len - 1)[:, None, None], axis=1)[:, 0]
+
+    lp = None
+    if return_logprobs:
+        lp = jnp.zeros((b, max_len - 1), jnp.float32)
+        # prompt-position logprobs: lp[:, j] = logP(prompt[:, j+1] | prefix)
+        plp = jax.nn.log_softmax(logits[:, :-1], axis=-1)
+        lp = lp.at[:, :p - 1].set(
+            jnp.take_along_axis(plp, prompt[:, 1:, None], axis=-1)[..., 0])
 
     out = jnp.zeros((b, max_len), jnp.int32)
     out = jax.lax.dynamic_update_slice(out, prompt, (0, 0))
@@ -236,7 +252,7 @@ def _decode_program(fwd, params, prompt, prompt_len, cache, cfg: GPTCfg, *,
     tp0 = top_p if (top_p and top_p < 1.0) else None
 
     def step_fixed(carry, i):
-        out, cache, last_logits, rng, done, n_gen = carry
+        out, cache, last_logits, rng, done, n_gen, lp = carry
         rng, sub = jax.random.split(rng)
         tp_i = tp0
         if tp0 is not None and top_p_decay:
@@ -247,30 +263,39 @@ def _decode_program(fwd, params, prompt, prompt_len, cache, cfg: GPTCfg, *,
         tok = jnp.where(done, jnp.zeros_like(tok), tok)
         wpos = prompt_len + i                       # per-row write position
         out = row_write(out, tok[:, None], wpos)
+        if lp is not None:
+            step_lp = jnp.take_along_axis(
+                jax.nn.log_softmax(last_logits, axis=-1), tok[:, None],
+                axis=-1)
+            lp = row_write(lp, step_lp, wpos - 1)
         n_gen = n_gen + (~done).astype(jnp.int32)
         done = done | (tok == eos_id)
 
         logits, cache2 = fwd(params, tok[:, None], wpos, cache)
-        return (out, cache2, logits[:, 0], rng, done, n_gen), None
+        return (out, cache2, logits[:, 0], rng, done, n_gen, lp), None
 
     init = (out, cache, last, rng, jnp.zeros((b,), bool),
-            jnp.zeros((b,), jnp.int32))
-    (out, _, _, _, _, n_gen), _ = jax.lax.scan(step_fixed, init,
-                                               jnp.arange(max_new_tokens))
+            jnp.zeros((b,), jnp.int32), lp)
+    (out, _, _, _, _, n_gen, lp), _ = jax.lax.scan(step_fixed, init,
+                                                   jnp.arange(max_new_tokens))
+    res = (out,)
     if return_lengths:
-        return out, n_gen
-    return out
+        res += (n_gen,)
+    if return_logprobs:
+        res += (lp,)
+    return res if len(res) > 1 else out
 
 
 @partial(jax.jit, static_argnames=("cfg", "max_new_tokens", "temperature",
                                    "top_k", "top_p", "eos_id",
                                    "return_lengths", "top_p_decay",
-                                   "top_p_bound"))
+                                   "top_p_bound", "return_logprobs"))
 def generate(params, prompt, prompt_len, cfg: GPTCfg, *,
              max_new_tokens: int = 32, temperature: float = 1.0,
              top_k: int = 0, top_p: float = 0.0, eos_id: int = -1,
              seed: int = 0, return_lengths: bool = False,
-             top_p_decay: float = 0.0, top_p_bound: float = 0.0):
+             top_p_decay: float = 0.0, top_p_bound: float = 0.0,
+             return_logprobs: bool = False):
     """prompt: [B, P] right-padded; prompt_len: [B] actual lengths.
     Returns tokens [B, P + max_new_tokens] with generations in-filled at each
     row's own prompt_len (megatron text_generation/generation.py semantics:
@@ -289,7 +314,8 @@ def generate(params, prompt, prompt_len, cfg: GPTCfg, *,
         fwd, params, prompt, prompt_len, cache, cfg,
         max_new_tokens=max_new_tokens, temperature=temperature, top_k=top_k,
         top_p=top_p, eos_id=eos_id, seed=seed, return_lengths=return_lengths,
-        top_p_decay=top_p_decay, top_p_bound=top_p_bound, compute=compute)
+        top_p_decay=top_p_decay, top_p_bound=top_p_bound, compute=compute,
+        return_logprobs=return_logprobs)
 
 
 def greedy_generate(params, prompt, cfg: GPTCfg, max_new_tokens: int = 32,

@@ -117,13 +117,14 @@ def _staged_forward(params, tokens, pos, cache: KVCache, cfg: GPTCfg,
 @partial(jax.jit, static_argnames=("cfg", "mesh", "max_new_tokens",
                                    "temperature", "top_k", "top_p", "eos_id",
                                    "return_lengths", "top_p_decay",
-                                   "top_p_bound"))
+                                   "top_p_bound", "return_logprobs"))
 def pp_generate(params, prompt, prompt_len, cfg: GPTCfg,
                 mesh: jax.sharding.Mesh, *,
                 max_new_tokens: int = 32, temperature: float = 1.0,
                 top_k: int = 0, top_p: float = 0.0, eos_id: int = -1,
                 seed: int = 0, return_lengths: bool = False,
-                top_p_decay: float = 0.0, top_p_bound: float = 0.0):
+                top_p_decay: float = 0.0, top_p_bound: float = 0.0,
+                return_logprobs: bool = False):
     """`generate()` with the layer stack pipelined over mesh's `stage` axis.
 
     params: GPT param tree placed with
@@ -151,9 +152,11 @@ def pp_generate(params, prompt, prompt_len, cfg: GPTCfg,
             max_new_tokens=max_new_tokens, temperature=temperature,
             top_k=top_k, top_p=top_p, eos_id=eos_id, seed=seed,
             return_lengths=return_lengths, top_p_decay=top_p_decay,
-            top_p_bound=top_p_bound, compute=compute)
+            top_p_bound=top_p_bound, compute=compute,
+            return_logprobs=return_logprobs)
 
-    out_specs = (P(), P()) if return_lengths else P()
+    n_out = 1 + int(return_lengths) + int(return_logprobs)
+    out_specs = tuple([P()] * n_out) if n_out > 1 else P()
     return jax.shard_map(
         staged, mesh=mesh,
         in_specs=(stage_in_specs(params), P(), P()),

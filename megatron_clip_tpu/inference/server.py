@@ -8,11 +8,16 @@ with a stdlib http.server (no flask in the image). Same API shape:
              "temperature": t, "top_k": k, "top_p": p,
              "top_p_decay": d, "top_p_bound": b, "add_BOS": bool,
              "stop_token": id, "stop_on_eol": bool,
-             "stop_on_double_eol": bool, "random_seed": s}
-  -> {"text": [...], "segments": [...], "logprobs": null}
+             "stop_on_double_eol": bool, "random_seed": s,
+             "logprobs": bool}
+  -> {"text": [prompt+generation, ...], "segments": [[piece, ...], ...],
+      "logprobs": [[lp, ...], ...] | null}
+  (megatron text_generation_server.py:224-226 response surface: text is the
+  detokenized prompt+generation, segments its per-token pieces, logprobs
+  the selected-token log-probs, len(segments[i]) - 1 each.)
 
   PUT /api  {"prompts": [one], "beam_width": K, "length_penalty": a}
-  -> {"text": [...], "scores": [best]}   (batch size 1, like the reference)
+  -> {"text": [...], "segments": [...], "scores": [best]}   (batch size 1)
 
 Generation runs as one compiled computation per (batch, prompt_len,
 max_new_tokens) bucket (see inference/generation.py); prompt lengths are
@@ -58,10 +63,28 @@ class GenerationService:
 
     MAX_TOKENS_TO_GENERATE = 1024
 
+    def _segment(self, token: int) -> str:
+        """Per-token surface string (megatron tokenization.py
+        detokenize_generations word loop: the tokenizer's decoder table when
+        it has one, else single-token decode)."""
+        dec = getattr(self.tokenizer, "decoder", None)
+        if isinstance(dec, dict) and token in dec:
+            return dec[token]
+        try:
+            return self.tokenizer.decode([int(token)])
+        except Exception:  # noqa: BLE001
+            return str(int(token))
+
     def __call__(self, prompts, tokens_to_generate=32, temperature=1.0,
                  top_k=0, top_p=0.0, seed=0, add_bos=False,
                  top_p_decay=0.0, top_p_bound=0.0, stop_token=None,
-                 stop_on_eol=False, stop_on_double_eol=False):
+                 stop_on_eol=False, stop_on_double_eol=False,
+                 return_logprobs=False):
+        """Returns (texts, segments, logprobs) — the reference's
+        generate_and_post_process triple (text_generation/api.py:18):
+        `text` is the PROMPT + generation detokenized, `segments` the
+        per-token pieces of that sequence, `logprobs` the selected-token
+        log-probs (length len(segments) - 1) when asked for."""
         from megatron_clip_tpu.inference.generation import generate
         tokens_to_generate = max(1, min(int(tokens_to_generate),
                                         self.MAX_TOKENS_TO_GENERATE))
@@ -79,39 +102,59 @@ class GenerationService:
                   temperature=float(temperature), top_k=int(top_k),
                   top_p=float(top_p), eos_id=self.eos_id, seed=seed,
                   return_lengths=True, top_p_decay=float(top_p_decay),
-                  top_p_bound=float(top_p_bound))
+                  top_p_bound=float(top_p_bound),
+                  return_logprobs=bool(return_logprobs))
         with self._lock:  # one compiled computation at a time on the chip
             if self._pp_stages() > 1:
                 from megatron_clip_tpu.inference.pp_generation import \
                     pp_generate
-                out, n_gen = pp_generate(
+                res = pp_generate(
                     self.params, jnp.asarray(batch), jnp.asarray(lens),
                     self.cfg, self.mesh, **kw)
             elif self.mesh is not None:
                 import jax
                 with jax.sharding.set_mesh(self.mesh):
-                    out, n_gen = generate(self.params, jnp.asarray(batch),
-                                          jnp.asarray(lens), self.cfg, **kw)
+                    res = generate(self.params, jnp.asarray(batch),
+                                   jnp.asarray(lens), self.cfg, **kw)
             else:
-                out, n_gen = generate(self.params, jnp.asarray(batch),
-                                      jnp.asarray(lens), self.cfg, **kw)
+                res = generate(self.params, jnp.asarray(batch),
+                               jnp.asarray(lens), self.cfg, **kw)
+        if return_logprobs:
+            out, n_gen, lp = res
+            lp = np.asarray(lp)
+        else:
+            out, n_gen = res
+            lp = None
         out, n_gen = np.asarray(out), np.asarray(n_gen)
-        texts = []
+        texts, segments, logprobs = [], [], []
         for r in range(len(ids)):
-            toks = list(out[r, lens[r]:lens[r] + n_gen[r]])
-            if toks and toks[-1] == self.eos_id:
-                toks = toks[:-1]   # n_gen counts the EOS; don't render it
-            if stop_token is not None and int(stop_token) in toks:
-                toks = toks[:toks.index(int(stop_token))]
-            text = self.tokenizer.decode([int(t) for t in toks])
+            gen_toks = list(out[r, lens[r]:lens[r] + n_gen[r]])
+            if gen_toks and gen_toks[-1] == self.eos_id:
+                gen_toks = gen_toks[:-1]  # n_gen counts the EOS; drop it
+            if stop_token is not None and int(stop_token) in gen_toks:
+                gen_toks = gen_toks[:gen_toks.index(int(stop_token))]
+            gen_text = self.tokenizer.decode([int(t) for t in gen_toks])
             # megatron's stop_on_eol/stop_on_double_eol end generation at
             # the marker; output-equivalent truncation here
-            if stop_on_double_eol and "\n\n" in text:
-                text = text[:text.index("\n\n")]
-            elif stop_on_eol and "\n" in text:
-                text = text[:text.index("\n")]
-            texts.append(text)
-        return texts
+            if stop_on_double_eol and "\n\n" in gen_text:
+                gen_text = gen_text[:gen_text.index("\n\n")]
+                gen_toks = self.tokenizer.encode(gen_text)
+            elif stop_on_eol and "\n" in gen_text:
+                gen_text = gen_text[:gen_text.index("\n")]
+                gen_toks = self.tokenizer.encode(gen_text)
+            prompt_text = self.tokenizer.decode([int(t)
+                                                 for t in ids[r]])
+            texts.append(prompt_text + gen_text)
+            seq = [int(t) for t in ids[r]] + [int(t) for t in gen_toks]
+            segments.append([self._segment(t) for t in seq])
+            if lp is not None:
+                # row layout: prompt logprobs at [0, len-1), generated at
+                # [len-1, len-1+n); trim to len(segments)-1 like api.py:63
+                row = list(map(float, lp[r, :lens[r] - 1])) + \
+                    list(map(float, lp[r, lens[r] - 1:
+                                       lens[r] - 1 + len(gen_toks)]))
+                logprobs.append(row[:max(0, len(seq) - 1)])
+        return texts, segments, (logprobs if lp is not None else None)
 
     def beam(self, prompts, tokens_to_generate=32, beam_width=4,
              length_penalty=1.0):
@@ -142,7 +185,10 @@ class GenerationService:
         best = list(np.asarray(toks)[0, 0, len(ids):])
         if self.eos_id in best:
             best = best[:best.index(self.eos_id)]
-        return [self.tokenizer.decode([int(t) for t in best])], \
+        seq = [int(t) for t in ids] + [int(t) for t in best]
+        text = self.tokenizer.decode([int(t) for t in ids]) + \
+            self.tokenizer.decode([int(t) for t in best])
+        return [text], [[self._segment(t) for t in seq]], \
             float(np.asarray(scores)[0, 0])
 
 
@@ -163,16 +209,16 @@ def make_handler(service: GenerationService):
                                      "supported (GPT2-BPE-specific logit "
                                      "mask in the reference)")
                 if req.get("beam_width"):
-                    texts, score = service.beam(
+                    texts, segments, score = service.beam(
                         prompts,
                         tokens_to_generate=req.get("tokens_to_generate", 32),
                         beam_width=req.get("beam_width"),
                         length_penalty=req.get("length_penalty", 1.0))
-                    body = json.dumps({"text": texts, "segments": None,
+                    body = json.dumps({"text": texts, "segments": segments,
                                        "logprobs": None,
                                        "scores": [score]}).encode()
                 else:
-                    texts = service(
+                    texts, segments, logprobs = service(
                         prompts,
                         tokens_to_generate=req.get("tokens_to_generate", 32),
                         temperature=req.get("temperature", 1.0),
@@ -185,9 +231,10 @@ def make_handler(service: GenerationService):
                         stop_token=req.get("stop_token"),
                         stop_on_eol=req.get("stop_on_eol", False),
                         stop_on_double_eol=req.get("stop_on_double_eol",
-                                                   False))
-                    body = json.dumps({"text": texts, "segments": None,
-                                       "logprobs": None}).encode()
+                                                   False),
+                        return_logprobs=req.get("logprobs", False))
+                    body = json.dumps({"text": texts, "segments": segments,
+                                       "logprobs": logprobs}).encode()
                 self.send_response(200)
                 self.send_header("Content-Type", "application/json")
                 self.send_header("Content-Length", str(len(body)))

@@ -174,3 +174,41 @@ def test_int8_greedy_generate_runs():
     out = np.asarray(greedy_generate(params, prompt, cfg, max_new_tokens=8))
     assert out.shape == (2, 16)
     assert (out[:, 8:] > 0).all()
+
+
+def test_return_logprobs_matches_recompute():
+    """generate(return_logprobs=True): lp[:, j] must equal the log-softmax
+    probability of out[:, j+1] under a fresh full-sequence forward
+    (megatron text_generation/generation.py:78 output_log_probs)."""
+    from megatron_clip_tpu.inference.generation import (
+        KVCache, _forward_cached, generate)
+
+    cfg = TINY
+    params = init_gpt(jax.random.PRNGKey(3), cfg)
+    prompt = jax.random.randint(jax.random.PRNGKey(4), (2, 6), 1,
+                                200).astype(jnp.int32)
+    plen = jnp.asarray([6, 4], jnp.int32)
+    out, n_gen, lp = generate(params, prompt, plen, cfg, max_new_tokens=5,
+                              temperature=0.0, return_lengths=True,
+                              return_logprobs=True)
+    out, n_gen, lp = np.asarray(out), np.asarray(n_gen), np.asarray(lp)
+
+    full = jnp.asarray(out)
+    cache = KVCache.create(cfg, 2, out.shape[1])
+    logits, _ = _forward_cached(params, full, 0, cache, cfg, jnp.float32)
+    want = np.asarray(jax.nn.log_softmax(np.asarray(logits), axis=-1))
+    for r in range(2):
+        # contiguous real region: prompt [0, plen) then in-filled generation
+        for j in list(range(int(plen[r]) - 1)) + \
+                list(range(int(plen[r]) - 1,
+                           int(plen[r]) - 1 + int(n_gen[r]))):
+            tgt = out[r, j + 1] if j + 1 < out.shape[1] else None
+            if tgt is None:
+                continue
+            # positions inside the pad gap of row 1 are undefined; for row
+            # layout here generation in-fills at plen so [plen-1, ...) are
+            # the generated-token logprobs
+            if j >= int(plen[r]) - 1:
+                tgt = out[r, int(plen[r]) + (j - (int(plen[r]) - 1))]
+            np.testing.assert_allclose(
+                lp[r, j], want[r, j, int(tgt)], rtol=2e-4, atol=2e-4)

@@ -85,3 +85,29 @@ def test_prevent_newline_after_colon_rejected(server):
     status, out = _put(server, {"prompts": ["x"],
                                 "prevent_newline_after_colon": True})
     assert status == 400 and "not supported" in out["message"]
+
+
+def test_segments_and_logprobs_fields(server):
+    """Reference response surface (text_generation_server.py:224-226):
+    text = prompt+generation, segments = per-token pieces, logprobs =
+    selected-token log-probs of length len(segments) - 1."""
+    status, out = _put(server, {"prompts": ["a photo of"],
+                                "tokens_to_generate": 4,
+                                "temperature": 0.0, "logprobs": True})
+    assert status == 200
+    assert isinstance(out["segments"], list)
+    segs = out["segments"][0]
+    assert all(isinstance(s, str) for s in segs)
+    # text includes the prompt (megatron prompts_plus_generations)
+    assert out["text"][0].startswith("a photo of")
+    lps = out["logprobs"][0]
+    assert len(lps) == len(segs) - 1
+    assert all(isinstance(v, float) and v <= 0.0 for v in lps)
+
+
+def test_segments_without_logprobs(server):
+    status, out = _put(server, {"prompts": ["a photo of"],
+                                "tokens_to_generate": 2,
+                                "temperature": 0.0})
+    assert status == 200 and out["logprobs"] is None
+    assert isinstance(out["segments"][0], list)
