@@ -30,8 +30,24 @@ def find_trace(path: str) -> str:
     return hits[-1]
 
 
+_WRAPPER = re.compile(
+    r"^(jit_|pjit|\d+$|np\.asarray|PjitFunction|ParseArguments|"
+    r"PythonRefManager|\$|copy-start|copy-done|slice-start|slice-done)")
+
+
+def is_wrapper(name: str) -> bool:
+    """Step wrappers / host-wait lanes / async bookkeeping slices that
+    double-count the real ops nested beneath them."""
+    return bool(_WRAPPER.match(name))
+
+
 def categorize(name: str) -> str:
     n = name.lower()
+    # mangled pallas custom-calls keep python-derived names: the fused-MHA
+    # fwd appears as jvp__*, its VJP as transpose_jvp__*, remat replays as
+    # checkpoint* (all hlo_category custom-call)
+    if n.startswith(("jvp_", "transpose_jvp", "checkpoint")):
+        return "pallas-kernel"
     if "pallas" in n or "custom-call" in n or "custom_call" in n:
         # mosaic kernels keep their python-derived names
         for tag in ("flash", "mha", "fused_ce", "layer_norm", "layernorm"):
@@ -90,6 +106,8 @@ def main():
         if not lane_re.search(lane):
             continue
         name = e.get("name", "?")
+        if is_wrapper(name):
+            continue
         dur = float(e["dur"])  # us
         by_op[name] += dur
         by_cat[categorize(name)] += dur
