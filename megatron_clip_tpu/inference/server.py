@@ -192,8 +192,62 @@ class GenerationService:
             float(np.asarray(scores)[0, 0])
 
 
+_INDEX_HTML = """<!DOCTYPE html>
+<html lang="en"><head><meta charset="utf-8"/>
+<title>megatron_clip_tpu text generation</title>
+<style>
+ body{font-family:sans-serif;max-width:46rem;margin:2rem auto;padding:0 1rem}
+ textarea{width:100%;min-height:14rem;font-family:inherit;padding:.5rem;
+          border:1px solid #ccc;border-radius:6px}
+ .row{display:flex;gap:1rem;margin:.7rem 0;align-items:center}
+ input[type=number]{width:6rem} button{padding:.4rem 1.2rem}
+ #status{color:#777;font-size:.85rem}
+</style></head><body>
+<h1>Text generation</h1>
+<p id="status">PUT /api playground (same JSON contract as the REST API;
+the reference serves an equivalent page from megatron/static/index.html).</p>
+<textarea id="box" placeholder="Type a prompt, then Generate."></textarea>
+<div class="row">
+ <label>tokens <input id="n" type="number" value="32" min="1"/></label>
+ <label>temperature <input id="t" type="number" value="1.0" step="0.1"/></label>
+ <label>top_k <input id="k" type="number" value="0" min="0"/></label>
+ <button id="go">Generate</button>
+</div>
+<script>
+const el=i=>document.getElementById(i);
+el('go').onclick=async()=>{
+  el('status').textContent='generating...';
+  try{
+    const r=await fetch('/api',{method:'PUT',
+      headers:{'Content-Type':'application/json'},
+      body:JSON.stringify({prompts:[el('box').value],
+        tokens_to_generate:+el('n').value,temperature:+el('t').value,
+        top_k:+el('k').value})});
+    const j=await r.json();
+    if(!r.ok){el('status').textContent='error: '+(j.message||r.status);return;}
+    el('box').value=j.text[0];
+    el('status').textContent='done';
+  }catch(e){el('status').textContent='error: '+e;}
+};
+</script></body></html>
+"""
+
+
 def make_handler(service: GenerationService):
     class Handler(BaseHTTPRequestHandler):
+        def do_GET(self):
+            # interactive playground at / (the reference Flask server's
+            # static index.html, text_generation_server.py:236)
+            if self.path in ("/", "/index.html"):
+                body = _INDEX_HTML.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(body)))
+                self.end_headers()
+                self.wfile.write(body)
+            else:
+                self.send_error(404)
+
         def do_PUT(self):
             if self.path.rstrip("/") != "/api":
                 self.send_error(404)

@@ -111,3 +111,15 @@ def test_segments_without_logprobs(server):
                                 "temperature": 0.0})
     assert status == 200 and out["logprobs"] is None
     assert isinstance(out["segments"][0], list)
+
+
+def test_index_page(server):
+    with urllib.request.urlopen(server + "/", timeout=60) as r:
+        body = r.read().decode()
+    assert r.status == 200 and "Text generation" in body and "/api" in body
+    try:
+        with urllib.request.urlopen(server + "/nope", timeout=60) as r2:
+            status = r2.status
+    except urllib.error.HTTPError as e:
+        status = e.code
+    assert status == 404
