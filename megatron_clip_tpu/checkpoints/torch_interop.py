@@ -64,6 +64,18 @@ def _stack_blocks(sd: Dict[str, np.ndarray], prefix: str, layers: int) -> dict:
     }
 
 
+def _resize_pos_embed(pe, new_len: int):
+    """Bicubic-resize a [1+g*g, W] learned position table to a new grid
+    (open_CLIP model.py:417 resize_pos_embed; cls token kept as-is)."""
+    import jax
+    g_from = int(round((pe.shape[0] - 1) ** 0.5))
+    g_to = int(round((new_len - 1) ** 0.5))
+    grid = jnp.asarray(pe[1:], jnp.float32).reshape(g_from, g_from, -1)
+    grid = jax.image.resize(grid, (g_to, g_to, grid.shape[-1]), method="cubic")
+    return jnp.concatenate([jnp.asarray(pe[:1], jnp.float32),
+                            grid.reshape(g_to * g_to, -1)], axis=0)
+
+
 def params_from_openclip_state_dict(sd: Dict[str, Any], cfg: CLIPCfg) -> dict:
     """Build our param tree from an open_CLIP CLIP state_dict (numpy/torch)."""
     sd = {k: (v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v))
@@ -83,6 +95,12 @@ def params_from_openclip_state_dict(sd: Dict[str, Any], cfg: CLIPCfg) -> dict:
     if "visual.ln_pre.weight" in sd:
         visual["ln_pre"] = {"scale": jnp.asarray(_t(sd["visual.ln_pre.weight"])),
                             "bias": jnp.asarray(_t(sd["visual.ln_pre.bias"]))}
+    want = (cfg.vision.image_size // p) ** 2 + 1
+    if visual["pos_embed"].shape[0] != want:
+        # checkpoint trained at another resolution (--force-image-size):
+        # bicubic-resize the 2D position grid once at load, keeping the
+        # cls slot (open_CLIP model.py:417 resize_pos_embed)
+        visual["pos_embed"] = _resize_pos_embed(visual["pos_embed"], want)
     text = {
         "tok_embed": jnp.asarray(_t(sd["token_embedding.weight"])),
         "pos_embed": jnp.asarray(_t(sd["positional_embedding"])),

@@ -10,12 +10,78 @@ OpenAI CLIP dataset statistics.
 """
 import math
 import random
-from typing import Optional, Sequence
+import warnings
+from dataclasses import dataclass
+from typing import Any, Dict, Optional, Sequence, Tuple, Union
 
 import numpy as np
 
 OPENAI_DATASET_MEAN = (0.48145466, 0.4578275, 0.40821073)
 OPENAI_DATASET_STD = (0.26862954, 0.26130258, 0.27577711)
+
+
+@dataclass
+class AugmentationCfg:
+    """open_CLIP's train-time augmentation config (transform.py:15-23,
+    CLI `--aug-cfg scale=(0.8,1.0) color_jitter=0.4 ...`).
+
+    The reference's non-timm path consumes only `scale`; here scale, ratio,
+    color_jitter (+ color_jitter_prob) and gray_scale_prob are implemented
+    natively (PIL/numpy), and the timm-only knobs (re_prob/re_count random
+    erasing, interpolation=random) warn-and-skip like the reference warns
+    for its unused items."""
+    scale: Tuple[float, float] = (0.9, 1.0)
+    ratio: Optional[Tuple[float, float]] = None
+    color_jitter: Optional[Union[float, Tuple[float, ...]]] = None
+    color_jitter_prob: Optional[float] = None
+    gray_scale_prob: Optional[float] = None
+    interpolation: Optional[str] = None
+    re_prob: Optional[float] = None
+    re_count: Optional[int] = None
+    use_timm: bool = False
+
+
+def parse_aug_cfg(items) -> Optional[AugmentationCfg]:
+    """Parse the CLI form: a list of 'key=value' strings (open_CLIP
+    params.py --aug-cfg nargs='*'), values python-literal-eval'd."""
+    if not items:
+        return None
+    import ast
+    kw: Dict[str, Any] = {}
+    for it in items:
+        k, _, v = it.partition("=")
+        k = k.replace("-", "_")
+        try:
+            kw[k] = ast.literal_eval(v)
+        except (ValueError, SyntaxError):
+            kw[k] = v
+    return AugmentationCfg(**kw)
+
+
+def _color_jitter(img, strength, hue, rng: random.Random):
+    """torchvision ColorJitter semantics: brightness/contrast/saturation
+    factors ~ U[max(0, 1-s), 1+s] applied in random order, hue shift
+    ~ U[-h, h] (fraction of the hue wheel)."""
+    from PIL import ImageEnhance
+    ops = []
+    names = ("brightness", "contrast", "saturation")
+    for name, s in zip(names, strength):
+        if s and s > 0:
+            lo, hi = max(0.0, 1.0 - s), 1.0 + s
+            ops.append((name, rng.uniform(lo, hi)))
+    rng.shuffle(ops)
+    enh = {"brightness": ImageEnhance.Brightness,
+           "contrast": ImageEnhance.Contrast,
+           "saturation": ImageEnhance.Color}
+    for name, f in ops:
+        img = enh[name](img).enhance(f)
+    if hue and hue > 0:
+        shift = rng.uniform(-hue, hue)
+        hsv = np.asarray(img.convert("HSV"), dtype=np.int16)
+        hsv[..., 0] = (hsv[..., 0] + int(round(shift * 255))) % 256
+        from PIL import Image
+        img = Image.fromarray(hsv.astype(np.uint8), "HSV").convert("RGB")
+    return img
 
 
 def _to_pil(img):
@@ -78,12 +144,39 @@ def image_transform(image_size: int, is_train: bool,
                     std: Optional[Sequence[float]] = None,
                     resize_longest_max: bool = False,
                     rng: Optional[random.Random] = None,
-                    autoaugment: bool = False):
+                    autoaugment: bool = False,
+                    aug_cfg: Optional[Union[AugmentationCfg, Dict, list]] = None):
     """Returns f(PIL/array) -> np.float32 [H, W, 3] normalized NHWC slice.
     autoaugment=True applies the ImageNet AutoAugment policy before the
-    crop (train only; megatron/data/autoaugment.py surface)."""
+    crop (train only; megatron/data/autoaugment.py surface). aug_cfg is the
+    open_CLIP AugmentationCfg (or its CLI 'k=v' list form)."""
     mean = tuple(mean or OPENAI_DATASET_MEAN)
     std = tuple(std or OPENAI_DATASET_STD)
+    if isinstance(image_size, (list, tuple)):
+        # open_CLIP accepts (h, w); square towers here (transform.py:73-75)
+        image_size = int(image_size[0])
+    if isinstance(aug_cfg, (list, tuple)):
+        aug_cfg = parse_aug_cfg(aug_cfg)
+    elif isinstance(aug_cfg, dict):
+        aug_cfg = AugmentationCfg(**aug_cfg)
+    aug_cfg = aug_cfg or AugmentationCfg()
+    unused = [k for k in ("re_prob", "re_count")
+              if getattr(aug_cfg, k) is not None]
+    if aug_cfg.use_timm:
+        unused.append("use_timm")
+    if unused and is_train:
+        warnings.warn(f"aug_cfg items not implemented natively, skipped: "
+                      f"{unused} (open_CLIP transform.py non-timm parity)")
+    scale = tuple(aug_cfg.scale)
+    ratio = tuple(aug_cfg.ratio) if aug_cfg.ratio else (3 / 4, 4 / 3)
+    cj = aug_cfg.color_jitter
+    if cj is not None and not isinstance(cj, (list, tuple)):
+        cj = (cj, cj, cj)
+    cj_hue = float(cj[3]) if cj is not None and len(cj) > 3 else 0.0
+    cj_prob = aug_cfg.color_jitter_prob
+    if cj is not None and cj_prob is None:
+        cj_prob = 1.0  # plain ColorJitter (not RandomApply) when no prob
+    gray_prob = aug_cfg.gray_scale_prob
     aa = None
     if autoaugment and is_train:
         from megatron_clip_tpu.data.autoaugment import ImageNetAutoAugment
@@ -93,9 +186,15 @@ def image_transform(image_size: int, is_train: bool,
     def preprocess(img):
         img = _to_pil(img)
         if is_train:
+            r = rng or random
             if aa is not None:
                 img = aa(img)
-            img = _random_resized_crop(img, image_size, rng=rng)
+            img = _random_resized_crop(img, image_size, scale=scale,
+                                       ratio=ratio, rng=rng)
+            if cj is not None and r.random() < cj_prob:
+                img = _color_jitter(img, cj[:3], cj_hue, r)
+            if gray_prob and r.random() < gray_prob:
+                img = img.convert("L").convert("RGB")
         else:
             img = _resize_center_crop(img, image_size)
         return _normalize(np.asarray(img, dtype=np.uint8), mean, std)

@@ -477,7 +477,7 @@ def _precision_from_str(precision: str) -> Precision:
 
 def create_model(model_name: str, precision: str = "bf16", *, seed: int = 0,
                  init_params: bool = True, force_quick_gelu: bool = False,
-                 **overrides) -> Tuple[CLIPModel, Any]:
+                 force_image_size=None, **overrides) -> Tuple[CLIPModel, Any]:
     model_name = model_name.replace("/", "-")  # ViT-B/32 -> ViT-B-32
     cfg_dict = get_model_config(model_name)
     if cfg_dict is None:
@@ -489,6 +489,14 @@ def create_model(model_name: str, precision: str = "bf16", *, seed: int = 0,
                            f"available: {list_models()}")
     if force_quick_gelu:
         cfg_dict["quick_gelu"] = True
+    if force_image_size:
+        # open_CLIP factory.py force_image_size; a pretrained position table
+        # is resized to the new grid at load (torch_interop._resize_pos_embed)
+        if isinstance(force_image_size, (list, tuple)):
+            force_image_size = int(force_image_size[0])
+        v = dict(cfg_dict.get("vision_cfg", {}))
+        v["image_size"] = int(force_image_size)
+        cfg_dict["vision_cfg"] = v
     cfg_dict.update(overrides)
     cfg = parse_model_cfg(cfg_dict)
     model = CLIPModel(cfg=cfg, precision=_precision_from_str(precision),
@@ -499,9 +507,12 @@ def create_model(model_name: str, precision: str = "bf16", *, seed: int = 0,
 
 def create_model_and_transforms(model_name: str, pretrained: str = "",
                                 precision: str = "bf16", *, seed: int = 0,
-                                image_mean=None, image_std=None, **kw):
+                                image_mean=None, image_std=None,
+                                aug_cfg=None, **kw):
     """Returns (model, params, preprocess_train, preprocess_val) — the JAX
-    analogue of factory.py:286 (params explicit instead of inside a Module)."""
+    analogue of factory.py:286 (params explicit instead of inside a Module).
+    aug_cfg / force_image_size / image_mean / image_std match the reference
+    signature (factory.py:286-338)."""
     from megatron_clip_tpu.data.transforms import image_transform
     model, params = create_model(model_name, precision, seed=seed, **kw)
     if pretrained:
@@ -510,7 +521,7 @@ def create_model_and_transforms(model_name: str, pretrained: str = "",
         path = resolve_pretrained(model_name.replace("/", "-"), pretrained)
         params = load_openclip_checkpoint(path, model.cfg, params)
     pp_train = image_transform(model.image_size, is_train=True,
-                               mean=image_mean, std=image_std)
+                               mean=image_mean, std=image_std, aug_cfg=aug_cfg)
     pp_val = image_transform(model.image_size, is_train=False,
                              mean=image_mean, std=image_std)
     return model, params, pp_train, pp_val

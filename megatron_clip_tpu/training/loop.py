@@ -80,6 +80,12 @@ def _model_overrides(args) -> dict:
         vision["patch_size"] = args.v_patch_size
     if args.v_image_size:
         vision["image_size"] = args.v_image_size
+    fis = getattr(args, "force_image_size", None)
+    if fis:
+        # open_CLIP --force-image-size (factory.py force_image_size →
+        # model.py resize_pos_embed); square towers: take the first dim
+        vision["image_size"] = int(fis[0] if isinstance(fis, (list, tuple))
+                                   else fis)
     if getattr(args, "force_patch_dropout", None) is not None:
         # open_CLIP --force-patch-dropout: override the config's rate
         vision["patch_dropout"] = args.force_patch_dropout
@@ -143,8 +149,13 @@ def run_training(args) -> dict:
         if args.dataset_type != "synthetic":
             raise
     from megatron_clip_tpu.data.transforms import image_transform
-    pp_train = image_transform(model.image_size, is_train=True)
-    pp_val = image_transform(model.image_size, is_train=False)
+    mean = getattr(args, "image_mean", None)
+    std = getattr(args, "image_std", None)
+    pp_train = image_transform(model.image_size, is_train=True,
+                               mean=mean, std=std,
+                               aug_cfg=getattr(args, "aug_cfg", None))
+    pp_val = image_transform(model.image_size, is_train=False,
+                             mean=mean, std=std)
     data = get_data(args, pp_train, pp_val, tokenizer,
                     context_length=model.context_length,
                     image_size=model.image_size)

@@ -54,6 +54,19 @@ def parse_args(args=None):
                    help="accepted for open_CLIP CLI parity; text towers "
                         "here are always the unified functional "
                         "implementation (CustomTextCLIP semantics)")
+    p.add_argument("--force-image-size", type=int, nargs="+", default=None,
+                   help="override the vision tower's input resolution "
+                        "(open_CLIP --force-image-size); a pretrained "
+                        "checkpoint's position table is bicubic-resized to "
+                        "the new grid at load (model.py:417 resize_pos_embed)")
+    p.add_argument("--image-mean", type=float, nargs="+", default=None,
+                   help="normalization mean override (open_CLIP --image-mean)")
+    p.add_argument("--image-std", type=float, nargs="+", default=None,
+                   help="normalization std override (open_CLIP --image-std)")
+    p.add_argument("--aug-cfg", nargs="*", default=None,
+                   help="train augmentation overrides as key=value pairs, "
+                        "e.g. scale='(0.8,1.0)' color_jitter=0.4 "
+                        "gray_scale_prob=0.2 (open_CLIP --aug-cfg)")
     p.add_argument("--grad-checkpointing", action="store_true",
                    help="full activation recompute (megatron "
                         "--recompute-granularity full)")
@@ -184,6 +197,25 @@ def parse_args(args=None):
                         "wall-clock (megatron --exit-duration-in-mins, "
                         "training.py:829-851)")
 
+    # --- torch/NCCL-only open_CLIP flags: accepted so reference launch
+    # commands run unmodified; each is meaningless under jit/SPMD on TPU
+    # (DDP graph capture, process-group wiring, torchscript export, synced
+    # BatchNorm — functional BN here is already batch-global within the
+    # jitted step) -------------------------------------------------------------
+    for noop in ("--torchscript", "--ddp-static-graph", "--horovod",
+                 "--use-bn-sync", "--no-set-device-rank", "--debug",
+                 "--log-local", "--enable-deepspeed", "--enable-flexpipe"):
+        p.add_argument(noop, action="store_true",
+                       help="accepted for open_CLIP CLI parity; no-op on TPU")
+    p.add_argument("--dist-backend", type=str, default=None,
+                   help="accepted for CLI parity; collectives are XLA/ICI")
+    p.add_argument("--dist-url", type=str, default=None,
+                   help="accepted for CLI parity; no process groups on TPU")
+    p.add_argument("--remote-sync-protocol", choices=["s3", "fsspec"],
+                   default="s3",
+                   help="accepted for CLI parity; --remote-sync here shells "
+                        "out to rsync/cp for any target")
+
     # --- eval ----------------------------------------------------------------
     p.add_argument("--val-frequency", type=int, default=1)
     p.add_argument("--imagenet-val", type=str, default=None,
@@ -194,6 +226,12 @@ def parse_args(args=None):
     p.add_argument("--zeroshot-frequency", type=int, default=2)
 
     ns = p.parse_args(args)
+    for noop in ("torchscript", "ddp_static_graph", "horovod", "use_bn_sync",
+                 "enable_deepspeed", "enable_flexpipe"):
+        if getattr(ns, noop):
+            import warnings
+            warnings.warn(f"--{noop.replace('_', '-')} accepted for "
+                          "open_CLIP CLI parity but is a no-op on TPU")
     if ns.grad_checkpointing and ns.recompute_granularity == "none":
         ns.recompute_granularity = "full"
     if ns.dataset_type == "auto":
