@@ -66,6 +66,10 @@ class TransformerCfg:
     rope_interpolation: Optional[float] = None  # divide positions (megatron
                                  # --rotary-seq-len-interpolation-factor)
     kv_heads: Optional[int] = None  # grouped-query attention (megatron --group-query-attention)
+    kv_channels: Optional[int] = None  # per-head projection dim when it is
+                                 # not width/heads (megatron --kv-channels,
+                                 # arguments.py kv-channels default
+                                 # hidden_size // num_attention_heads)
     num_experts: int = 0     # >0: SwitchMLP MoE (megatron --num-experts)
     moe_capacity_factor: float = 1.25
     moe_router: str = "sinkhorn"  # sinkhorn (megatron) | top1 (switch)
@@ -95,6 +99,8 @@ class TransformerCfg:
 
     @property
     def head_dim(self) -> int:
+        if self.kv_channels is not None:
+            return self.kv_channels
         assert self.width % self.heads == 0
         return self.width // self.heads
 

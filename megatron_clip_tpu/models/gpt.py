@@ -36,6 +36,10 @@ class GPTCfg:
     normalization: str = "layernorm"     # layernorm | rmsnorm
     use_bias: bool = True
     kv_heads: Optional[int] = None       # GQA
+    kv_channels: Optional[int] = None    # per-head dim override (--kv-channels)
+    max_position_embeddings: Optional[int] = None  # learned-pos table length
+                                         # (megatron --max-position-embeddings;
+                                         # defaults to seq_length)
     num_experts: int = 0                 # SwitchMLP MoE (--num-experts)
     moe_aux_loss_coeff: float = 0.01
     tie_embeddings: bool = True
@@ -53,6 +57,7 @@ class GPTCfg:
             rotary_percent=self.rotary_percent,
             rope_interpolation=self.rope_interpolation,
             kv_heads=self.kv_heads,
+            kv_channels=self.kv_channels,
             init_std=self.init_std,
             num_experts=self.num_experts, **overrides)
 
@@ -66,8 +71,9 @@ def init_gpt(key, cfg: GPTCfg, dtype=jnp.float32):
         "blocks": init_transformer(keys[2], cfg.transformer(), dtype),
     }
     if cfg.position_embedding == "learned":
+        n_pos = max(cfg.max_position_embeddings or 0, cfg.seq_length)
         params["pos_embed"] = (cfg.init_std * jax.random.normal(
-            keys[1], (cfg.seq_length, cfg.hidden_size))).astype(dtype)
+            keys[1], (n_pos, cfg.hidden_size))).astype(dtype)
     if not cfg.tie_embeddings:
         params["lm_head"] = (cfg.init_std * jax.random.normal(
             keys[3], (cfg.hidden_size, cfg.vocab_size))).astype(dtype)

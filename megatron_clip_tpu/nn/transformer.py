@@ -70,7 +70,10 @@ def init_block(key, cfg: TransformerCfg, dtype=jnp.float32):
         "ln_1": init_layer_norm(w, dtype, cfg.norm),
         "attn": {
             "wqkv": (jax.random.normal(k_qkv, (w, qkv_out)) * attn_std).astype(dtype),
-            "wo": (jax.random.normal(k_o, (w, w)) * proj_std).astype(dtype),
+            # wo input is heads*head_dim — equal to w unless --kv-channels
+            # overrides the per-head dim (megatron kv_channels)
+            "wo": (jax.random.normal(
+                k_o, (cfg.heads * cfg.head_dim, w)) * proj_std).astype(dtype),
         },
         "ln_2": init_layer_norm(w, dtype, cfg.norm),
         "mlp": {

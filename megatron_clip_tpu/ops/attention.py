@@ -216,7 +216,7 @@ def multi_head_attention(x, params, heads: int, *, causal: bool = False,
             kh = jnp.repeat(kh, rep, axis=2)
             vh = jnp.repeat(vh, rep, axis=2)
         out = ring_attention(qh, kh, vh, causal=causal, layout=cp_layout)
-        out = out.reshape(b, s, w)
+        out = out.reshape(b, s, -1)  # heads*head_dim (== w unless kv_channels)
     elif not flash_path:
         # BSHD layout: no [B,S,H,D]->[B,H,S,D] transposes; head merge after
         # attention is a free reshape
@@ -234,7 +234,7 @@ def multi_head_attention(x, params, heads: int, *, causal: bool = False,
             vh = jnp.repeat(vh, rep, axis=2)
         out = sdpa_bshd(qh, kh, vh, causal=causal, bias=bias,
                         dropout_rate=dropout_rate, dropout_rng=dropout_rng)
-        out = out.reshape(b, s, w)
+        out = out.reshape(b, s, -1)  # heads*head_dim (== w unless kv_channels)
     else:
         if bhsd_proj:
             # Project straight into [B,H,S,D] so the head split/transpose is
@@ -288,7 +288,7 @@ def multi_head_attention(x, params, heads: int, *, causal: bool = False,
             if params.get("bo") is not None:
                 out = out + params["bo"].astype(x.dtype)
             return out
-        out = out.transpose(0, 2, 1, 3).reshape(b, s, w)
+        out = out.transpose(0, 2, 1, 3).reshape(b, s, -1)
     out = jnp.einsum("bsw,wd->bsd", out, params["wo"].astype(x.dtype))
     if params.get("bo") is not None:
         out = out + params["bo"].astype(x.dtype)

@@ -18,6 +18,7 @@ triple
 It replaces the single-device simple loop the secondary workloads trained
 on in earlier rounds.
 """
+import argparse
 import os
 import time
 from dataclasses import dataclass
@@ -108,6 +109,13 @@ class RuntimeCfg:
     tensorboard_dir: Optional[str] = None  # megatron --tensorboard-dir
     log_params_norm: bool = False          # megatron --log-params-norm
     log_num_zeros_in_grad: bool = False    # megatron --log-num-zeros-in-grad
+    # megatron --profile/--profile-step-start/--profile-step-end
+    # (training.py:764-768 cudaProfilerStart window -> jax.profiler trace,
+    # viewable in TensorBoard/Perfetto)
+    profile: bool = False
+    profile_step_start: int = 10
+    profile_step_end: int = 12
+    profile_dir: Optional[str] = None
 
 
 def add_runtime_args(p, *, lr: float = 1e-4, weight_decay: float = 0.01,
@@ -223,10 +231,132 @@ def add_runtime_args(p, *, lr: float = 1e-4, weight_decay: float = 0.01,
                    help="log the global parameter norm each interval "
                         "(megatron --log-params-norm)")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--profile", action="store_true",
+                   help="capture a jax.profiler trace over the "
+                        "[--profile-step-start, --profile-step-end] window "
+                        "(megatron --profile, training.py:764-768)")
+    p.add_argument("--profile-step-start", type=int, default=10)
+    p.add_argument("--profile-step-end", type=int, default=12)
+    p.add_argument("--profile-dir", type=str, default=None,
+                   help="trace output dir (default --tensorboard-dir or "
+                        "./profile); view with tensorboard or Perfetto")
+    add_megatron_compat_args(p)
     return p
 
 
+# megatron flags that have no TPU/XLA meaning: CUDA kernel-fusion toggles
+# (XLA fuses), fp16 dynamic loss scaling (bf16 needs none), NCCL/process-
+# group wiring (one XLA runtime over ICI), CUDA allocator knobs, and
+# host-side RNG checkpointing (step-keyed threaded PRNG is stateless).
+# Accepted so reference launch scripts run unmodified; warned when set.
+_MEGATRON_NOOP_STORE_TRUE = (
+    "--use-flash-attn",                    # always on (Pallas kernels)
+    "--no-masked-softmax-fusion", "--no-bias-gelu-fusion",
+    "--no-bias-dropout-fusion", "--no-persist-layer-norm",
+    "--no-gradient-accumulation-fusion",
+    "--no-async-tensor-model-parallel-allreduce",
+    "--overlap-grad-reduce", "--overlap-p2p-communication",
+    "--use-ring-exchange-p2p", "--no-scatter-gather-tensors-in-pipeline",
+    "--use-cpu-initialization", "--data-parallel-random-init",
+    "--attention-softmax-in-fp32",         # kernels accumulate fp32 already
+    "--accumulate-allreduce-grads-in-fp32",
+    "--fp32-residual-connection",
+    "--no-load-rng", "--no-save-rng",
+    "--no-check-for-nan-in-loss-and-grad", "--distribute-saved-activations",
+    "--no-query-key-layer-scaling", "--use-mcore-models",
+    "--no-barrier-with-level-1-timing",
+)
+_MEGATRON_NOOP_VALUE = {
+    "--distributed-backend": str, "--distributed-timeout-minutes": int,
+    "--loss-scale": float, "--initial-loss-scale": float,
+    "--min-loss-scale": float, "--loss-scale-window": int,
+    "--hysteresis": int, "--empty-unused-memory-level": int,
+    "--num-workers": int, "--timing-log-level": int,
+    "--timing-log-option": str, "--max-tokens-to-oom": int,
+    "--tensorboard-log-interval": int, "--tensorboard-queue-size": int,
+    "--transformer-impl": str, "--recompute-method": str,
+    "--recompute-num-layers": int, "--lazy-mpu-init": str,
+}
+
+
+def add_megatron_compat_args(p):
+    """Megatron arguments.py flags accepted for CLI compatibility.
+
+    Three kinds: (a) true no-ops (warned), (b) remaps onto native knobs
+    (--bf16/--fp16 -> --precision, --checkpoint-activations /
+    --recompute-activations -> --recompute-granularity, applied in
+    runtime_cfg_from_args), (c) --dataloader-type, accepted with 'single'
+    semantics (the dataset shuffle index covers 'cyclic''s intent)."""
+    g = p.add_argument_group(
+        "megatron compatibility",
+        "accepted so reference megatron commands run unmodified; "
+        "no-ops warn once (see MIGRATING.md)")
+    for flag in _MEGATRON_NOOP_STORE_TRUE:
+        try:
+            g.add_argument(flag, action="store_true",
+                           help=argparse.SUPPRESS)
+        except argparse.ArgumentError:
+            pass  # the entry defines a real version of this flag
+    for flag, typ in _MEGATRON_NOOP_VALUE.items():
+        try:
+            g.add_argument(flag, type=typ, default=None,
+                           help=argparse.SUPPRESS)
+        except argparse.ArgumentError:
+            pass
+    for flag, hlp in (
+            ("--bf16", "megatron --bf16: maps to --precision bf16"),
+            ("--fp16", "megatron --fp16: bf16 is used instead on TPU "
+                       "(strictly better numerics, no loss scaling)"),
+            ("--checkpoint-activations",
+             "deprecated megatron spelling of full recompute"),
+            ("--recompute-activations",
+             "megatron selective recompute (core attention only)")):
+        try:
+            g.add_argument(flag, action="store_true", help=hlp)
+        except argparse.ArgumentError:
+            pass
+    try:
+        g.add_argument("--profile-ranks", type=int, nargs="*", default=None,
+                       help=argparse.SUPPRESS)
+        g.add_argument("--dataloader-type", choices=["single", "cyclic"],
+                       default=None,
+                       help="accepted for megatron parity; samplers here "
+                            "are sequential over the dataset's own shuffle "
+                            "index with consumed-samples resume "
+                            "(data_samplers.py:14-48 semantics)")
+    except argparse.ArgumentError:
+        pass
+
+
+def normalize_megatron_compat(ns):
+    """Apply the (b)-kind remaps and warn once for set no-ops."""
+    import warnings
+    if getattr(ns, "bf16", False):
+        ns.precision = "bf16"
+    if getattr(ns, "fp16", False):
+        warnings.warn("--fp16 requested: using bf16 on TPU (no loss "
+                      "scaling needed; megatron's Float16 optimizer "
+                      "machinery has no equivalent here)")
+        ns.precision = "bf16"
+    if hasattr(ns, "recompute_granularity"):
+        if getattr(ns, "checkpoint_activations", False) \
+                and ns.recompute_granularity == "none":
+            ns.recompute_granularity = "full"
+        if getattr(ns, "recompute_activations", False) \
+                and ns.recompute_granularity == "none":
+            ns.recompute_granularity = "selective"
+    set_noops = [f for f in _MEGATRON_NOOP_STORE_TRUE
+                 if getattr(ns, f[2:].replace("-", "_"), False) is True]
+    set_noops += [f for f, _ in _MEGATRON_NOOP_VALUE.items()
+                  if getattr(ns, f[2:].replace("-", "_"), None) is not None]
+    if set_noops:
+        warnings.warn("megatron flags accepted but no-ops on TPU: "
+                      + " ".join(sorted(set_noops)))
+    return ns
+
+
 def runtime_cfg_from_args(args, name: str) -> RuntimeCfg:
+    normalize_megatron_compat(args)
     steps = args.train_steps
     if getattr(args, "train_samples", None):
         steps = -(-args.train_samples // args.batch_size)
@@ -279,6 +409,10 @@ def runtime_cfg_from_args(args, name: str) -> RuntimeCfg:
         tensorboard_dir=getattr(args, "tensorboard_dir", None),
         log_params_norm=getattr(args, "log_params_norm", False),
         log_num_zeros_in_grad=getattr(args, "log_num_zeros_in_grad", False),
+        profile=getattr(args, "profile", False),
+        profile_step_start=getattr(args, "profile_step_start", 10),
+        profile_step_end=getattr(args, "profile_step_end", 12),
+        profile_dir=getattr(args, "profile_dir", None),
         seed=args.seed, name=name,
         nu_dtype=None if getattr(args, "nu_dtype", "fp32") == "fp32"
         else args.nu_dtype)
@@ -305,6 +439,8 @@ _RUN_ARG_KEYS = frozenset({
     "end_weight_decay", "skip_train", "tensorboard_dir", "log_params_norm",
     "log_num_zeros_in_grad", "micro_batch_size",
     # execution-strategy / environment knobs, never architecture
+    "profile", "profile_step_start", "profile_step_end", "profile_dir",
+    "dataloader_type",
     "precision", "params_dtype", "quantize_matmuls", "sequence_parallel",
     "context_parallel_layout", "fused_ce", "loss_seq_chunk",
     "attention_dropout", "hidden_dropout", "eod_token", "eod_mask_loss",
@@ -651,12 +787,24 @@ def run_workload(params, loss_fn: Callable, batch_iter: Iterator,
     last_custom_eval, last_custom_eval_step = None, -1
     with mesh_ctx:
         for i in range(start_step + 1, rc.train_steps + 1):
+            if rc.profile and i == rc.profile_step_start:
+                # megatron --profile window (training.py:764-768
+                # cudaProfilerStart/emit_nvtx -> jax.profiler trace)
+                pdir = rc.profile_dir or rc.tensorboard_dir or "./profile"
+                jax.profiler.start_trace(pdir)
+                print(f"[{rc.name}] profiler trace started -> {pdir}",
+                      flush=True)
             batch = jax.tree.map(jnp.asarray, next(batch_iter))
             params, opt_state, aux, metrics = step(params, opt_state, aux,
                                                    batch, jnp.int32(i),
                                                    base_rng)
             loss = metrics["loss"]
             last_step = i
+            if rc.profile and i == rc.profile_step_end:
+                float(metrics["loss"])  # drain the pipeline into the trace
+                jax.profiler.stop_trace()
+                print(f"[{rc.name}] profiler trace stopped @ step {i}",
+                      flush=True)
             if i % rc.log_interval == 0 or i == rc.train_steps:
                 l = float(loss)
                 history.append((i, l))

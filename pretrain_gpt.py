@@ -37,6 +37,12 @@ def parse_args(argv=None):
     p.add_argument("--ffn-hidden-size", type=int, default=None,
                    help="MLP hidden size (megatron --ffn-hidden-size;\n"
                         "default 4*hidden, or swiglu sizing)")
+    p.add_argument("--kv-channels", type=int, default=None,
+                   help="per-head projection dim when not hidden/heads "
+                        "(megatron --kv-channels)")
+    p.add_argument("--max-position-embeddings", type=int, default=None,
+                   help="learned position-table length >= --seq-length "
+                        "(megatron --max-position-embeddings)")
     p.add_argument("--seq-length", type=int, default=1024)
     p.add_argument("--vocab-size", type=int, default=50304)
     p.add_argument("--make-vocab-size-divisible-by", type=int, default=None,
@@ -143,6 +149,8 @@ def run(args):
     cfg = GPTCfg(
         num_layers=args.num_layers, hidden_size=args.hidden_size,
         num_heads=args.num_heads, kv_heads=args.kv_heads,
+        kv_channels=args.kv_channels,
+        max_position_embeddings=args.max_position_embeddings,
         mlp_ratio=(args.ffn_hidden_size / args.hidden_size
                    if args.ffn_hidden_size else 4.0),
         vocab_size=vocab, seq_length=args.seq_length,

@@ -24,6 +24,11 @@ def parse_args(argv=None):
     p.add_argument("--encoder-seq-length", type=int, default=512)
     p.add_argument("--decoder-seq-length", type=int, default=128)
     p.add_argument("--vocab-size", type=int, default=30592)
+    p.add_argument("--vocab-extra-ids", type=int, default=100,
+                   help="number of <extra_id_k> span sentinels; they occupy "
+                        "the TOP ids of --vocab-size (megatron "
+                        "--vocab-extra-ids appends them to the tokenizer "
+                        "vocab — pass a --vocab-size that includes them)")
     p.add_argument("--precision", default="bf16")
     p.add_argument("--data-path", type=str, default=None,
                    help="sentence-level indexed corpus prefix (.bin/.idx): "
@@ -99,7 +104,7 @@ def run(args):
     mesh, _ = build_workload_mesh(rc)
     specs = generic_param_specs(params)
 
-    sentinel_base = args.vocab_size - 100
+    sentinel_base = args.vocab_size - args.vocab_extra_ids
 
     def _doc_split(index):
         from megatron_clip_tpu.data.indexed_dataset import MMapIndexedDataset
@@ -122,6 +127,7 @@ def run(args):
                 masked_lm_prob=args.masked_lm_prob,
                 short_seq_prob=args.short_seq_prob,
                 vocab_size=args.vocab_size, num_epochs=1000,
+                num_sentinels=args.vocab_extra_ids,
                 seed=seed)
         else:
             rng = np.random.RandomState(seed)

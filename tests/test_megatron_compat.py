@@ -1,0 +1,129 @@
+"""Megatron CLI-compat tail: --kv-channels, --max-position-embeddings,
+--vocab-extra-ids, --bf16/--fp16/--recompute-activations remaps, accepted
+no-op flags, and the jax.profiler --profile window plumbing."""
+import warnings
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+
+def test_kv_channels_changes_projection_shapes():
+    from megatron_clip_tpu.models.gpt import GPTCfg, init_gpt, apply_gpt
+    cfg = GPTCfg(num_layers=2, hidden_size=64, num_heads=4, kv_channels=24,
+                 vocab_size=128, seq_length=16)
+    params = init_gpt(jax.random.PRNGKey(0), cfg)
+    blocks = params["blocks"]
+    # qkv: 3 * heads * kv_channels outputs; wo input heads * kv_channels
+    assert blocks["attn"]["wqkv"].shape == (2, 64, 3 * 4 * 24)
+    assert blocks["attn"]["wo"].shape == (2, 4 * 24, 64)
+    toks = jnp.zeros((2, 16), jnp.int32)
+    logits = apply_gpt(params, toks, cfg, compute_dtype=jnp.float32)
+    assert logits.shape == (2, 16, 128)
+    assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_kv_channels_default_matches_unset():
+    """kv_channels == hidden/heads must be bit-identical to leaving it unset
+    (megatron's --kv-channels default, arguments.py)."""
+    from megatron_clip_tpu.models.gpt import GPTCfg, init_gpt, apply_gpt
+    kw = dict(num_layers=2, hidden_size=64, num_heads=4, vocab_size=128,
+              seq_length=16)
+    cfg_a = GPTCfg(**kw)
+    cfg_b = GPTCfg(kv_channels=16, **kw)
+    pa = init_gpt(jax.random.PRNGKey(0), cfg_a)
+    pb = init_gpt(jax.random.PRNGKey(0), cfg_b)
+    toks = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 0, 128)
+    la = apply_gpt(pa, toks, cfg_a, compute_dtype=jnp.float32)
+    lb = apply_gpt(pb, toks, cfg_b, compute_dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(la), np.asarray(lb))
+
+
+def test_max_position_embeddings():
+    from megatron_clip_tpu.models.gpt import GPTCfg, init_gpt, apply_gpt
+    cfg = GPTCfg(num_layers=1, hidden_size=32, num_heads=2, vocab_size=64,
+                 seq_length=16, max_position_embeddings=64)
+    params = init_gpt(jax.random.PRNGKey(0), cfg)
+    assert params["pos_embed"].shape == (64, 32)
+    logits = apply_gpt(params, jnp.zeros((1, 16), jnp.int32), cfg,
+                       compute_dtype=jnp.float32)
+    assert logits.shape == (1, 16, 64)
+
+
+def test_normalize_megatron_compat_remaps():
+    from types import SimpleNamespace
+    from megatron_clip_tpu.training.workload import normalize_megatron_compat
+    ns = SimpleNamespace(bf16=True, fp16=False, precision="fp32",
+                         recompute_granularity="none",
+                         checkpoint_activations=False,
+                         recompute_activations=True)
+    normalize_megatron_compat(ns)
+    assert ns.precision == "bf16"
+    assert ns.recompute_granularity == "selective"
+
+    ns = SimpleNamespace(bf16=False, fp16=True, precision="fp32",
+                         recompute_granularity="none",
+                         checkpoint_activations=True,
+                         recompute_activations=False)
+    with pytest.warns(UserWarning, match="bf16"):
+        normalize_megatron_compat(ns)
+    assert ns.precision == "bf16"
+    assert ns.recompute_granularity == "full"
+
+
+def test_gpt_entry_accepts_megatron_flags():
+    import pretrain_gpt
+    args = pretrain_gpt.parse_args([
+        "--num-layers", "2", "--hidden-size", "64", "--num-heads", "4",
+        "--kv-channels", "24", "--max-position-embeddings", "128",
+        "--bf16", "--use-flash-attn", "--no-masked-softmax-fusion",
+        "--overlap-grad-reduce", "--attention-softmax-in-fp32",
+        "--loss-scale", "4096", "--dataloader-type", "cyclic",
+        "--num-workers", "2", "--profile-ranks", "0", "1",
+        "--profile", "--profile-step-start", "2", "--profile-step-end", "3"])
+    assert args.kv_channels == 24
+    assert args.max_position_embeddings == 128
+    assert args.bf16 and args.use_flash_attn
+    assert args.dataloader_type == "cyclic"
+    assert args.profile and args.profile_step_start == 2
+
+
+def test_t5_vocab_extra_ids():
+    import pretrain_t5
+    args = pretrain_t5.parse_args(["--vocab-size", "1000",
+                                   "--vocab-extra-ids", "50",
+                                   "--train-steps", "1"])
+    assert args.vocab_extra_ids == 50
+    # sentinels occupy the top ids: base = vocab - extra
+    rng = np.random.RandomState(0)
+    toks = rng.randint(4, 950, (2, 32)).astype(np.int32)
+    enc, dec_in, labels, mask = pretrain_t5.span_corrupt(
+        rng, toks, 1000, 950, max_dec=16)
+    assert enc.max() < 1000 and labels.max() < 1000
+    sent = enc[enc >= 950]
+    assert sent.size > 0  # at least one span got a sentinel
+
+
+def test_profile_window_runs(tmp_path):
+    """--profile wraps the step window in jax.profiler start/stop_trace."""
+    from megatron_clip_tpu.training.workload import (
+        RuntimeCfg, run_workload)
+
+    def loss_fn(params, batch, rng=None):
+        return jnp.mean((params["w"] * batch["x"]) ** 2)
+
+    rc = RuntimeCfg(train_steps=4, batch_size=2, lr=1e-2, warmup=0,
+                    log_interval=10, profile=True, profile_step_start=2,
+                    profile_step_end=3, profile_dir=str(tmp_path / "prof"))
+
+    def batches():
+        while True:
+            yield {"x": np.ones((2, 4), np.float32)}
+
+    params = {"w": jnp.ones((4,))}
+    run_workload(params, loss_fn, batches(), rc)
+    import glob
+    assert glob.glob(str(tmp_path / "prof" / "**" / "*.trace*"),
+                     recursive=True) or \
+        glob.glob(str(tmp_path / "prof" / "**" / "*.pb"), recursive=True)
