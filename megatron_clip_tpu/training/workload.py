@@ -22,7 +22,7 @@ import argparse
 import os
 import time
 from dataclasses import dataclass
-from typing import Any, Callable, Iterator, Optional
+from typing import Any, Callable, Iterator, Optional, Tuple
 
 import jax
 
@@ -74,6 +74,15 @@ class RuntimeCfg:
     dcn_dp: int = 1   # data parallelism across slices/pods (DCN)
     num_microbatches: int = 1
     tokens_per_sample: int = 0   # >0: log tok/s alongside samples/s
+    # megatron --rampup-batch-size START INCREMENT RAMP_SAMPLES
+    # (microbatches.py:83-144): the EFFECTIVE batch grows from START to
+    # batch_size by INCREMENT every RAMP_SAMPLES/n_increments consumed
+    # samples. The runtime uses the first gbs rows of each fixed-size
+    # yielded batch (the data stream cadence is unchanged — unlike
+    # megatron, which draws exactly gbs samples); consumed_samples in the
+    # checkpoint metadata tracks the ramped count. Each distinct batch
+    # size compiles the step once (XLA caches by shape).
+    rampup_batch_size: Optional[Tuple[int, int, int]] = None
     # checkpointing (megatron --save/--save-interval/--load/--finetune)
     save: Optional[str] = None
     save_interval: int = 0
@@ -130,6 +139,12 @@ def add_runtime_args(p, *, lr: float = 1e-4, weight_decay: float = 0.01,
                    default=batch_size,
                    help="samples consumed per step (megatron "
                         "--global-batch-size)")
+    p.add_argument("--rampup-batch-size", type=int, nargs=3, default=None,
+                   metavar=("START", "INCREMENT", "RAMP_SAMPLES"),
+                   help="grow the effective batch from START to "
+                        "--batch-size by INCREMENT as samples are consumed "
+                        "(megatron --rampup-batch-size, microbatches.py); "
+                        "each distinct size compiles the step once")
     p.add_argument("--micro-batch-size", type=int, default=None,
                    help="megatron per-rank microbatch; with pp>1 derives "
                         "num_microbatches = batch_size // micro (otherwise "
@@ -413,6 +428,9 @@ def runtime_cfg_from_args(args, name: str) -> RuntimeCfg:
         profile_step_start=getattr(args, "profile_step_start", 10),
         profile_step_end=getattr(args, "profile_step_end", 12),
         profile_dir=getattr(args, "profile_dir", None),
+        rampup_batch_size=(tuple(args.rampup_batch_size)
+                           if getattr(args, "rampup_batch_size", None)
+                           else None),
         seed=args.seed, name=name,
         nu_dtype=None if getattr(args, "nu_dtype", "fp32") == "fp32"
         else args.nu_dtype)
@@ -440,7 +458,7 @@ _RUN_ARG_KEYS = frozenset({
     "log_num_zeros_in_grad", "micro_batch_size",
     # execution-strategy / environment knobs, never architecture
     "profile", "profile_step_start", "profile_step_end", "profile_dir",
-    "dataloader_type",
+    "dataloader_type", "rampup_batch_size",
     "precision", "params_dtype", "quantize_matmuls", "sequence_parallel",
     "context_parallel_layout", "fused_ce", "loss_seq_chunk",
     "attention_dropout", "hidden_dropout", "eod_token", "eod_mask_loss",
@@ -690,7 +708,9 @@ def run_workload(params, loss_fn: Callable, batch_iter: Iterator,
         return _place_like(loaded, params), loaded_aux, from_step
 
     def _meta(i):
-        m = {"consumed_samples": i * rc.batch_size}
+        # `consumed` is the running (rampup-aware) sample count; before the
+        # loop starts it is the step-derived default
+        m = {"consumed_samples": consumed}
         if args_ns is not None:
             # args record backing --use-checkpoint-args (megatron saves the
             # full args namespace in the rank file, checkpointing.py:215)
@@ -767,6 +787,44 @@ def run_workload(params, loss_fn: Callable, batch_iter: Iterator,
         for _ in range(start_step):             # replay-and-discard
             next(batch_iter)
 
+    # --rampup-batch-size: effective-batch calculator (megatron
+    # microbatches.py:83-144). Granularity = what the mesh batch axes and
+    # the pipeline microbatch split require of the leading dim.
+    rampup = None
+    consumed = start_step * rc.batch_size
+    if rc.rampup_batch_size is not None:
+        from megatron_clip_tpu.training.microbatches import (
+            build_num_microbatches_calculator)
+        gran = 1
+        if mesh is not None:
+            gran = mesh.shape.get("data", 1) * mesh.shape.get("fsdp", 1)
+        if rc.pp > 1:
+            gran *= max(1, rc.num_microbatches)
+        try:
+            rampup = build_num_microbatches_calculator(
+                rc.batch_size, 1, gran, rc.rampup_batch_size)
+        except ValueError as e:
+            raise SystemExit(
+                f"--rampup-batch-size {rc.rampup_batch_size}: {e} (the "
+                f"mesh batch axes / pipeline microbatch split require "
+                f"multiples of {gran})") from e
+        if start_step and (rc.save or rc.load):
+            # a resumed rampup run restores the RAMPED consumed count (the
+            # step-derived default undercounts only if metadata is absent)
+            from megatron_clip_tpu.checkpoints import (
+                load_checkpoint_metadata)
+            try:
+                consumed = int(load_checkpoint_metadata(
+                    rc.save if rc.resume else rc.load).get(
+                        "consumed_samples", consumed))
+            except (FileNotFoundError, KeyError, ValueError):
+                pass
+        start, inc, _ = rc.rampup_batch_size
+        n_sizes = (rc.batch_size - start) // inc + 1
+        print(f"[{rc.name}] batch rampup {start} -> {rc.batch_size} "
+              f"(+{inc}; up to {n_sizes} distinct step compilations)",
+              flush=True)
+
     writer = None
     if rc.tensorboard_dir:
         try:
@@ -783,6 +841,7 @@ def run_workload(params, loss_fn: Callable, batch_iter: Iterator,
     run_t0 = t0
     loss = None
     history = []
+    win_samples = 0
     last_step, exited_early = start_step, False
     last_custom_eval, last_custom_eval_step = None, -1
     with mesh_ctx:
@@ -794,12 +853,26 @@ def run_workload(params, loss_fn: Callable, batch_iter: Iterator,
                 jax.profiler.start_trace(pdir)
                 print(f"[{rc.name}] profiler trace started -> {pdir}",
                       flush=True)
-            batch = jax.tree.map(jnp.asarray, next(batch_iter))
+            batch = next(batch_iter)
+            gbs = rc.batch_size
+            if rampup is not None:
+                rampup.update(consumed)
+                gbs = rampup.current_global_batch_size()
+                if gbs != rc.batch_size:
+                    # the first gbs rows of the fixed-size yielded batch
+                    batch = jax.tree.map(
+                        lambda x: x[:gbs]
+                        if (getattr(x, "shape", None)
+                            and len(x.shape) > 0
+                            and x.shape[0] == rc.batch_size) else x, batch)
+            batch = jax.tree.map(jnp.asarray, batch)
             params, opt_state, aux, metrics = step(params, opt_state, aux,
                                                    batch, jnp.int32(i),
                                                    base_rng)
             loss = metrics["loss"]
             last_step = i
+            consumed += gbs
+            win_samples += gbs
             if rc.profile and i == rc.profile_step_end:
                 float(metrics["loss"])  # drain the pipeline into the trace
                 jax.profiler.stop_trace()
@@ -809,7 +882,8 @@ def run_workload(params, loss_fn: Callable, batch_iter: Iterator,
                 l = float(loss)
                 history.append((i, l))
                 dt = time.perf_counter() - t0
-                ips = rc.log_interval * rc.batch_size / dt
+                ips = win_samples / dt
+                win_samples = 0
                 extra = (f" | {ips * rc.tokens_per_sample:.0f} tok/s"
                          if rc.tokens_per_sample else "")
                 gn = float(metrics["grad_norm"])

@@ -105,6 +105,37 @@ def test_t5_vocab_extra_ids():
     assert sent.size > 0  # at least one span got a sentinel
 
 
+def test_rampup_batch_size(tmp_path, capsys):
+    """--rampup-batch-size grows the effective batch: the step sees sliced
+    batches and the checkpoint metadata records the ramped consumed count
+    (megatron microbatches.py:83-144 semantics)."""
+    from megatron_clip_tpu.training.workload import RuntimeCfg, run_workload
+
+    seen = []
+
+    def loss_fn(params, batch, rng=None):
+        # record the traced batch shape: one trace per distinct size
+        seen.append(batch["x"].shape[0])
+        return jnp.mean((params["w"] * batch["x"]) ** 2)
+
+    # 2 -> 8 by +2 every 10/3 samples: sizes 2,4,6,8 over the run
+    rc = RuntimeCfg(train_steps=8, batch_size=8, lr=1e-2, warmup=0,
+                    log_interval=4, rampup_batch_size=(2, 2, 10),
+                    save=str(tmp_path / "ck"), save_interval=8)
+
+    def batches():
+        while True:
+            yield {"x": np.ones((8, 4), np.float32)}
+
+    run_workload({"w": jnp.ones((4,))}, loss_fn, batches(), rc)
+    assert set(seen) == {2, 4, 6, 8}, seen
+    import json
+    metas = sorted((tmp_path / "ck").glob("iter_*/metadata.json"))
+    meta = json.loads(metas[-1].read_text())
+    # rampup +2 every 10/3 samples: per-step sizes 2,2,4,6,8,8,8,8 -> 46
+    assert meta["consumed_samples"] == 46, meta
+
+
 def test_profile_window_runs(tmp_path):
     """--profile wraps the step window in jax.profiler start/stop_trace."""
     from megatron_clip_tpu.training.workload import (
