@@ -160,7 +160,7 @@ def image_transform(image_size: int, is_train: bool,
     elif isinstance(aug_cfg, dict):
         aug_cfg = AugmentationCfg(**aug_cfg)
     aug_cfg = aug_cfg or AugmentationCfg()
-    unused = [k for k in ("re_prob", "re_count")
+    unused = [k for k in ("re_prob", "re_count", "interpolation")
               if getattr(aug_cfg, k) is not None]
     if aug_cfg.use_timm:
         unused.append("use_timm")

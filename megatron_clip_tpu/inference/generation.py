@@ -124,7 +124,8 @@ def _block_decode(block, x, cache_k, cache_v, pos, cfg: TransformerCfg, rope):
         kh = jnp.repeat(kh, cfg.heads // hkv, axis=1)
         vh = jnp.repeat(vh, cfg.heads // hkv, axis=1)
     att = sdpa(q, kh, vh, bias=bias)
-    att = att.transpose(0, 2, 1, 3).reshape(b, t, w)
+    # heads*head_dim == w unless cfg.kv_channels overrides the per-head dim
+    att = att.transpose(0, 2, 1, 3).reshape(b, t, -1)
     att = _dense(att, block["attn"]["wo"])
     if block["attn"].get("bo") is not None:
         att = att + block["attn"]["bo"].astype(x.dtype)
@@ -210,7 +211,7 @@ def _sample(logits, rng, temperature, top_k, top_p):
 
 def _decode_program(fwd, params, prompt, prompt_len, cache, cfg: GPTCfg, *,
                     max_new_tokens, temperature, top_k, top_p, eos_id, seed,
-                    return_lengths, top_p_decay, top_p_bound, compute,
+                    return_lengths, top_p_decay, top_p_bound,
                     return_logprobs: bool = False):
     """Shared prefill + decode-scan body. `fwd(params, tokens, pos, cache)
     -> (logits, cache)` is the model forward (plain `_forward_cached`, or
@@ -314,7 +315,7 @@ def generate(params, prompt, prompt_len, cfg: GPTCfg, *,
         fwd, params, prompt, prompt_len, cache, cfg,
         max_new_tokens=max_new_tokens, temperature=temperature, top_k=top_k,
         top_p=top_p, eos_id=eos_id, seed=seed, return_lengths=return_lengths,
-        top_p_decay=top_p_decay, top_p_bound=top_p_bound, compute=compute,
+        top_p_decay=top_p_decay, top_p_bound=top_p_bound,
         return_logprobs=return_logprobs)
 
 

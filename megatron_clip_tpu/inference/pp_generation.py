@@ -152,7 +152,7 @@ def pp_generate(params, prompt, prompt_len, cfg: GPTCfg,
             max_new_tokens=max_new_tokens, temperature=temperature,
             top_k=top_k, top_p=top_p, eos_id=eos_id, seed=seed,
             return_lengths=return_lengths, top_p_decay=top_p_decay,
-            top_p_bound=top_p_bound, compute=compute,
+            top_p_bound=top_p_bound,
             return_logprobs=return_logprobs)
 
     n_out = 1 + int(return_lengths) + int(return_logprobs)

@@ -65,11 +65,19 @@ class GenerationService:
 
     def _segment(self, token: int) -> str:
         """Per-token surface string (megatron tokenization.py
-        detokenize_generations word loop: the tokenizer's decoder table when
-        it has one, else single-token decode)."""
+        detokenize_generations word loop: decoder-table entry mapped back
+        through byte_decoder for byte-level BPEs — the raw table entry is
+        the byte alphabet ('cafÃ©</w>'), not text)."""
         dec = getattr(self.tokenizer, "decoder", None)
+        bd = getattr(self.tokenizer, "byte_decoder", None)
         if isinstance(dec, dict) and token in dec:
-            return dec[token]
+            word = dec[token]
+            if isinstance(bd, dict):
+                word = bytearray(bd[c] for c in word if c in bd).decode(
+                    "utf-8", errors="replace")
+            # CLIP BPE end-of-word marker renders as a trailing space
+            # (clip_bpe.py decode semantics)
+            return word.replace("</w>", " ")
         try:
             return self.tokenizer.decode([int(token)])
         except Exception:  # noqa: BLE001
@@ -135,13 +143,20 @@ class GenerationService:
                 gen_toks = gen_toks[:gen_toks.index(int(stop_token))]
             gen_text = self.tokenizer.decode([int(t) for t in gen_toks])
             # megatron's stop_on_eol/stop_on_double_eol end generation at
-            # the marker; output-equivalent truncation here
-            if stop_on_double_eol and "\n\n" in gen_text:
-                gen_text = gen_text[:gen_text.index("\n\n")]
-                gen_toks = self.tokenizer.encode(gen_text)
-            elif stop_on_eol and "\n" in gen_text:
-                gen_text = gen_text[:gen_text.index("\n")]
-                gen_toks = self.tokenizer.encode(gen_text)
+            # the marker. Truncate by TOKEN position (keep the sampled ids
+            # through the token that completes the marker) so segments and
+            # the logprob slice stay aligned with what was actually
+            # sampled — re-encoding the cut text can tokenize differently.
+            marker = ("\n\n" if stop_on_double_eol else
+                      "\n" if stop_on_eol else None)
+            if marker is not None and marker in gen_text:
+                for k in range(1, len(gen_toks) + 1):
+                    prefix = self.tokenizer.decode(
+                        [int(t) for t in gen_toks[:k]])
+                    if marker in prefix:
+                        gen_toks = gen_toks[:k]
+                        gen_text = prefix[:prefix.index(marker)]
+                        break
             prompt_text = self.tokenizer.decode([int(t)
                                                  for t in ids[r]])
             texts.append(prompt_text + gen_text)

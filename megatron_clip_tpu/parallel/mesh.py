@@ -61,7 +61,24 @@ def build_mesh(cfg, devices: Optional[Sequence] = None,
             from jax.experimental import mesh_utils
             arr = mesh_utils.create_hybrid_device_mesh(
                 shape_ici, (dcn, 1, 1, 1, 1), devices=devices)
-        except Exception:  # noqa: BLE001 — no slice_index on these devices
+        except Exception as e:  # noqa: BLE001
+            # Benign only when devices expose no slice topology (virtual
+            # CPU devices / one physical slice): a contiguous split is the
+            # same layout by construction. On real multi-slice hardware a
+            # hybrid-mesh failure must be loud — the contiguous fallback
+            # would interleave slices across tensor/stage dims and put TP
+            # collectives on the DCN.
+            slices = {getattr(d, "slice_index", None) for d in devices}
+            if len(slices) > 1:
+                raise ValueError(
+                    f"dcn_dp={dcn} hybrid mesh failed on multi-slice "
+                    f"devices (slices={sorted(slices)}): {e}") from e
+            if slices != {None}:
+                import warnings
+                warnings.warn(
+                    f"dcn_dp={dcn} requested but all devices are on one "
+                    "slice; using a contiguous split (no DCN boundary "
+                    "exists to respect)")
             arr = np.asarray(devices).reshape(dcn * cfg.dp, cfg.fsdp,
                                               cfg.pp, cp, cfg.tp)
     else:

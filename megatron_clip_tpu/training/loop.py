@@ -240,12 +240,22 @@ def run_training(args) -> dict:
         if not os.path.exists(code_dir):
             src = os.path.dirname(os.path.dirname(
                 os.path.dirname(os.path.abspath(__file__))))
-            shutil.copytree(
-                src, code_dir,
-                ignore=shutil.ignore_patterns(
-                    ".git", "__pycache__", "*.pyc", "logs", "wandb",
-                    # never recurse into the experiment dir itself
-                    os.path.basename(os.path.normpath(args.save))))
+            base_ignore = shutil.ignore_patterns(
+                ".git", "__pycache__", "*.pyc", "logs", "wandb")
+            save_abs = os.path.abspath(args.save)
+
+            def _ignore(path, names):
+                ignored = set(base_ignore(path, names))
+                for n in names:
+                    # never recurse into the experiment root itself —
+                    # matched by PATH, not basename (a basename pattern
+                    # would both skip unrelated same-named dirs and copy
+                    # sibling runs' checkpoints when --save is nested)
+                    if os.path.abspath(os.path.join(path, n)) == save_abs:
+                        ignored.add(n)
+                return ignored
+
+            shutil.copytree(src, code_dir, ignore=_ignore)
             _log(f"copied codebase to {code_dir}")
     writer = None
     if "tensorboard" in (args.report_to or "") and save_root:

@@ -132,21 +132,17 @@ def parse_args(argv=None):
     return p.parse_args(argv)
 
 
-def run(args):
-    from megatron_clip_tpu.training.workload import \
-        maybe_apply_checkpoint_args
-    args = maybe_apply_checkpoint_args(args)
-    from megatron_clip_tpu.models.gpt import (
-        GPTCfg, init_gpt, gpt_loss, gpt_param_specs)
-    from megatron_clip_tpu.parallel.mesh import STAGE
-    from megatron_clip_tpu.training.workload import (
-        runtime_cfg_from_args, build_workload_mesh, run_workload)
+def gpt_cfg_from_args(args):
+    """GPTCfg from the parsed entry flags — shared with the serving entry
+    (tools/run_text_generation_server.py) so every architecture flag a
+    checkpoint was trained with also shapes the served model."""
+    from megatron_clip_tpu.models.gpt import GPTCfg
 
     vocab = args.vocab_size
     if args.make_vocab_size_divisible_by:
         d = args.make_vocab_size_divisible_by
         vocab = -(-vocab // d) * d
-    cfg = GPTCfg(
+    return GPTCfg(
         num_layers=args.num_layers, hidden_size=args.hidden_size,
         num_heads=args.num_heads, kv_heads=args.kv_heads,
         kv_channels=args.kv_channels,
@@ -163,6 +159,20 @@ def run(args):
         num_experts=args.num_experts,
         init_std=args.init_method_std,
         tie_embeddings=not args.untie_embeddings_and_output_weights)
+
+
+def run(args):
+    from megatron_clip_tpu.training.workload import \
+        maybe_apply_checkpoint_args
+    args = maybe_apply_checkpoint_args(args)
+    from megatron_clip_tpu.models.gpt import (
+        init_gpt, gpt_loss, gpt_param_specs)
+    from megatron_clip_tpu.parallel.mesh import STAGE
+    from megatron_clip_tpu.training.workload import (
+        runtime_cfg_from_args, build_workload_mesh, run_workload)
+
+    cfg = gpt_cfg_from_args(args)
+    vocab = cfg.vocab_size
     compute_dtype = jnp.bfloat16 if args.precision in ("bf16", "amp_bf16") \
         else jnp.float32
     cp = args.context_parallel_size

@@ -113,6 +113,34 @@ def test_segments_without_logprobs(server):
     assert isinstance(out["segments"][0], list)
 
 
+def test_segments_are_decoded_text(server):
+    """Segments are byte-decoded surface pieces, not raw decoder-table
+    entries (megatron tokenization.py detokenize_generations maps through
+    byte_decoder): non-ASCII must round-trip, no mojibake or '</w>'."""
+    status, out = _put(server, {"prompts": ["a café photo"],
+                                "tokens_to_generate": 2,
+                                "temperature": 0.0})
+    assert status == 200
+    segs = out["segments"][0]
+    joined = "".join(segs)
+    assert "café" in joined, segs
+    assert "Ã" not in joined and "</w>" not in joined, segs
+
+
+def test_kv_channels_generation():
+    """--kv-channels (heads*head_dim != hidden) must decode: the KV-cache
+    head merge is heads*head_dim wide, not model width."""
+    from megatron_clip_tpu.inference.generation import greedy_generate
+    import jax.numpy as jnp
+    cfg = GPTCfg(num_layers=2, hidden_size=64, num_heads=4, kv_channels=24,
+                 vocab_size=128, seq_length=32)
+    params = init_gpt(jax.random.PRNGKey(0), cfg)
+    prompt = jnp.array([[5, 6, 7, 8]], jnp.int32)
+    out = greedy_generate(params, prompt, cfg, max_new_tokens=4)
+    out = np.asarray(out)
+    assert out.shape[1] == 8 and (out[:, :4] == np.asarray(prompt)).all()
+
+
 def test_index_page(server):
     with urllib.request.urlopen(server + "/", timeout=60) as r:
         body = r.read().decode()

@@ -26,15 +26,16 @@ def main(argv=None):
     srv_args, rest = p.parse_known_args(argv)
     args = parse_args(rest)
 
-    from megatron_clip_tpu.models.gpt import GPTCfg, init_gpt
+    from megatron_clip_tpu.models.gpt import init_gpt
     from megatron_clip_tpu.tokenizer import SimpleTokenizer
     from megatron_clip_tpu.inference.server import GenerationService, run_server
+    from pretrain_gpt import gpt_cfg_from_args
 
     tok = SimpleTokenizer()
-    cfg = GPTCfg(num_layers=args.num_layers, hidden_size=args.hidden_size,
-                 num_heads=args.num_heads, vocab_size=args.vocab_size,
-                 seq_length=args.seq_length,
-                 position_embedding=args.position_embedding)
+    # the full architecture-flag surface (kv_channels, GQA, swiglu, rope,
+    # ffn size, ...) — a checkpoint trained through pretrain_gpt.py must
+    # produce the same parameter shapes here
+    cfg = gpt_cfg_from_args(args)
     params = init_gpt(jax.random.PRNGKey(args.seed), cfg)
     if srv_args.load:
         from megatron_clip_tpu.checkpoints import load_checkpoint

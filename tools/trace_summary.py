@@ -41,13 +41,17 @@ def is_wrapper(name: str) -> bool:
     return bool(_WRAPPER.match(name))
 
 
-def categorize(name: str) -> str:
+def categorize(name: str, hlo_category: str = "") -> str:
     n = name.lower()
     # mangled pallas custom-calls keep python-derived names: the fused-MHA
     # fwd appears as jvp__*, its VJP as transpose_jvp__*, remat replays as
-    # checkpoint* (all hlo_category custom-call)
+    # checkpoint* — but ONLY when the event is a custom-call; plain XLA
+    # remat/jvp fusions reuse the same python-derived prefixes and must not
+    # count as kernel time (they would invert a pallas-vs-XLA A/B digest)
     if n.startswith(("jvp_", "transpose_jvp", "checkpoint")):
-        return "pallas-kernel"
+        hc = (hlo_category or "").lower()
+        if "custom" in hc or not hc and "fusion" not in n:
+            return "pallas-kernel"
     if "pallas" in n or "custom-call" in n or "custom_call" in n:
         # mosaic kernels keep their python-derived names
         for tag in ("flash", "mha", "fused_ce", "layer_norm", "layernorm"):
@@ -110,7 +114,8 @@ def main():
             continue
         dur = float(e["dur"])  # us
         by_op[name] += dur
-        by_cat[categorize(name)] += dur
+        by_cat[categorize(name, (e.get("args") or {}).get(
+            "hlo_category", ""))] += dur
         total += dur
 
     if not total:
