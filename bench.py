@@ -96,11 +96,13 @@ def bench_clip(model_name: str, *, batch: int, iters: int, warmup: int,
             "step_ms": 1000 * dt / iters, "loss": final_loss}
 
 
-def bench_gpt_345m(batch: int = 8, iters: int = 15, warmup: int = 2) -> dict:
+def bench_gpt_345m(batch: int = 6, iters: int = 15, warmup: int = 2) -> dict:
     """GPT-345m seq2048 train step (megatron ladder rung): pure-bf16 state,
-    selective remat, unrolled layers, fused flash backward. Matches
-    `tools/bench_model.py --family gpt --gpt-size 345m --batch 8
-    --params-dtype bf16 --remat selective` (see README perf table)."""
+    NO remat (the 345m activations fit at bs6, and dropping the selective
+    replay is worth +4pt MFU: 41.4% -> 45.5%), unrolled layers, fused flash
+    backward. Matches `tools/bench_model.py --family gpt --gpt-size 345m
+    --batch 6 --params-dtype bf16 --remat none --loss-chunk 1024` (README
+    perf table)."""
     import optax
     from megatron_clip_tpu.models.gpt import GPTCfg, init_gpt, gpt_loss
 
@@ -108,7 +110,7 @@ def bench_gpt_345m(batch: int = 8, iters: int = 15, warmup: int = 2) -> dict:
                  seq_length=2048, vocab_size=50304)
     params = init_gpt(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)
     n_params = sum(x.size for x in jax.tree.leaves(params))
-    tcfg = cfg.transformer(remat="selective", scan_layers=False)
+    tcfg = cfg.transformer(remat="none", scan_layers=False)
     tx = optax.chain(optax.clip_by_global_norm(1.0),
                      optax.adamw(1e-4, b1=0.9, b2=0.95,
                                  mu_dtype=jnp.bfloat16))
@@ -120,7 +122,7 @@ def bench_gpt_345m(batch: int = 8, iters: int = 15, warmup: int = 2) -> dict:
     def step(params, opt, tokens):
         loss, g = jax.value_and_grad(
             lambda p: gpt_loss(p, tokens, cfg, tcfg=tcfg,
-                               loss_seq_chunk=512))(params)
+                               loss_seq_chunk=1024))(params)
         upd, opt = tx.update(g, opt, params)
         return optax.apply_updates(params, upd), opt, loss
 
@@ -223,7 +225,7 @@ def main():
                 }
         if os.environ.get("MCT_BENCH_SKIP_GPT") != "1":
             # the megatron-workload rung (gpt-345m seq2048, pure-bf16
-            # state, selective remat, fused flash backward)
+            # state, no remat, fused flash backward)
             rg = _budgeted("gpt-345m", "MCT_BENCH_GPT_BUDGET", "540",
                            bench_gpt_345m)
             if rg is not None:
