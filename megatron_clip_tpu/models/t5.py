@@ -30,10 +30,14 @@ class T5Cfg:
     max_decode_length: int = 128
     mlp_ratio: float = 4.0
     init_std: float = 0.02
+    # megatron --kv-channels; the decoder's mm blocks fix the head dim at
+    # width//heads, so the entry rejects values that differ from it
+    kv_channels: Optional[int] = None
 
     def encoder_cfg(self, **ov) -> TransformerCfg:
         return TransformerCfg(layers=self.num_layers, width=self.hidden_size,
                               heads=self.num_heads, mlp_ratio=self.mlp_ratio,
+                              kv_channels=self.kv_channels,
                               act="gelu_tanh", **ov)
 
     def decoder_cfg(self) -> MultimodalCfg:

@@ -291,6 +291,9 @@ _MEGATRON_NOOP_VALUE = {
     "--tensorboard-log-interval": int, "--tensorboard-queue-size": int,
     "--transformer-impl": str, "--recompute-method": str,
     "--recompute-num-layers": int, "--lazy-mpu-init": str,
+    # real (pos-table length) on the GPT entry, which defines it first;
+    # accepted-for-parity on encoder entries where seq_length bounds it
+    "--max-position-embeddings": int,
 }
 
 
@@ -330,7 +333,29 @@ def add_megatron_compat_args(p):
             g.add_argument(flag, action="store_true", help=hlp)
         except argparse.ArgumentError:
             pass
+    for flag, hlp in (
+            ("--vocab-file", "tokenizer vocab (megatron --vocab-file): "
+                             "when given, the model vocab size derives "
+                             "from the tokenizer + padding, like megatron "
+                             "build_tokenizer"),
+            ("--merge-file", "GPT2 BPE merges.txt (megatron --merge-file)"),
+            ("--tokenizer-model", "sentencepiece .model "
+                                  "(megatron --tokenizer-model)")):
+        try:
+            g.add_argument(flag, type=str, default=None, help=hlp)
+        except argparse.ArgumentError:
+            pass
     try:
+        g.add_argument("--tokenizer-type", type=str, default=None,
+                       choices=["BertWordPieceLowerCase", "BertWordPieceCase",
+                                "GPT2BPETokenizer", "SentencePieceTokenizer",
+                                "GPTSentencePieceTokenizer",
+                                "Llama2Tokenizer", "NullTokenizer",
+                                "CLIPTokenizer"],
+                       help="megatron --tokenizer-type (picks the vocab-size "
+                            "derivation; data here is already tokenized)")
+        g.add_argument("--data-impl", type=str, default=None,
+                       help=argparse.SUPPRESS)  # mmap is the only impl
         g.add_argument("--profile-ranks", type=int, nargs="*", default=None,
                        help=argparse.SUPPRESS)
         g.add_argument("--dataloader-type", choices=["single", "cyclic"],
@@ -341,6 +366,38 @@ def add_megatron_compat_args(p):
                             "(data_samplers.py:14-48 semantics)")
     except argparse.ArgumentError:
         pass
+
+
+def vocab_size_from_tokenizer_args(args, extra_ids: int = 0):
+    """megatron sizes the embedding from the tokenizer files, not a
+    --vocab-size flag (tokenizer.py build_tokenizer +
+    _vocab_size_with_padding): when --vocab-file / --merge-file /
+    --tokenizer-model are passed, derive the padded vocab size the same
+    way so reference launch scripts produce the same model shape. Returns
+    None when no tokenizer files were given (the entry's --vocab-size
+    applies)."""
+    from megatron_clip_tpu.tokenizer import megatron_tokenizers as mt
+    tt = getattr(args, "tokenizer_type", None) or ""
+    vf = getattr(args, "vocab_file", None)
+    mf = getattr(args, "merge_file", None)
+    sp = getattr(args, "tokenizer_model", None)
+    if not (vf or sp):
+        return None
+    if tt in ("NullTokenizer", "CLIPTokenizer"):
+        return None  # fixed-size vocabs; the entry's default already matches
+    if sp or tt in ("SentencePieceTokenizer", "GPTSentencePieceTokenizer",
+                    "Llama2Tokenizer"):
+        tok = mt.SentencePieceTokenizer(sp or vf)
+    elif mf or tt == "GPT2BPETokenizer":
+        tok = mt.GPT2BPETokenizer(vf, mf)
+    else:  # bert wordpiece — megatron's default for a bare vocab.txt
+        tok = mt.BertWordPieceTokenizer(
+            vf, lower_case=tt != "BertWordPieceCase")
+    # T5 appends <extra_id_k> sentinels to the tokenizer before padding
+    # (megatron --vocab-extra-ids, tokenizer.py _T5 vocab build)
+    d = getattr(args, "make_vocab_size_divisible_by", None) or 128
+    tp = getattr(args, "tensor_model_parallel_size", 1) or 1
+    return mt.vocab_size_with_padding(tok.vocab_size + extra_ids, d, tp)
 
 
 def normalize_megatron_compat(ns):

@@ -57,10 +57,15 @@ def run(args):
     from megatron_clip_tpu.training.workload import (
         runtime_cfg_from_args, build_workload_mesh, run_workload)
 
-    vocab = args.vocab_size
-    if args.make_vocab_size_divisible_by:
-        d = args.make_vocab_size_divisible_by
-        vocab = -(-vocab // d) * d
+    from megatron_clip_tpu.training.workload import \
+        vocab_size_from_tokenizer_args
+    vocab = vocab_size_from_tokenizer_args(args)
+    if vocab is None:
+        vocab = args.vocab_size
+        if args.make_vocab_size_divisible_by:
+            d = args.make_vocab_size_divisible_by
+            vocab = -(-vocab // d) * d
+    args.vocab_size = vocab   # the dataset masking draws from it too
     cfg = BertCfg(num_layers=args.num_layers, hidden_size=args.hidden_size,
                   num_heads=args.num_heads, vocab_size=vocab,
                   seq_length=args.seq_length,

@@ -137,11 +137,17 @@ def gpt_cfg_from_args(args):
     (tools/run_text_generation_server.py) so every architecture flag a
     checkpoint was trained with also shapes the served model."""
     from megatron_clip_tpu.models.gpt import GPTCfg
+    from megatron_clip_tpu.training.workload import \
+        vocab_size_from_tokenizer_args
 
-    vocab = args.vocab_size
-    if args.make_vocab_size_divisible_by:
-        d = args.make_vocab_size_divisible_by
-        vocab = -(-vocab // d) * d
+    # megatron sizes the embedding from --vocab-file/--merge-file when
+    # given; --vocab-size (+ optional explicit padding) otherwise
+    vocab = vocab_size_from_tokenizer_args(args)
+    if vocab is None:
+        vocab = args.vocab_size
+        if args.make_vocab_size_divisible_by:
+            d = args.make_vocab_size_divisible_by
+            vocab = -(-vocab // d) * d
     return GPTCfg(
         num_layers=args.num_layers, hidden_size=args.hidden_size,
         num_heads=args.num_heads, kv_heads=args.kv_heads,

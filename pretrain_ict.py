@@ -51,7 +51,12 @@ def run(args):
         BiencoderCfg, init_biencoder, ict_loss)
     from megatron_clip_tpu.parallel.sharding import generic_param_specs
     from megatron_clip_tpu.training.workload import (
-        runtime_cfg_from_args, build_workload_mesh, run_workload)
+        runtime_cfg_from_args, build_workload_mesh, run_workload,
+        vocab_size_from_tokenizer_args)
+
+    tok_vocab = vocab_size_from_tokenizer_args(args)
+    if tok_vocab is not None:
+        args.vocab_size = tok_vocab
 
     cfg = BiencoderCfg(
         bert=BertCfg(num_layers=args.num_layers,

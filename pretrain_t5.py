@@ -21,6 +21,13 @@ def parse_args(argv=None):
     p.add_argument("--hidden-size", type=int, default=768)
     p.add_argument("--num-heads", "--num-attention-heads",
                    type=int, default=12)
+    p.add_argument("--kv-channels", type=int, default=None,
+                   help="per-head dim (megatron --kv-channels); the T5 "
+                        "decoder fixes it at hidden/heads, so other values "
+                        "are rejected")
+    p.add_argument("--ffn-hidden-size", type=int, default=None,
+                   help="MLP hidden size (megatron --ffn-hidden-size; "
+                        "default 4*hidden)")
     p.add_argument("--encoder-seq-length", type=int, default=512)
     p.add_argument("--decoder-seq-length", type=int, default=128)
     p.add_argument("--vocab-size", type=int, default=30592)
@@ -81,12 +88,28 @@ def run(args):
     from megatron_clip_tpu.models.t5 import T5Cfg, init_t5, t5_loss
     from megatron_clip_tpu.parallel.sharding import generic_param_specs
     from megatron_clip_tpu.training.workload import (
-        runtime_cfg_from_args, build_workload_mesh, run_workload)
+        runtime_cfg_from_args, build_workload_mesh, run_workload,
+        vocab_size_from_tokenizer_args)
 
+    # --vocab-file given: size the vocab like megatron's T5 tokenizer
+    # (wordpiece + <extra_id_k> sentinels, padded)
+    tok_vocab = vocab_size_from_tokenizer_args(
+        args, extra_ids=args.vocab_extra_ids)
+    if tok_vocab is not None:
+        args.vocab_size = tok_vocab
+
+    if args.kv_channels not in (None, args.hidden_size // args.num_heads):
+        raise SystemExit(
+            f"--kv-channels {args.kv_channels}: the T5 decoder's "
+            f"cross-attention blocks fix the head dim at hidden/heads = "
+            f"{args.hidden_size // args.num_heads}")
     cfg = T5Cfg(num_layers=args.num_layers,
                 num_decoder_layers=args.num_decoder_layers,
                 hidden_size=args.hidden_size, num_heads=args.num_heads,
                 vocab_size=args.vocab_size,
+                mlp_ratio=(args.ffn_hidden_size / args.hidden_size
+                           if args.ffn_hidden_size else 4.0),
+                kv_channels=args.kv_channels,
                 max_seq_length=args.encoder_seq_length,
                 max_decode_length=args.decoder_seq_length)
     compute = jnp.bfloat16 if args.precision.startswith("bf") else jnp.float32

@@ -105,6 +105,69 @@ def test_t5_vocab_extra_ids():
     assert sent.size > 0  # at least one span got a sentinel
 
 
+_BERT_REF_ARGS = [
+    "--num-layers", "24", "--hidden-size", "1024",
+    "--num-attention-heads", "16", "--seq-length", "512",
+    "--max-position-embeddings", "512", "--micro-batch-size", "4",
+    "--global-batch-size", "8", "--lr", "0.0001",
+    "--train-iters", "2000000", "--lr-decay-iters", "990000",
+    "--lr-decay-style", "linear", "--min-lr", "0.00001",
+    "--weight-decay", "1e-2", "--lr-warmup-fraction", ".01",
+    "--clip-grad", "1.0", "--fp16", "--data-path", "/tmp/x",
+    "--vocab-file", "/tmp/v.txt", "--split", "949,50,1",
+    "--log-interval", "100", "--save-interval", "10000",
+    "--eval-interval", "1000", "--eval-iters", "10",
+    "--save", "/tmp/s", "--load", "/tmp/s"]
+
+
+def test_reference_launch_arg_sets_parse():
+    """The stock megatron examples/pretrain_{bert,gpt,t5}.sh flag sets parse
+    unmodified on the matching entries."""
+    import pretrain_bert
+    import pretrain_gpt
+    import pretrain_t5
+    a = pretrain_bert.parse_args(_BERT_REF_ARGS)
+    assert a.vocab_file == "/tmp/v.txt" and a.num_heads == 16
+    g = pretrain_gpt.parse_args(_BERT_REF_ARGS + [
+        "--merge-file", "/tmp/m.txt"])
+    assert g.merge_file == "/tmp/m.txt"
+    t = pretrain_t5.parse_args([
+        "--num-layers", "12", "--hidden-size", "768",
+        "--num-attention-heads", "12", "--kv-channels", "64",
+        "--ffn-hidden-size", "3072", "--encoder-seq-length", "512",
+        "--decoder-seq-length", "128", "--micro-batch-size", "16",
+        "--global-batch-size", "16", "--max-position-embeddings", "512",
+        "--lr", "0.0001", "--train-iters", "1000000",
+        "--lr-decay-iters", "1000000", "--weight-decay", "1e-2",
+        "--lr-warmup-fraction", ".01", "--clip-grad", "1.0", "--fp16",
+        "--vocab-extra-ids", "100", "--data-path", "/tmp/x",
+        "--vocab-file", "/tmp/v.txt", "--split", "949,50,1",
+        "--save", "/tmp/s", "--load", "/tmp/s"])
+    assert t.kv_channels == 64 and t.ffn_hidden_size == 3072
+
+
+def test_vocab_size_from_tokenizer_args(tmp_path):
+    """--vocab-file sizes the embedding like megatron build_tokenizer +
+    _vocab_size_with_padding (default divisor 128 x tp)."""
+    from types import SimpleNamespace
+    from megatron_clip_tpu.training.workload import (
+        vocab_size_from_tokenizer_args)
+    vf = tmp_path / "vocab.txt"
+    toks = ["[PAD]", "[UNK]", "[CLS]", "[SEP]", "[MASK]"] + \
+        [f"tok{i}" for i in range(995)]   # 1000 pieces
+    vf.write_text("\n".join(toks) + "\n")
+    ns = SimpleNamespace(vocab_file=str(vf), merge_file=None,
+                         tokenizer_model=None, tokenizer_type=None,
+                         make_vocab_size_divisible_by=None,
+                         tensor_model_parallel_size=2)
+    # 1000 -> padded to 128*2=256 multiple -> 1024
+    assert vocab_size_from_tokenizer_args(ns) == 1024
+    # T5: +100 sentinels first -> 1100 -> 1280
+    assert vocab_size_from_tokenizer_args(ns, extra_ids=100) == 1280
+    ns.vocab_file = None
+    assert vocab_size_from_tokenizer_args(ns) is None
+
+
 def test_rampup_batch_size(tmp_path, capsys):
     """--rampup-batch-size grows the effective batch: the step sees sliced
     batches and the checkpoint metadata records the ramped consumed count
