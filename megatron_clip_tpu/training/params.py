@@ -46,6 +46,13 @@ def parse_args(args=None):
                         "/ LiT-style init); text tower stays at init")
     p.add_argument("--precision", choices=["amp", "amp_bf16", "bf16", "fp16",
                                            "fp32", "pure_bf16"], default="bf16")
+    # megatron pretrain_CLIP.py spellings (zPretrain/pretrain_clip.sh passes
+    # --fp16 as a flag): map onto --precision, bf16 on TPU
+    p.add_argument("--fp16", action="store_true",
+                   help="megatron --fp16: bf16 is used on TPU (strictly "
+                        "better numerics, no loss scaling)")
+    p.add_argument("--bf16", action="store_true",
+                   help="megatron --bf16: maps to --precision bf16")
     p.add_argument("--force-quick-gelu", action="store_true")
     p.add_argument("--force-patch-dropout", type=float, default=None,
                    help="override the model config's vision patch_dropout "
@@ -232,6 +239,12 @@ def parse_args(args=None):
             import warnings
             warnings.warn(f"--{noop.replace('_', '-')} accepted for "
                           "open_CLIP CLI parity but is a no-op on TPU")
+    if ns.fp16 or ns.bf16:
+        if ns.fp16:
+            import warnings
+            warnings.warn("--fp16 requested: using bf16 on TPU (no loss "
+                          "scaling needed)")
+        ns.precision = "bf16"
     if ns.grad_checkpointing and ns.recompute_granularity == "none":
         ns.recompute_granularity = "full"
     if ns.dataset_type == "auto":

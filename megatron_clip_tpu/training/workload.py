@@ -894,6 +894,20 @@ def run_workload(params, loss_fn: Callable, batch_iter: Iterator,
     import contextlib
     mesh_ctx = jax.sharding.set_mesh(mesh) if mesh is not None \
         else contextlib.nullcontext()
+    # SIGTERM -> save-and-exit (megatron DistributedSignalHandler,
+    # dist_signal_handler.py + training.py:815-821), same as loop.py
+    import signal
+    term = {"flag": False}
+    prev_handler = None
+
+    def _on_term(signum, frame):
+        term["flag"] = True
+
+    try:
+        prev_handler = signal.signal(signal.SIGTERM, _on_term)
+    except ValueError:
+        pass  # not in the main thread (tests)
+
     t0 = time.perf_counter()
     run_t0 = t0
     loss = None
@@ -988,6 +1002,13 @@ def run_workload(params, loss_fn: Callable, batch_iter: Iterator,
                 if writer is not None:
                     for k, v in metrics_ce.items():
                         writer.add_scalar(f"val/{k}", float(v), i)
+            if term["flag"]:
+                if rc.save:
+                    save_checkpoint(rc.save, i, _ckpt_state(), _meta(i))
+                print(f"[{rc.name}] SIGTERM: saved checkpoint @ step {i}, "
+                      "exiting", flush=True)
+                exited_early = True
+                break
             if rc.exit_duration_mins is not None and \
                     time.perf_counter() - run_t0 > rc.exit_duration_mins * 60:
                 # megatron --exit-duration-in-mins (training.py:829-851):
@@ -1006,6 +1027,8 @@ def run_workload(params, loss_fn: Callable, batch_iter: Iterator,
                 and last_step > start_step:
             save_checkpoint(rc.save, last_step, _ckpt_state(),
                             _meta(last_step))
+    if prev_handler is not None:
+        signal.signal(signal.SIGTERM, prev_handler)
     if writer is not None:
         writer.close()
     return {"loss": float(loss) if loss is not None else None,

@@ -199,6 +199,41 @@ def test_rampup_batch_size(tmp_path, capsys):
     assert meta["consumed_samples"] == 46, meta
 
 
+def test_sigterm_saves_and_exits(tmp_path):
+    """SIGTERM mid-run: the workload runtime saves a checkpoint and stops
+    (megatron DistributedSignalHandler + training.py:815-821)."""
+    import signal
+    from megatron_clip_tpu.training.workload import RuntimeCfg, run_workload
+    from megatron_clip_tpu.checkpoints import latest_checkpoint_step
+
+    def loss_fn(params, batch, rng=None):
+        return jnp.mean((params["w"] * batch["x"]) ** 2)
+
+    rc = RuntimeCfg(train_steps=100, batch_size=2, lr=1e-2, warmup=0,
+                    log_interval=50, save=str(tmp_path / "ck"))
+
+    def batches():
+        n = 0
+        while True:
+            n += 1
+            if n == 4:
+                signal.raise_signal(signal.SIGTERM)
+            yield {"x": np.ones((2, 4), np.float32)}
+
+    res = run_workload({"w": jnp.ones((4,))}, loss_fn, batches(), rc)
+    assert res["last_step"] < 100
+    assert latest_checkpoint_step(str(tmp_path / "ck")) == res["last_step"]
+
+
+def test_clip_app_fp16_remap():
+    """megatron pretrain_CLIP's --fp16 flag maps onto --precision bf16 in
+    the open_CLIP-style parser."""
+    from megatron_clip_tpu.training.params import parse_args
+    with pytest.warns(UserWarning, match="bf16"):
+        ns = parse_args(["--fp16", "--train-num-samples", "64"])
+    assert ns.precision == "bf16"
+
+
 def test_profile_window_runs(tmp_path):
     """--profile wraps the step window in jax.profiler start/stop_trace."""
     from megatron_clip_tpu.training.workload import (
