@@ -209,12 +209,14 @@ def main():
                     pass
 
         if os.environ.get("MCT_BENCH_SKIP_VITL") != "1":
-            # north-star model: bs48 sweet spot (HBM headroom beats batch
-            # size: 56.6% @48 vs 47% @56); MCT_MHA_SAVE_PROBS=0 switches
-            # to the recompute-bwd attention kernel (frees ~3.3 GB)
+            # north-star model: pure_bf16 weights (open_CLIP --precision
+            # pure_bf16) halve param/grad/optimizer HBM -> bs64 fits with
+            # no remat: 59.6% MFU vs 56.6% for mixed-bf16 @ bs48 (bs80
+            # OOMs). MCT_MHA_SAVE_PROBS=0 = recompute-bwd attention kernel
             rl = _budgeted("ViT-L/14", "MCT_BENCH_VITL_BUDGET", "420",
-                           lambda: bench_clip("ViT-L-14", batch=48, iters=10,
-                                              warmup=2),
+                           lambda: bench_clip("ViT-L-14", batch=64, iters=10,
+                                              warmup=2,
+                                              precision="pure_bf16"),
                            env={"MCT_MHA_SAVE_PROBS": "0"})
             if rl is not None:
                 extra = {

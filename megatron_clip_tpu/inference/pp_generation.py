@@ -144,7 +144,12 @@ def pp_generate(params, prompt, prompt_len, cfg: GPTCfg,
     def staged(params, prompt, prompt_len):
         hkv = tcfg.kv_heads or tcfg.heads
         shape = (tcfg.layers // n_stages, b, hkv, max_len, tcfg.head_dim)
-        cache = KVCache(jnp.zeros(shape, compute), jnp.zeros(shape, compute))
+        # bf16 cache on EVERY backend, matching KVCache.create in the
+        # single-program generate(): an fp32 cache on CPU would read back
+        # higher-precision K/V and break the token-for-token parity the
+        # pp tests assert
+        cache = KVCache(jnp.zeros(shape, jnp.bfloat16),
+                        jnp.zeros(shape, jnp.bfloat16))
         fwd = lambda prm, toks, pos, c: _staged_forward(
             prm, toks, pos, c, cfg, compute, n_stages, max_len)
         return _decode_program(

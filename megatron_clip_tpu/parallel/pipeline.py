@@ -162,8 +162,19 @@ def pipeline_transformer(blocks, x, cfg: TransformerCfg, *, mesh: Mesh,
     cp_size, axis_names, seq_axis, rope_tabs = _context_setup(
         mesh, cfg, x, bias, position_ids)
     s_global = x.shape[1]
+    # per-row [B, S] position ids (--reset-position-ids document packing):
+    # microbatched like the bias, indexed by the stage's current microbatch
+    pm = None
+    if position_ids is not None and getattr(position_ids, "ndim", 1) == 2:
+        if cp_size > 1:
+            raise ValueError("per-row [B, S] position_ids are not "
+                             "supported with context parallelism in the "
+                             "pipeline (the rope tables are sliced by seq "
+                             "shard, which a per-row reorder breaks)")
+        pm = position_ids.reshape(m, b // m, position_ids.shape[1])
+        position_ids = None   # the per-tick kw carries them instead
 
-    def staged(stage_blocks, xm, bm, km, rope_tabs):
+    def staged(stage_blocks, xm, bm, km, pm, rope_tabs):
         stage = jax.lax.axis_index(STAGE)
         if cp_size > 1:
             fwd = partial(apply_transformer, stage_blocks, cfg=cfg,
@@ -191,6 +202,9 @@ def pipeline_transformer(blocks, x, cfg: TransformerCfg, *, mesh: Mesh,
                                                      keepdims=False)
                 kw["layer_keys"] = jax.lax.dynamic_slice_in_dim(
                     lkeys, stage * lc, lc, 0)
+            if pm is not None:
+                kw["position_ids"] = jax.lax.dynamic_index_in_dim(
+                    pm, mb_idx, 0, keepdims=False)
             if bm is not None:
                 bias_in = jax.lax.dynamic_index_in_dim(
                     bm, jnp.minimum(t, m - 1), 0, keepdims=False)
@@ -232,10 +246,10 @@ def pipeline_transformer(blocks, x, cfg: TransformerCfg, *, mesh: Mesh,
     xspec = P(None, None, seq_axis)       # [M, mb, S(/cp), W]
     out, aux = jax.shard_map(
         staged, mesh=mesh,
-        in_specs=(P(STAGE), xspec, P(), P(), P()),
+        in_specs=(P(STAGE), xspec, P(), P(), P(), P()),
         out_specs=(xspec, P()),
         axis_names=axis_names,
-    )(blocks, xm, bm, km, rope_tabs)
+    )(blocks, xm, bm, km, pm, rope_tabs)
     out = out.reshape(b, *x.shape[1:])
     return (out, aux) if moe else out
 
@@ -305,6 +319,14 @@ def pipeline_transformer_interleaved(blocks, x, cfg: TransformerCfg, *,
     cp_size, axis_names, seq_axis, rope_tabs = _context_setup(
         mesh, cfg, x, bias, position_ids)
     s_global = x.shape[1]
+    pm = None
+    if position_ids is not None and getattr(position_ids, "ndim", 1) == 2:
+        if cp_size > 1:
+            raise ValueError("per-row [B, S] position_ids are not "
+                             "supported with context parallelism in the "
+                             "pipeline")
+        pm = position_ids.reshape(m, b // m, position_ids.shape[1])
+        position_ids = None
 
     # rearrange stacked layers [L,...] -> [S, V, Lc, ...] with global chunk
     # k*S + s at [s, k] (round-robin chunk placement)
@@ -318,17 +340,19 @@ def pipeline_transformer_interleaved(blocks, x, cfg: TransformerCfg, *,
     sv = n_stages * v
     ticks = m * v + n_stages - 1
 
-    def staged(stage_blocks, xm, bm, km, rope_tabs):
+    def staged(stage_blocks, xm, bm, km, pm, rope_tabs):
         # shard_map divides the leading S axis to size 1; squeeze it
         stage_blocks = jax.tree.map(lambda l: l[0], stage_blocks)  # [V, Lc,...]
         stage = jax.lax.axis_index(STAGE)
         shift = [(i, (i + 1) % n_stages) for i in range(n_stages)]
         local_rope = (_local_rope(rope_tabs, cp_size, s_global)
                       if cp_size > 1 else None)
+        # pm (per-row ids) arrives via the per-tick kw instead
         pos_ids = None if cp_size > 1 else position_ids
+        assert not (pos_ids is not None and pm is not None)
 
         def tick(carry, t):
-            state, state_bias, acc_aux = carry
+            state, state_bias, out_buf, acc_aux = carry
             rel = t - stage
             chunk = jnp.where(rel >= 0, (rel // n_stages) % v, 0)
             inject = (stage == 0) & ((t // n_stages) % v == 0)
@@ -343,56 +367,59 @@ def pipeline_transformer_interleaved(blocks, x, cfg: TransformerCfg, *,
                 lambda l: jax.lax.dynamic_index_in_dim(l, chunk, 0,
                                                        keepdims=False),
                 stage_blocks)
+            # microbatch being advanced: injected at t0 = t - s - S*chunk
+            t0 = t - stage - n_stages * chunk
+            m_cur = jnp.clip((t0 // sv) * n_stages + t0 % n_stages,
+                             0, m - 1)
             kw = {}
             if km is not None:
-                # microbatch being advanced: injected at t0 = t - s - S*chunk
-                t0 = t - stage - n_stages * chunk
-                m_cur = jnp.clip((t0 // sv) * n_stages + t0 % n_stages,
-                                 0, m - 1)
                 lkeys = jax.lax.dynamic_index_in_dim(km, m_cur, 0,
                                                      keepdims=False)
                 # global chunk g = chunk*S + stage holds layers
                 # [g*lc, (g+1)*lc)
                 kw["layer_keys"] = jax.lax.dynamic_slice_in_dim(
                     lkeys, (chunk * n_stages + stage) * lc, lc, 0)
+            if pm is not None:
+                kw["position_ids"] = jax.lax.dynamic_index_in_dim(
+                    pm, m_cur, 0, keepdims=False)
+            elif pos_ids is not None:
+                kw["position_ids"] = pos_ids
             if bm is not None:
                 bias_in = jax.lax.dynamic_index_in_dim(bm, m_in, 0,
                                                        keepdims=False)
                 cur_bias = jnp.where(inject, bias_in, state_bias)
                 out = apply_transformer(chunk_blocks, cur, cfg, causal=causal,
-                                        bias=cur_bias, rope=local_rope,
-                                        position_ids=pos_ids, **kw)
+                                        bias=cur_bias, rope=local_rope, **kw)
                 state_bias = jax.lax.ppermute(cur_bias, STAGE, shift)
             else:
                 out = apply_transformer(chunk_blocks, cur, cfg, causal=causal,
-                                        rope=local_rope,
-                                        position_ids=pos_ids, **kw)
+                                        rope=local_rope, **kw)
             if moe:
                 y, aux_t = out
                 acc_aux = acc_aux + jnp.where(active, aux_t, 0.0)
             else:
                 y = out
+            # final outputs leave the last stage on chunk V-1; write them
+            # into an [M, ...] buffer indexed by microbatch instead of
+            # scan-stacking all (M*V + S - 1) tick outputs — ~V+1x less
+            # per-stage output HBM, matching the GPipe schedule's storage
+            write = (stage == n_stages - 1) & (chunk == v - 1) & active
+            prev = jax.lax.dynamic_index_in_dim(out_buf, m_cur, 0,
+                                                keepdims=False)
+            out_buf = jax.lax.dynamic_update_index_in_dim(
+                out_buf, jnp.where(write, y, prev), m_cur, 0)
             state = jax.lax.ppermute(y, STAGE, shift)
-            return (state, state_bias, acc_aux), y
+            return (state, state_bias, out_buf, acc_aux), None
 
         vary = tuple(axis_names)
         init = _vary(jnp.zeros_like(xm[0]), vary)
         init_bias = None if bm is None else _vary(jnp.zeros_like(bm[0]),
                                                   (STAGE,))
+        out0 = _vary(jnp.zeros_like(xm), vary)
         aux0 = _vary(jnp.zeros((), jnp.float32), vary)
-        (_, _, acc_aux), ys = jax.lax.scan(
-            tick, (init, init_bias, aux0), jnp.arange(ticks))
+        (_, _, outs, acc_aux), _ = jax.lax.scan(
+            tick, (init, init_bias, out0, aux0), jnp.arange(ticks))
 
-        # final outputs leave the last stage on chunk V-1: ticks where
-        # ((t - (S-1))//S) % V == V-1, in microbatch order — static indices
-        out_ticks = []
-        for t in range(ticks):
-            rel = t - (n_stages - 1)
-            if rel >= 0 and (rel // n_stages) % v == v - 1 \
-                    and rel // sv < m // n_stages:
-                out_ticks.append(t)
-        assert len(out_ticks) == m, (out_ticks, m)
-        outs = ys[jnp.asarray(out_ticks)]
         mask = (stage == n_stages - 1).astype(outs.dtype)
         acc_aux = jax.lax.psum(acc_aux, STAGE) / m
         if cp_size > 1:
@@ -402,9 +429,9 @@ def pipeline_transformer_interleaved(blocks, x, cfg: TransformerCfg, *,
     xspec = P(None, None, seq_axis)
     out, aux = jax.shard_map(
         staged, mesh=mesh,
-        in_specs=(P(STAGE), xspec, P(), P(), P()),
+        in_specs=(P(STAGE), xspec, P(), P(), P(), P()),
         out_specs=(xspec, P()),
         axis_names=axis_names,
-    )(stage_major, xm, bm, km, rope_tabs)
+    )(stage_major, xm, bm, km, pm, rope_tabs)
     out = out.reshape(b, *x.shape[1:])
     return (out, aux) if moe else out

@@ -8,7 +8,6 @@ loss scaling, no rank guards.
 """
 import dataclasses
 import os
-import signal
 import time
 
 import jax
@@ -111,6 +110,15 @@ def _prune_older_checkpoints(root: str, keep_step: int) -> None:
 
 
 def run_training(args) -> dict:
+    # SIGTERM latch around the whole run: the shared context manager
+    # restores the previous handler on every exit path, exceptions
+    # included (a leaked handler makes the host process unkillable)
+    from megatron_clip_tpu.training.signals import sigterm_latch
+    with sigterm_latch() as term:
+        return _run_training(args, term)
+
+
+def _run_training(args, term) -> dict:
     devices = jax.devices()
     tp, pp = args.tensor_model_parallel_size, args.pipeline_model_parallel_size
     fsdp = args.fsdp_parallel_size
@@ -292,17 +300,8 @@ def run_training(args) -> dict:
             _log(f"remote-sync final: {n} files")
         if wandb_run is not None:
             wandb_run.finish()
-    # SIGTERM -> save-and-exit (megatron DistributedSignalHandler semantics,
-    # megatron/dist_signal_handler.py + training.py:815-821)
-    term = {"flag": False}
-    prev_handler = None
-    def _on_term(signum, frame):
-        term["flag"] = True
-    try:
-        prev_handler = signal.signal(signal.SIGTERM, _on_term)
-    except ValueError:
-        pass  # not in main thread (tests)
-
+    # SIGTERM -> save-and-exit (megatron DistributedSignalHandler
+    # semantics); `term` is the latch installed by run_training
     step = start_step
     t_window = time.perf_counter()
     run_t0 = t_window
@@ -365,10 +364,15 @@ def run_training(args) -> dict:
                     _prune_older_checkpoints(save_root, step)
             if term["flag"]:
                 if save_root:
-                    runner.save(save_root, step, consumed)
+                    # skip the save when the interval branch above just
+                    # wrote this very step (a preemption grace window is
+                    # short; don't re-serialize multi-GB state)
+                    if not args.save_interval \
+                            or step % args.save_interval != 0:
+                        runner.save(save_root, step, consumed)
                     _log(f"SIGTERM: saved checkpoint @ step {step}, exiting")
-                if prev_handler is not None:
-                    signal.signal(signal.SIGTERM, prev_handler)
+                else:
+                    _log(f"SIGTERM: exiting @ step {step} (no --save)")
                 _finish()
                 return final_metrics
             if args.exit_duration_in_mins is not None and \
@@ -380,8 +384,6 @@ def run_training(args) -> dict:
                     runner.save(save_root, step, consumed)
                 _log(f"exiting at step {step}: --exit-duration-in-mins "
                      f"{args.exit_duration_in_mins} budget reached")
-                if prev_handler is not None:
-                    signal.signal(signal.SIGTERM, prev_handler)
                 _finish()
                 return final_metrics
         if save_root and ((epoch + 1) % args.save_frequency == 0
@@ -451,8 +453,6 @@ def run_training(args) -> dict:
                         {f"v2_{k}": v for k, v in zs2.items()})
     if nan_iters:
         _log(f"total non-finite loss iterations: {nan_iters}")
-    if prev_handler is not None:
-        signal.signal(signal.SIGTERM, prev_handler)
     _finish()
     return final_metrics
 

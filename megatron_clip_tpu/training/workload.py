@@ -860,7 +860,7 @@ def run_workload(params, loss_fn: Callable, batch_iter: Iterator,
         try:
             rampup = build_num_microbatches_calculator(
                 rc.batch_size, 1, gran, rc.rampup_batch_size)
-        except ValueError as e:
+        except (ValueError, ZeroDivisionError) as e:
             raise SystemExit(
                 f"--rampup-batch-size {rc.rampup_batch_size}: {e} (the "
                 f"mesh batch axes / pipeline microbatch split require "
@@ -894,34 +894,24 @@ def run_workload(params, loss_fn: Callable, batch_iter: Iterator,
     import contextlib
     mesh_ctx = jax.sharding.set_mesh(mesh) if mesh is not None \
         else contextlib.nullcontext()
-    # SIGTERM -> save-and-exit (megatron DistributedSignalHandler,
-    # dist_signal_handler.py + training.py:815-821), same as loop.py
-    import signal
-    term = {"flag": False}
-    prev_handler = None
-
-    def _on_term(signum, frame):
-        term["flag"] = True
-
-    try:
-        prev_handler = signal.signal(signal.SIGTERM, _on_term)
-    except ValueError:
-        pass  # not in the main thread (tests)
+    from megatron_clip_tpu.training.signals import sigterm_latch
 
     t0 = time.perf_counter()
     run_t0 = t0
     loss = None
     history = []
     win_samples = 0
+    profiling = False
     last_step, exited_early = start_step, False
     last_custom_eval, last_custom_eval_step = None, -1
-    with mesh_ctx:
+    with sigterm_latch() as term, mesh_ctx:
         for i in range(start_step + 1, rc.train_steps + 1):
             if rc.profile and i == rc.profile_step_start:
                 # megatron --profile window (training.py:764-768
                 # cudaProfilerStart/emit_nvtx -> jax.profiler trace)
                 pdir = rc.profile_dir or rc.tensorboard_dir or "./profile"
                 jax.profiler.start_trace(pdir)
+                profiling = True
                 print(f"[{rc.name}] profiler trace started -> {pdir}",
                       flush=True)
             batch = next(batch_iter)
@@ -944,9 +934,13 @@ def run_workload(params, loss_fn: Callable, batch_iter: Iterator,
             last_step = i
             consumed += gbs
             win_samples += gbs
-            if rc.profile and i == rc.profile_step_end:
+            if profiling and i >= rc.profile_step_end:
+                # `>=` + the started flag: a resume or early exit must
+                # neither call stop_trace with no active trace nor leave
+                # one open
                 float(metrics["loss"])  # drain the pipeline into the trace
                 jax.profiler.stop_trace()
+                profiling = False
                 print(f"[{rc.name}] profiler trace stopped @ step {i}",
                       flush=True)
             if i % rc.log_interval == 0 or i == rc.train_steps:
@@ -1003,10 +997,15 @@ def run_workload(params, loss_fn: Callable, batch_iter: Iterator,
                     for k, v in metrics_ce.items():
                         writer.add_scalar(f"val/{k}", float(v), i)
             if term["flag"]:
-                if rc.save:
+                if rc.save and (not rc.save_interval
+                                or i % rc.save_interval != 0):
                     save_checkpoint(rc.save, i, _ckpt_state(), _meta(i))
-                print(f"[{rc.name}] SIGTERM: saved checkpoint @ step {i}, "
-                      "exiting", flush=True)
+                if rc.save:
+                    print(f"[{rc.name}] SIGTERM: saved checkpoint @ step "
+                          f"{i}, exiting", flush=True)
+                else:
+                    print(f"[{rc.name}] SIGTERM: exiting @ step {i} "
+                          "(no --save configured)", flush=True)
                 exited_early = True
                 break
             if rc.exit_duration_mins is not None and \
@@ -1021,14 +1020,19 @@ def run_workload(params, loss_fn: Callable, batch_iter: Iterator,
                       "budget reached", flush=True)
                 exited_early = True
                 break
+        if profiling:
+            # early exit inside the profile window: close the trace so the
+            # captured steps are not lost
+            jax.profiler.stop_trace()
+            profiling = False
+            print(f"[{rc.name}] profiler trace stopped (early exit)",
+                  flush=True)
         if rc.save and not exited_early \
                 and (not rc.save_interval
                      or last_step % rc.save_interval != 0) \
                 and last_step > start_step:
             save_checkpoint(rc.save, last_step, _ckpt_state(),
                             _meta(last_step))
-    if prev_handler is not None:
-        signal.signal(signal.SIGTERM, prev_handler)
     if writer is not None:
         writer.close()
     return {"loss": float(loss) if loss is not None else None,

@@ -206,9 +206,8 @@ def run(args):
         if cp > 1:
             raise SystemExit("document-boundary flags do not compose with "
                              "--context-parallel-size > 1")
-        if args.pipeline_model_parallel_size > 1 and args.reset_position_ids:
-            raise SystemExit("--reset-position-ids ([B,S] per-row positions)"
-                             " is not supported with pipeline parallelism")
+        # pp>1 + --reset-position-ids is supported: the pipeline schedules
+        # microbatch the per-row [B, S] ids alongside the bias
 
     params = init_gpt(jax.random.PRNGKey(args.seed), cfg,
                       dtype=jnp.bfloat16 if args.params_dtype == "bf16"

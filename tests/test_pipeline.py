@@ -36,6 +36,36 @@ def test_pipeline_matches_sequential(devices8, pp, mb, dp, tp, causal):
                                rtol=2e-5, atol=2e-5)
 
 
+@pytest.mark.parametrize("interleaved", [False, True])
+def test_pipeline_per_row_position_ids(devices8, interleaved):
+    """[B, S] per-row position_ids (--reset-position-ids document packing)
+    thread through both schedules microbatch-by-microbatch — parity with
+    the sequential transformer, unlike the reference where the scheduler
+    never sees position ids (they ride the batch dict)."""
+    from megatron_clip_tpu.parallel.pipeline import (
+        pipeline_transformer_interleaved)
+    cfg = TransformerCfg(layers=4, width=64, heads=2, rope=True)
+    mesh = build_mesh(ParallelCfg(dp=2, tp=1, pp=2, microbatches=4))
+    blocks = init_transformer(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 8, 64))
+    # per-row positions restarting mid-sequence (two packed documents)
+    pos = jnp.stack([jnp.concatenate([jnp.arange(3 + r % 3),
+                                      jnp.arange(5 - r % 3)])
+                     for r in range(8)]).astype(jnp.int32)
+
+    want = apply_transformer(blocks, x, cfg, causal=True, position_ids=pos)
+    if interleaved:
+        got = pipeline_transformer_interleaved(
+            blocks, x, cfg, mesh=mesh, num_microbatches=4, num_chunks=2,
+            causal=True, position_ids=pos)
+    else:
+        got = pipeline_transformer(blocks, x, cfg, mesh=mesh,
+                                   num_microbatches=4, causal=True,
+                                   position_ids=pos)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_pipeline_gradients_match(devices8):
     mesh = build_mesh(ParallelCfg(dp=2, tp=1, pp=4, microbatches=4))
     blocks = init_transformer(jax.random.PRNGKey(0), CFG)
