@@ -164,8 +164,12 @@ def main():
         batch = int(os.environ.get("BENCH_BATCH", "384"))
         mu = {"bf16": jnp.bfloat16, "fp32": None}[
             os.environ.get("BENCH_MU_DTYPE", "bf16")]
-        # bs384 measured best on v5e (50.4% MFU vs 49.6% @256, 49.9% @448)
+        # bs384 measured best on v5e (vs 49.6% @256, 47.6% @512); pure-bf16
+        # weights (open_CLIP --precision pure_bf16) add +0.5pt over mixed
+        # bf16 by halving param/grad/optimizer HBM traffic: 50.9% vs 50.4%
         r = bench_clip("ViT-B-32", batch=batch, iters=20, warmup=3,
+                       precision=os.environ.get("BENCH_PRECISION",
+                                                "pure_bf16"),
                        remat=os.environ.get("BENCH_REMAT", "none"),
                        scan_layers=os.environ.get("BENCH_SCAN", "0") == "1",
                        mu_dtype=mu)

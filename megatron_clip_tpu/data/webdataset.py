@@ -236,21 +236,29 @@ class WdsData:
                 raise ValueError("--train-data-upsampling-factors is only "
                                  "supported with --dataset-resampled "
                                  "(open_CLIP data.py has the same assert)")
-            self.all_shards, all_weights = expand_urls_with_weights(
+            self.all_shards, self.shard_weights = expand_urls_with_weights(
                 urls, upsampling_factors)
-            self.shard_weights = split_by_node(all_weights, rank, world_size)
         else:
             self.all_shards = expand_urls(urls)
             self.shard_weights = None
-        self.shards = split_by_node(self.all_shards, rank, world_size)
+        if resampled:
+            # ResampledShards2 (data.py:274-326) does NOT split by node:
+            # sampling WITH replacement from the full list is already
+            # balanced, and node-splitting would both skew per-rank data
+            # mixtures and break when world_size > shard count
+            self.shards = list(self.all_shards)
+        else:
+            self.shards = split_by_node(self.all_shards, rank, world_size)
         if not self.shards:
             raise ValueError(f"no shards from {urls!r} "
                              f"(rank {rank}/{world_size})")
         if num_samples is None:
             # open_CLIP requires --train-num-samples when metadata is absent
-            # (data.py:344-352); estimate by counting one shard.
+            # (data.py:344-352); estimate by counting one shard. num_samples
+            # is the GLOBAL count (num_batches divides by world_size below),
+            # so scale by the full shard list, not this rank's slice.
             probe = sum(1 for _ in iterate_tar_samples(self.shards[0]))
-            num_samples = probe * len(self.shards)
+            num_samples = probe * len(self.all_shards)
         self.num_samples = num_samples
         self.batch_size = batch_size
         # per-host batch count (open_CLIP data.py:386-398 round_fn over
@@ -262,6 +270,8 @@ class WdsData:
         self.context_length = context_length
         self.seed = seed
         self.epoch = 0
+        self.rank = rank
+        self.world_size = max(world_size, 1)
         self.shuffle = shuffle
         self.shuffle_buffer = shuffle_buffer
         self.workers = max(1, workers)
@@ -274,24 +284,33 @@ class WdsData:
         inside the workers; the epoch yields num_batches - n batches."""
         self._skip_batches = max(0, int(n))
 
+    def set_epoch(self, epoch: int) -> None:
+        """Sync the shard-order/seed epoch on resume (detshuffle2's
+        epoch-keyed determinism, data.py:242-273): a restart into epoch N
+        must shuffle with seed+N, not seed+0, or the mid-epoch
+        skip_batches fast-forward skips the WRONG samples."""
+        self.epoch = int(epoch)
+
     def _epoch_shards(self) -> List[str]:
-        rng = random.Random(self.seed + self.epoch)
         if self.resampled:
-            # ResampledShards2 semantics (data.py:274-326): shards drawn WITH
-            # replacement each epoch — statistically balanced across workers;
-            # per-source weights implement --train-data-upsampling-factors
+            # ResampledShards2 semantics (data.py:274-326): each rank draws
+            # its epoch's shards WITH replacement from the FULL list
+            # (rank-keyed rng so ranks differ); per-source weights implement
+            # --train-data-upsampling-factors
+            rng = random.Random((self.seed + self.epoch) * 1000003
+                                + self.rank)
+            k = max(1, len(self.shards) // self.world_size)
             if self.shard_weights is not None:
                 shards = rng.choices(self.shards,
-                                     weights=self.shard_weights,
-                                     k=len(self.shards))
+                                     weights=self.shard_weights, k=k)
             else:
-                shards = [rng.choice(self.shards) for _ in self.shards]
+                shards = [rng.choice(self.shards) for _ in range(k)]
         else:
             # detshuffle2 semantics: shard order = f(seed, epoch), same on
             # every host (data.py:242-273)
             shards = list(self.shards)
             if self.shuffle:
-                rng.shuffle(shards)
+                random.Random(self.seed + self.epoch).shuffle(shards)
         self.epoch += 1
         return shards
 
@@ -323,7 +342,8 @@ class WdsData:
                 daemon=True)
             t.start()
             queues, live = [q], 1
-        else:
+        procs = []
+        if n_workers > 1:
             ctx = mp.get_context("fork" if os.name == "posix" else "spawn")
             queues = []
             for w in range(n_workers):
@@ -339,20 +359,33 @@ class WdsData:
                     daemon=True)
                 p.start()
                 queues.append(wq)
+                procs.append(p)
             live = n_workers
 
         produced, w = 0, 0
         target = max(0, self.num_batches - skip_b)
         alive = [True] * len(queues)
-        while produced < target and live > 0:
-            if not alive[w]:
+        try:
+            while produced < target and live > 0:
+                if not alive[w]:
+                    w = (w + 1) % len(queues)
+                    continue
+                item = queues[w].get()
+                if item is None:
+                    alive[w] = False
+                    live -= 1
+                else:
+                    produced += 1
+                    yield item
                 w = (w + 1) % len(queues)
-                continue
-            item = queues[w].get()
-            if item is None:
-                alive[w] = False
-                live -= 1
-            else:
-                produced += 1
-                yield item
-            w = (w + 1) % len(queues)
+        finally:
+            # an early-exiting consumer (break at total_steps, exception,
+            # or simply target reached while workers still stream) must not
+            # leave fork'd decode processes blocked on queue.put forever —
+            # they hold copy-on-write copies of the parent
+            for p in procs:
+                if p.is_alive():
+                    p.terminate()
+            for q_ in queues:
+                if hasattr(q_, "cancel_join_thread"):
+                    q_.cancel_join_thread()

@@ -130,10 +130,9 @@ class SigLipLoss:
                                logit_bias, positive=True)
         if self.axis_name is not None:
             w = jax.lax.axis_size(self.axis_name)
-            idx = jax.lax.axis_index(self.axis_name)
+            perm = [(i, (i + 1) % w) for i in range(w)]
             txt = text_features
             for step in range(1, w):
-                perm = [(i, (i + 1) % w) for i in range(w)]
                 txt = jax.lax.ppermute(txt, self.axis_name, perm)
                 loss = loss + self._pair_loss(
                     image_features, txt, logit_scale, logit_bias, positive=False)
@@ -162,6 +161,11 @@ class CoCaLoss(ClipLoss):
         per_tok = _xent(logits.reshape(-1, logits.shape[-1]), labels.reshape(-1))
         cap_l = jnp.sum(per_tok * mask.reshape(-1)) / jnp.maximum(mask.sum(), 1.0)
         cap_l = self.caption_loss_weight * cap_l
+        if self.axis_name is not None:
+            # like the inherited contrastive term: each shard's caption loss
+            # is a local-row mean; average across shards so the value (and
+            # the gradient scale) matches the global-batch mean
+            cap_l = jax.lax.pmean(cap_l, self.axis_name)
         if output_dict:
             return {"contrastive_loss": clip_l, "caption_loss": cap_l}
         return clip_l, cap_l
@@ -194,6 +198,11 @@ class DistillClipLoss(ClipLoss):
         t_lpt = jax.lax.stop_gradient(t_lpt)
         distill = 0.5 * (self._soft_xent(s_lpi, t_lpi)
                          + self._soft_xent(s_lpt, t_lpt))
+        if self.axis_name is not None:
+            # local-row mean -> cross-shard mean, matching the contrastive
+            # term (otherwise the distill gradient is axis_size x heavier
+            # than open_CLIP's DDP-averaged reference)
+            distill = jax.lax.pmean(distill, self.axis_name)
         if output_dict:
             return {"contrastive_loss": contrastive, "distill_loss": distill}
         return contrastive, distill

@@ -66,13 +66,8 @@ class _Branch:
         self.accum = max(1, accum)
         self._fwd_fn = fwd
         self.fwd = jax.jit(fwd)
-        self._update = jax.jit(self._update_impl, donate_argnums=(0, 1))
         self.bwd_update = jax.jit(self._bwd_update_impl,
                                   donate_argnums=(0, 1))
-
-    def _update_impl(self, params, opt_state, grads):
-        updates, opt_state = self.tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state
 
     def _bwd_update_impl(self, params, opt_state, batch, cotangent):
         if self.accum > 1:

@@ -314,6 +314,11 @@ def _run_training(args, term) -> dict:
     # others are replayed-and-discarded.
     start_epoch = start_step // steps_per_epoch
     skip_batches = start_step % steps_per_epoch
+    if start_epoch and hasattr(data["train"], "set_epoch"):
+        # sync the loader's epoch-keyed shard order/seeds so the mid-epoch
+        # fast-forward skips the samples the interrupted run consumed
+        # (detshuffle2's epoch determinism, data.py:242-273)
+        data["train"].set_epoch(start_epoch)
     for epoch in range(start_epoch, args.epochs):
         loader = data["train"]
         pre_skipped = 0

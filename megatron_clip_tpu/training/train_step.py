@@ -125,6 +125,29 @@ def make_train_step(model, tx, *, loss_obj: Optional[Callable] = None,
             all_ft = jax.lax.stop_gradient(all_ft)
             d = all_fi.shape[-1]
 
+            # distillation composes with accum-freq: the teacher's features
+            # are grad-free, so one scanned full-batch pass feeds every
+            # block's loss (without this the accum path silently trained
+            # contrastive-only)
+            dist_kw = {}
+            if teacher is not None:
+                tmodel, tparams = teacher
+
+                def tcollect(c, xs):
+                    tout = tmodel(tparams, xs[0], xs[1])
+                    return c, (tout["image_features"],
+                               tout["text_features"], tout["logit_scale"])
+
+                _, (tfi, tft, tls) = jax.lax.scan(
+                    tcollect, jnp.zeros((), jnp.int32), (ims, txs))
+                dist_kw = dict(
+                    dist_image_features=jax.lax.stop_gradient(
+                        tfi.reshape(-1, d)),
+                    dist_text_features=jax.lax.stop_gradient(
+                        tft.reshape(-1, d)),
+                    dist_logit_scale=jax.lax.stop_gradient(tls[-1]),
+                    output_dict=True)
+
             def block_loss(params, im, tx_, i):
                 # the same (step, i) dropout key as the cache pass: the
                 # recomputed block-i features must equal the cached ones
@@ -134,7 +157,7 @@ def make_train_step(model, tx, *, loss_obj: Optional[Callable] = None,
                 ft = jax.lax.dynamic_update_index_in_dim(
                     all_ft, out["text_features"], i, 0)
                 loss = loss_obj(fi.reshape(-1, d), ft.reshape(-1, d),
-                                out["logit_scale"])
+                                out["logit_scale"], **dist_kw)
                 if isinstance(loss, dict):
                     loss = sum(loss.values())
                 return loss, out["logit_scale"]
@@ -152,6 +175,12 @@ def make_train_step(model, tx, *, loss_obj: Optional[Callable] = None,
                 mb, (zeros, jnp.zeros((), jnp.float32)),
                 (jnp.arange(microbatches), ims, txs))
             scale = scales[-1]
+            # every block's loss contains the FULL dL/d(logit_scale), so the
+            # sum is M x the true gradient — rescale to keep the summed
+            # gradient exact (open_CLIP train.py:405-443 has this quirk;
+            # here the exactness claim above is made good)
+            grads = dict(grads)
+            grads["logit_scale"] = grads["logit_scale"] / microbatches
         else:
             (loss, scale), grads = grad_fn(state.params, images, texts,
                                            state.step)
@@ -193,8 +222,11 @@ def shard_train_state(state: TrainState, mesh: Mesh, param_specs) -> TrainState:
     pshard = make_sharding_tree(mesh, param_specs)
     params = jax.device_put(state.params, pshard)
 
-    # optax state is a pytree mixing param-shaped moments and scalars; map
-    # param-shaped leaves to the matching param sharding by structure.
+    # optax state is a pytree mixing param-shaped moment TREES (mu/nu share
+    # the params' structure) and scalars. Match whole subtrees structurally
+    # first — a (shape, dtype) lookup would give same-shaped params with
+    # different PartitionSpecs the first-seen sharding, forcing XLA to
+    # reshard those moments against their param every step.
     flat_params, treedef = jax.tree.flatten(state.params)
     flat_shard = jax.tree.leaves(pshard)
     shape_to_shard = {}
@@ -209,6 +241,15 @@ def shard_train_state(state: TrainState, mesh: Mesh, param_specs) -> TrainState:
             return jax.device_put(x, s)
         return x
 
-    opt_state = jax.tree.map(place, state.opt_state)
+    def _is_param_tree(node):
+        try:
+            return jax.tree.structure(node) == treedef
+        except Exception:  # noqa: BLE001 — unhashable/odd nodes
+            return False
+
+    opt_state = jax.tree.map(
+        lambda node: jax.device_put(node, pshard) if _is_param_tree(node)
+        else jax.tree.map(place, node),
+        state.opt_state, is_leaf=_is_param_tree)
     step = jax.device_put(state.step, NamedSharding(mesh, P()))
     return TrainState(params=params, opt_state=opt_state, step=step)

@@ -134,6 +134,28 @@ class TestDistill:
                           cache_key="distill")
         assert float(m_dist["loss"]) > float(m_plain["loss"])
 
+    def test_distill_composes_with_accum_freq(self):
+        """--distill-model + --accum-freq: the feature-cached accumulation
+        path must include the distill term (it used to silently train
+        contrastive-only) and stay exact — loss equals the microbatches=1
+        distill step."""
+        import numpy as np
+        model, params = tiny_model()
+        _, tparams = tiny_model(seed=1)
+        images, texts = _batch(model, n=4)
+        losses = {}
+        for m in (1, 2):
+            p = jax.tree.map(jnp.copy, params)
+            tx = make_optimizer(p, cosine_lr(1e-3, 1, 10))
+            step = make_train_step(model, tx, teacher=(model, tparams),
+                                   jit=False, loss_obj=DistillClipLoss(),
+                                   microbatches=m)
+            _, metrics = step(TrainState.create(p, tx), images, texts)
+            losses[m] = float(metrics["loss"])
+        _, m_plain = _step(model, params, cache_key="plain")
+        assert losses[2] > float(m_plain["loss"])  # distill term present
+        np.testing.assert_allclose(losses[2], losses[1], rtol=1e-5)
+
     def test_identical_teacher_distill_term_near_zero(self):
         model, params = tiny_model()
         images, texts = _batch(model)
