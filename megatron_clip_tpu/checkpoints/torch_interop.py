@@ -109,8 +109,12 @@ def params_from_openclip_state_dict(sd: Dict[str, Any], cfg: CLIPCfg) -> dict:
         "proj": {"w": jnp.asarray(_t(sd["text_projection"]))},
         "blocks": _stack_blocks(sd, "transformer", cfg.text.layers),
     }
+    # some checkpoints store logit_scale as shape (1,): reshape to a scalar
+    # (float() on a 1-element array is a NumPy deprecation -> future error)
     return {"visual": visual, "text": text,
-            "logit_scale": jnp.asarray(float(_t(sd["logit_scale"])))}
+            "logit_scale": jnp.asarray(
+                np.asarray(_t(sd["logit_scale"]),
+                           np.float32).reshape(()))}
 
 
 def openclip_state_dict_from_params(params: dict, cfg: CLIPCfg) -> Dict[str, np.ndarray]:
@@ -160,7 +164,24 @@ def openclip_state_dict_from_params(params: dict, cfg: CLIPCfg) -> Dict[str, np.
 def load_openclip_checkpoint(path: str, cfg: CLIPCfg, params=None) -> dict:
     """Load an open_CLIP .pt file. Torch-free: uses the restricted zip-format
     reader (checkpoints/pt_reader.py), so `pretrained=` works on hosts
-    without torch installed."""
+    without torch installed.
+
+    `params` (a freshly-initialized tree) provides merge semantics: model
+    components absent from the open_CLIP state dict (extra heads on a
+    richer config) keep their initialized values instead of being dropped
+    and KeyError-ing later at apply time."""
     from megatron_clip_tpu.checkpoints.pt_reader import load_state_dict
     sd = load_state_dict(path)
-    return params_from_openclip_state_dict(sd, cfg)
+    loaded = params_from_openclip_state_dict(sd, cfg)
+    if params is None:
+        return loaded
+
+    def merge(init, new):
+        if isinstance(init, dict) and isinstance(new, dict):
+            out = dict(init)
+            for k, v in new.items():
+                out[k] = merge(init.get(k), v) if k in init else v
+            return out
+        return new if new is not None else init
+
+    return merge(params, loaded)

@@ -15,17 +15,30 @@ _EXTS = (".jpg", ".jpeg", ".png", ".webp", ".bmp")
 
 def scan_image_folder(root: str, classes_fraction: float = 1.0,
                       per_class_fraction: float = 1.0,
+                      class_names: List[str] = None,
                       ) -> Tuple[List[Tuple[str, int]], List[str]]:
     """classes_fraction / per_class_fraction subsample the folder like
     megatron's --classes-fraction / --data-per-class-fraction
     (megatron/data/image_folder.py): keep the first fraction of classes,
-    and of each kept class's files."""
-    classes = sorted(d for d in os.listdir(root)
+    and of each kept class's files. `class_names` pins the label space to
+    an existing class list (the TRAIN split's) so a val/ directory missing
+    some classes still maps names to the same indices."""
+    present = sorted(d for d in os.listdir(root)
                      if os.path.isdir(os.path.join(root, d)))
-    if classes_fraction < 1.0:
-        classes = classes[:max(1, int(len(classes) * classes_fraction))]
+    if class_names is not None:
+        unknown = [d for d in present if d not in class_names]
+        if unknown:
+            raise ValueError(f"{root} has class dirs absent from the "
+                             f"training label space: {unknown}")
+        classes = list(class_names)
+        scan = [(classes.index(d), d) for d in present]
+    else:
+        classes = present
+        if classes_fraction < 1.0:
+            classes = classes[:max(1, int(len(classes) * classes_fraction))]
+        scan = list(enumerate(classes))
     samples = []
-    for idx, c in enumerate(classes):
+    for idx, c in scan:
         cdir = os.path.join(root, c)
         files = sorted(os.listdir(cdir))
         if per_class_fraction < 1.0:
@@ -39,10 +52,17 @@ def scan_image_folder(root: str, classes_fraction: float = 1.0,
 def image_folder_batches(root: str, batch_size: int, image_size: int, *,
                          is_train: bool = True, seed: int = 0,
                          epochs: int = -1, classes_fraction: float = 1.0,
-                         per_class_fraction: float = 1.0) -> Iterator:
+                         per_class_fraction: float = 1.0,
+                         samples: List[Tuple[str, int]] = None,
+                         class_names: List[str] = None) -> Iterator:
+    """`samples` reuses a prior scan_image_folder result (an ImageNet-size
+    directory walk is slow — don't repeat it per epoch); `class_names` pins
+    the label space when scanning (see scan_image_folder)."""
     from PIL import Image
-    samples, _ = scan_image_folder(root, classes_fraction,
-                                   per_class_fraction)
+    if samples is None:
+        samples, _ = scan_image_folder(root, classes_fraction,
+                                       per_class_fraction,
+                                       class_names=class_names)
     if not samples:
         raise ValueError(f"no class-dir images under {root}")
     pp = image_transform(image_size, is_train=is_train)

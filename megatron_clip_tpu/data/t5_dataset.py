@@ -115,7 +115,16 @@ class T5Dataset:
         enc.extend(toks[pos:])
 
         enc = np.asarray(enc[:self.max_seq_length], np.int32)
-        dec = dec[:self.max_seq_length_dec - 1]
+        if len(dec) > self.max_seq_length_dec - 1:
+            # megatron t5_dataset.py asserts this invariant; silently
+            # truncating would cut targets mid-span while the encoder
+            # keeps sentinels for them (systematic data corruption)
+            raise ValueError(
+                f"decoder stream needs {len(dec) + 1} tokens > "
+                f"--decoder-seq-length {self.max_seq_length_dec}: raise it "
+                f"or lower --masked-lm-prob (~{self.masked_lm_prob} of "
+                f"--encoder-seq-length {self.max_seq_length} plus one "
+                "sentinel per span must fit)")
         dec_in = np.asarray([ids.bos] + dec, np.int32)
         labels = np.asarray(dec + [ids.eos], np.int32)
 

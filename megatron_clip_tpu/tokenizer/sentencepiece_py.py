@@ -161,8 +161,10 @@ class SentencePieceModel:
             for i, (p, t) in enumerate(zip(self.pieces, self.types)):
                 if t == BYTE and len(p) == 6 and p.startswith("<0x"):
                     self._byte_ids[int(p[3:5], 16)] = i
-        # pieces encode() may produce from text (not control/unused)
-        self._encodable = [t in (NORMAL, USER_DEFINED, BYTE, UNKNOWN)
+        # pieces encode() may surface-match from text. BYTE pieces are NOT
+        # matchable: sentencepiece only reaches them through byte fallback,
+        # so literal text like "<0x41>" must tokenize as normal characters
+        self._encodable = [t in (NORMAL, USER_DEFINED, UNKNOWN)
                            for t in self.types]
         self._max_piece_len = max((len(p) for p in self.pieces), default=1)
 
@@ -340,7 +342,9 @@ class SentencePieceModel:
             out.append(self.pieces[i])
         flush()
         text = "".join(out).replace(_WS, " ")
-        if text.startswith(" "):
+        # only the dummy prefix's own space is stripped; without
+        # add_dummy_prefix a leading space is genuine text
+        if self.add_dummy_prefix and text.startswith(" "):
             text = text[1:]
         return text
 

@@ -43,7 +43,9 @@ def parse_args(argv=None):
     p.add_argument("--train-file", help="TSV (glue) / JSONL (race)")
     p.add_argument("--dev-file")
     p.add_argument("--vocab-file", help="BERT wordpiece vocab.txt")
-    p.add_argument("--num-classes", type=int, default=2)
+    p.add_argument("--num-classes", type=int, default=None,
+                   help="glue: label count (default 2); vision-segment: "
+                        "mask classes (default 21, VOC-style)")
     p.add_argument("--seq-len", type=int, default=128)
     p.add_argument("--epochs", type=int, default=3)
     p.add_argument("--lr", type=float, default=3e-5)
@@ -312,7 +314,7 @@ def run(args):
         kw = dict(seq_len=args.seq_len, epochs=args.epochs,
                   batch_size=args.batch_size, lr=args.lr, seed=args.seed)
         if args.task == "glue":
-            kw["num_classes"] = args.num_classes
+            kw["num_classes"] = args.num_classes or 2
         res, _ = fn(tok, cfg, args.train_file, args.dev_file, **kw)
         if args.save_predictions:
             import numpy as np

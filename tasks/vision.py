@@ -41,6 +41,10 @@ def run_vision_classify(args):
         val_dir = train_dir
     train_files, classes = scan_image_folder(train_dir)
     num_classes = len(classes)    # the folder defines the label space
+    # val labels MUST come from the train class list: an independent val
+    # scan would silently shift indices when val/ misses a class
+    val_files, _ = (train_files, classes) if val_dir == train_dir else \
+        scan_image_folder(val_dir, class_names=classes)
 
     cfg = VisionCfg(layers=args.num_layers, width=args.hidden_size,
                     patch_size=args.patch_size, image_size=args.img_size)
@@ -63,7 +67,11 @@ def run_vision_classify(args):
                 params["backbone"][k] = vis[k]
 
     n_train = len(train_files)   # reuse the scan (ImageNet-size walks are slow)
-    steps_per_epoch = max(1, n_train // args.batch_size)
+    batch_size = min(args.batch_size, n_train)
+    if batch_size < args.batch_size:
+        print(f"[vision-classify] only {n_train} training images: "
+              f"batch size clamped to {batch_size}", flush=True)
+    steps_per_epoch = max(1, n_train // batch_size)
     total = steps_per_epoch * args.epochs
     tx = make_optimizer(params, cosine_lr(args.lr, min(10, total // 10),
                                           total),
@@ -86,8 +94,9 @@ def run_vision_classify(args):
     def evaluate():
         n_ok = n = 0
         for images, labels in image_folder_batches(
-                val_dir, args.batch_size, args.img_size, is_train=False,
-                epochs=1, seed=args.seed):
+                val_dir, min(args.batch_size, len(val_files)),
+                args.img_size, is_train=False, epochs=1, seed=args.seed,
+                samples=val_files):
             pred = np.asarray(predict(params, jnp.asarray(images)))
             n_ok += int((pred == np.asarray(labels)).sum())
             n += len(labels)
@@ -95,9 +104,10 @@ def run_vision_classify(args):
 
     history = []
     for epoch in range(args.epochs):
-        it = image_folder_batches(train_dir, args.batch_size, args.img_size,
+        it = image_folder_batches(train_dir, batch_size, args.img_size,
                                   is_train=True, epochs=1,
-                                  seed=args.seed + epoch)
+                                  seed=args.seed + epoch,
+                                  samples=train_files)
         loss = None
         for images, labels in it:
             params, opt, loss = step(params, opt, jnp.asarray(images),
@@ -230,31 +240,46 @@ def _cityscapes_dir(root, kind, split):
     raise FileNotFoundError(f"no {kind}/{split} under {root}")
 
 
-def _load_cityscapes_pairs(root, split, img_size, mode="gtFine"):
-    """Cityscapes directory layout -> (images [N,H,W,3] f32, trainId masks
-    [N,H,W] i32) with the labelId->trainId remap (cityscapes.py:188-195)."""
-    from PIL import Image
+def _scan_cityscapes(root, split, mode="gtFine"):
+    """Cityscapes directory layout -> [(image_path, mask_path)]. Decoding
+    is deferred to _decode_seg_batch: the train split at 1024px would be
+    ~37 GB as eager float32 arrays (cityscapes.py builds a lazy Dataset
+    for the same reason)."""
     img_root = _cityscapes_dir(root, "leftImg8bit", split)
     tgt_root = _cityscapes_dir(root, mode, split)
-    remap = np.full(256, CITYSCAPES_IGNORE, np.int32)
-    for k, v in CITYSCAPES_LABEL2TRAIN.items():
-        remap[k] = v
-    xs, ys = [], []
+    pairs = []
     for city in sorted(os.listdir(img_root)):
         cdir = os.path.join(img_root, city)
         for name in sorted(os.listdir(cdir)):
             if not name.endswith("_leftImg8bit.png"):
                 continue
             base = name[:-len("_leftImg8bit.png")]
-            im = Image.open(os.path.join(cdir, name)).convert("RGB") \
-                .resize((img_size, img_size), Image.BILINEAR)
-            mk = Image.open(os.path.join(
-                tgt_root, city, f"{base}_{mode}_labelIds.png")) \
-                .resize((img_size, img_size), Image.NEAREST)
-            xs.append(np.asarray(im, np.float32) / 255.0)
-            ys.append(remap[np.asarray(mk, np.int64).clip(0, 255)])
-    if not xs:
+            pairs.append((os.path.join(cdir, name),
+                          os.path.join(tgt_root, city,
+                                       f"{base}_{mode}_labelIds.png")))
+    if not pairs:
         raise FileNotFoundError(f"no *_leftImg8bit.png under {img_root}")
+    return pairs
+
+
+_CITYSCAPES_REMAP = np.full(256, CITYSCAPES_IGNORE, np.int32)
+for _k, _v in CITYSCAPES_LABEL2TRAIN.items():
+    _CITYSCAPES_REMAP[_k] = _v
+
+
+def _decode_seg_batch(pairs, img_size, remap=None):
+    """[(img_path, mask_path)] -> (images [B,H,W,3] f32, masks [B,H,W] i32),
+    with the labelId->trainId remap when given (cityscapes.py:188-195)."""
+    from PIL import Image
+    xs, ys = [], []
+    for img_p, mask_p in pairs:
+        im = Image.open(img_p).convert("RGB") \
+            .resize((img_size, img_size), Image.BILINEAR)
+        mk = Image.open(mask_p).resize((img_size, img_size), Image.NEAREST)
+        xs.append(np.asarray(im, np.float32) / 255.0)
+        m = np.asarray(mk, np.int64)
+        ys.append(remap[m.clip(0, 255)] if remap is not None
+                  else m.astype(np.int32))
     return np.stack(xs), np.stack(ys)
 
 
@@ -324,12 +349,23 @@ def run_vision_segment(args):
         apply_fn = apply_segformer
 
     if cityscapes:
-        xs, ys = _load_cityscapes_pairs(args.data_dir,
-                                        getattr(args, "seg_split", "train"),
-                                        args.img_size)
+        pairs = _scan_cityscapes(args.data_dir,
+                                 getattr(args, "seg_split", "train"))
+        remap = _CITYSCAPES_REMAP
     else:
-        xs, ys = _load_seg_pairs(args.data_dir, args.img_size)
-    n = len(xs)
+        xs_, ys_ = _load_seg_pairs(args.data_dir, args.img_size)
+        pairs, remap = None, None
+    if pairs is not None:
+        n = len(pairs)
+
+        def batch_at(idx):
+            return _decode_seg_batch([pairs[i] for i in idx], args.img_size,
+                                     remap)
+    else:
+        n = len(xs_)
+
+        def batch_at(idx):
+            return xs_[idx], ys_[idx]
     steps_per_epoch = max(1, n // args.batch_size)
     total = steps_per_epoch * args.epochs
     tx = make_optimizer(params, cosine_lr(args.lr, min(10, total // 10),
@@ -362,8 +398,9 @@ def run_vision_segment(args):
             if len(idx) < args.batch_size:
                 idx = np.concatenate(
                     [idx, order[:args.batch_size - len(idx)]])
-            params, opt, loss = step(params, opt, jnp.asarray(xs[idx]),
-                                     jnp.asarray(ys[idx]))
+            bx, by = batch_at(idx)
+            params, opt, loss = step(params, opt, jnp.asarray(bx),
+                                     jnp.asarray(by))
         print(f"[vision-segment] epoch {epoch}: loss {float(loss):.4f}",
               flush=True)
 
@@ -371,9 +408,8 @@ def run_vision_segment(args):
     inter = np.zeros(num_classes)
     union = np.zeros(num_classes)
     for i in range(0, n, args.batch_size):
-        b = xs[i:i + args.batch_size]
+        b, gt = batch_at(np.arange(i, min(i + args.batch_size, n)))
         pred = np.asarray(predict(params, jnp.asarray(b)))
-        gt = ys[i:i + args.batch_size]
         valid = gt != ignore
         for c in range(num_classes):
             pi = (pred == c) & valid

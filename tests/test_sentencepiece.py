@@ -69,6 +69,33 @@ def test_byte_fallback_roundtrip():
     assert tail == [f"<0x{b:02X}>" for b in emoji_bytes]
 
 
+def test_literal_byte_piece_text_is_not_surface_matched():
+    """sentencepiece only reaches BYTE pieces through byte fallback: the
+    literal string "<0x41>" must tokenize as its characters, never as the
+    byte piece (logit parity with SentencePieceProcessor)."""
+    byte_pieces = [(f"<0x{b:02X}>", 0.0, BYTE) for b in range(256)]
+    chars = [(c, -3.0, NORMAL) for c in "▁<0x41>"]
+    m = _unigram_model(chars + byte_pieces, byte_fallback=True)
+    ids = m.encode("<0x41>")
+    pieces = [m.id_to_piece(i) for i in ids]
+    assert "<0x41>" not in pieces, pieces
+    assert m.decode(ids) == "<0x41>"
+
+
+def test_decode_keeps_leading_space_without_dummy_prefix():
+    """Without add_dummy_prefix a leading escaped space is genuine text:
+    decode must not strip it (SentencePieceProcessor semantics)."""
+    chars = [(c, -3.0, NORMAL) for c in "▁a"]
+    m = _unigram_model(chars, add_dummy_prefix=False)
+    # encode(" a") trims the space (remove_extra_whitespaces) — drive the
+    # id sequence directly, as a generation step would
+    ids = [m.piece_to_id("▁"), m.piece_to_id("a")]
+    assert m.decode(ids) == " a"
+    # and WITH the prefix the dummy space is stripped as before
+    m2 = _unigram_model(chars)
+    assert m2.decode(m2.encode("a")) == "a"
+
+
 def test_bpe_best_scoring_merge_order():
     m = SentencePieceModel(data=build_model_bytes(
         _specials() + [("▁", -1.0, NORMAL), ("a", -2.0, NORMAL),

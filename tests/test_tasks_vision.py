@@ -113,8 +113,10 @@ def cityscapes_root(tmp_path_factory):
 
 
 def test_cityscapes_loader_remap(cityscapes_root):
-    from tasks.vision import _load_cityscapes_pairs, CITYSCAPES_IGNORE
-    xs, ys = _load_cityscapes_pairs(cityscapes_root, "train", 32)
+    from tasks.vision import (_scan_cityscapes, _decode_seg_batch,
+                              _CITYSCAPES_REMAP, CITYSCAPES_IGNORE)
+    pairs = _scan_cityscapes(cityscapes_root, "train")
+    xs, ys = _decode_seg_batch(pairs, 32, _CITYSCAPES_REMAP)
     assert xs.shape == (8, 32, 32, 3) and ys.shape == (8, 32, 32)
     assert set(np.unique(ys)) == {0, 10, CITYSCAPES_IGNORE}
     assert (ys[:, :, :8] == 0).all() and (ys[:, :, -8:] == 10).all()
