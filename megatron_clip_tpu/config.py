@@ -73,6 +73,10 @@ class TransformerCfg:
     num_experts: int = 0     # >0: SwitchMLP MoE (megatron --num-experts)
     moe_capacity_factor: float = 1.25
     moe_router: str = "sinkhorn"  # sinkhorn (megatron) | top1 (switch)
+    train: bool = False      # True only inside training loss fns: sinkhorn
+                             # routing is batch-dependent, so eval/serving
+                             # must use per-token argmax like megatron's
+                             # not-self.training branch (switch_mlp.py)
     sequence_parallel: bool = False  # shard activations on seq over tensor axis
     context_parallel: bool = False   # shard seq over the `context` mesh axis;
                                      # attention runs as a ppermute ring

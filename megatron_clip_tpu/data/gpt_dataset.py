@@ -57,6 +57,11 @@ class GPTDataset:
         # actual doc ids in doc_idx (sizes[doc_idx[pos]], helpers.cpp)
         sizes = self.data.sizes
         tokens_per_epoch = int(self.data.sizes[docs].sum())
+        if tokens_per_epoch <= seq_length:
+            raise ValueError(
+                f"corpus split has {tokens_per_epoch} tokens — smaller than "
+                f"one sample (--seq-length {seq_length} + 1); not enough "
+                "data to train on")
         samples_per_epoch = max(1, (tokens_per_epoch - 1) // seq_length)
         num_epochs = max(1, -(-num_samples // samples_per_epoch)) if num_samples else 1
 
@@ -82,17 +87,27 @@ class GPTDataset:
                 cache_dir, f"{os.path.basename(prefix)}_{h}")
         cache_path = (f"{cache_base}_gpt_s{seq_length}_e{num_epochs}_r{seed}"
                       f"{tag}_idx.npy")
-        if cache and os.path.isfile(cache_path):
+        doc_path = cache_path.replace("_idx.npy", "_doc.npy")
+        # a cache hit requires BOTH files: a crash between the two writes
+        # (or a failed second save) must not leave a half-usable cache
+        if cache and os.path.isfile(cache_path) and os.path.isfile(doc_path):
             self.sample_idx = np.load(cache_path)
-            self.doc_idx = np.load(cache_path.replace("_idx.npy", "_doc.npy"))
+            self.doc_idx = np.load(doc_path)
         else:
             self.doc_idx = doc_idx
             self.sample_idx = build_sample_idx(
                 sizes, doc_idx, seq_length, num_epochs, tokens_per_epoch)
             if cache:
                 try:
-                    np.save(cache_path, self.sample_idx)
-                    np.save(cache_path.replace("_idx.npy", "_doc.npy"), doc_idx)
+                    # temp-write + rename so concurrent loaders never read
+                    # a truncated index; doc lands before idx so any idx
+                    # presence implies a complete pair
+                    pid = os.getpid()
+                    for path, arr in ((doc_path, doc_idx),
+                                      (cache_path, self.sample_idx)):
+                        tmp = f"{path}.tmp{pid}"   # np.save appends .npy
+                        np.save(tmp, arr)
+                        os.replace(tmp + ".npy", path)
                 except OSError:
                     pass
         n = len(self.sample_idx) - 1

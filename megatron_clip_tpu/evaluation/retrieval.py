@@ -34,11 +34,12 @@ def recall_at_k_device(img_features, txt_features, scale: float,
                        ks=(1, 5, 10), chunk: int = 1024) -> Dict[str, float]:
     """Device-side recall@K for large val sets: the N x N logits never
     materialize on host. Each row's gold rank = #entries with a strictly
-    higher score (ties resolved toward the gold item, matching argsort's
-    stable first-hit in the absence of exact ties). O(N^2 / chunk) device
-    steps of [chunk, N] logits — HBM use is O(chunk * N), not O(N^2)."""
-    import jax
-
+    higher score + #ties at an earlier index — the position the host
+    path's stable argsort gives the gold item. Counting only strictly
+    greater would hand a COLLAPSED model (all features equal, all logits
+    tied) rank 0 everywhere, reporting R@1 = 1.0 exactly when the monitor
+    should read ~1/N. O(N^2 / chunk) device steps of [chunk, N] logits —
+    HBM use is O(chunk * N), not O(N^2)."""
     img = jnp.asarray(img_features, jnp.float32)
     txt = jnp.asarray(txt_features, jnp.float32)
     n = img.shape[0]
@@ -47,7 +48,9 @@ def recall_at_k_device(img_features, txt_features, scale: float,
     def chunk_ranks(q, gallery, gold_idx):
         logits = scale * (q @ gallery.T)                  # [C, N]
         gold = jnp.take_along_axis(logits, gold_idx[:, None], axis=1)
-        return jnp.sum(logits > gold, axis=1)             # rank (0-based)
+        earlier = jnp.arange(logits.shape[1])[None] < gold_idx[:, None]
+        return jnp.sum(logits > gold, axis=1) \
+            + jnp.sum((logits == gold) & earlier, axis=1)  # rank (0-based)
 
     out = {}
     for name, q, gallery in (("image_to_text", img, txt),

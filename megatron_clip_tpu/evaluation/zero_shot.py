@@ -39,11 +39,19 @@ def load_imagenet_metadata(path: Optional[str] = None):
     or a python file defining imagenet_classnames + openai_imagenet_template
     (the reference's open_CLIP/src/training/imagenet_zeroshot_data.py works).
     """
-    path = path or os.environ.get("MCT_IMAGENET_METADATA", "")
+    explicit = path or os.environ.get("MCT_IMAGENET_METADATA", "")
+    path = explicit
     if not path:
         path = os.path.join(os.path.dirname(__file__), "assets",
                             "imagenet_zeroshot.json")
     if not path or not os.path.isfile(path):
+        if explicit:
+            # a user-supplied path that can't be read must not silently
+            # degrade to folder names + the 7-template SIMPLE set (the
+            # reported top-1 would be quietly non-comparable)
+            raise FileNotFoundError(
+                f"imagenet metadata not found: {explicit!r} "
+                "(from the argument or $MCT_IMAGENET_METADATA)")
         return None, None
     if path.endswith(".json"):
         with open(path) as f:

@@ -48,8 +48,10 @@ def beam_search(params, prompt, cfg: GPTCfg, *, beam_size: int = 4,
         flat = (jnp.arange(b)[:, None] * k + parents).reshape(-1)  # [B*K]
         return KVCache(cache.k[:, flat], cache.v[:, flat])
 
+    gen_len = jnp.ones((b, k), jnp.float32)  # first token already emitted
+
     def step(carry, i):
-        out, scores, cache, finished, last_tok = carry
+        out, scores, cache, finished, gen_len, last_tok = carry
         logits, cache = _forward_cached(
             params, last_tok.reshape(b * k, 1), p + i, cache, cfg, compute)
         logp = jax.nn.log_softmax(logits[:, 0].astype(jnp.float32), axis=-1)
@@ -64,18 +66,24 @@ def beam_search(params, prompt, cfg: GPTCfg, *, beam_size: int = 4,
         tok = idx % v
         out = jnp.take_along_axis(out, parents[..., None], axis=1)
         out = out.at[:, :, p + 1 + i].set(tok)
-        finished = jnp.take_along_axis(finished, parents, axis=1) | (tok == eos_id)
+        was_done = jnp.take_along_axis(finished, parents, axis=1)
+        # beam length = tokens up to and including the first eos; frozen
+        # beams' eos padding does not count (token-value tests like
+        # `!= 0` are wrong for eos_id != 0 and can divide by zero)
+        gen_len = jnp.take_along_axis(gen_len, parents, axis=1) \
+            + (1.0 - was_done.astype(jnp.float32))
+        finished = was_done | (tok == eos_id)
         cache = reindex_cache(cache, parents)
-        return (out, scores, cache, finished, tok), None
+        return (out, scores, cache, finished, gen_len, tok), None
 
-    init = (out, scores, cache, finished, tok)
-    (out, scores, _, finished, _), _ = jax.lax.scan(
+    init = (out, scores, cache, finished, gen_len, tok)
+    (out, scores, _, finished, gen_len, _), _ = jax.lax.scan(
         step, init, jnp.arange(max_new_tokens - 1))
 
-    if length_penalty != 1.0:
-        lengths = jnp.sum(out[:, :, p:] != 0, axis=-1).astype(jnp.float32)
-        scores = scores / (lengths ** length_penalty)
-        order = jnp.argsort(-scores, axis=1)
-        scores = jnp.take_along_axis(scores, order, axis=1)
-        out = jnp.take_along_axis(out, order[..., None], axis=1)
+    # megatron's beam scorer divides by length**penalty unconditionally
+    # (text_generation/beam_utils.py), including the default penalty 1
+    scores = scores / (gen_len ** length_penalty)
+    order = jnp.argsort(-scores, axis=1)
+    scores = jnp.take_along_axis(scores, order, axis=1)
+    out = jnp.take_along_axis(out, order[..., None], axis=1)
     return out, scores

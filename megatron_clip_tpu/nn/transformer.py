@@ -196,7 +196,7 @@ def apply_block(block, x, cfg: TransformerCfg, *, causal: bool = False,
         h, aux = apply_switch_mlp(
             block["moe"], h, act=cfg.act,
             capacity_factor=cfg.moe_capacity_factor,
-            router_mode=cfg.moe_router)
+            router_mode=cfg.moe_router, train=cfg.train)
     else:
         if cfg.quantize == "int8":
             from megatron_clip_tpu.ops.quant import quant_dense

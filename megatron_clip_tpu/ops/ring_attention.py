@@ -53,7 +53,9 @@ def zigzag_shard(x, cp, axis=1):
     """Reorder a global [.., S, ..] array so that a plain contiguous split
     over `cp` devices yields the zigzag chunk assignment."""
     s = x.shape[axis]
-    c = s // (2 * cp)
+    if s % (2 * cp):
+        raise ValueError(f"zigzag layout needs seq {s} divisible by "
+                         f"2*cp = {2 * cp}")
     chunks = jnp.split(x, 2 * cp, axis=axis)
     order = []
     for r in range(cp):

@@ -189,7 +189,12 @@ def run(args):
                            context_parallel_layout=cp_layout,
                            quantize=args.quantize_matmuls,
                            attention_dropout=args.attention_dropout,
-                           hidden_dropout=args.hidden_dropout)
+                           hidden_dropout=args.hidden_dropout,
+                           train=True)
+    # eval uses per-token argmax MoE routing (megatron switch_mlp.py
+    # not-self.training): sinkhorn is batch-dependent
+    import dataclasses as _dc
+    tcfg_eval = _dc.replace(tcfg, train=False)
     use_dropout = args.attention_dropout > 0 or args.hidden_dropout > 0
     if cp > 1 and args.seq_length % cp != 0:
         raise SystemExit("--seq-length must be divisible by "
@@ -271,7 +276,7 @@ def run(args):
         zig_pos = zigzag_shard(jnp.arange(args.seq_length, dtype=jnp.int32),
                                cp, axis=0)
 
-    def loss_fn(p, tokens, rng):
+    def loss_fn(p, tokens, rng, _tcfg=tcfg):
         if zigzag:
             # next-token shift in NATURAL order, then zigzag-reorder both
             # sides so (input i -> target i) pairs stay aligned per slot
@@ -279,7 +284,7 @@ def run(args):
             tgt = zigzag_shard(tokens[:, 1:], cp, axis=1)
             return gpt_loss(p, inputs, cfg, targets=tgt,
                             position_ids=zig_pos,
-                            compute_dtype=compute_dtype, tcfg=tcfg,
+                            compute_dtype=compute_dtype, tcfg=_tcfg,
                             layers_fn=layers_fn, rng=rng,
                             fused_ce=args.fused_ce,
                             loss_seq_chunk=args.loss_seq_chunk)
@@ -297,19 +302,20 @@ def run(args):
                 eod_mask_loss=args.eod_mask_loss)
             return gpt_loss(p, inputs, cfg, targets=tgt, loss_mask=lm,
                             attn_bias=ab, position_ids=pid,
-                            compute_dtype=compute_dtype, tcfg=tcfg,
+                            compute_dtype=compute_dtype, tcfg=_tcfg,
                             layers_fn=layers_fn, rng=rng,
                             fused_ce=args.fused_ce,
                             loss_seq_chunk=args.loss_seq_chunk)
         return gpt_loss(p, tokens, cfg, compute_dtype=compute_dtype,
-                        tcfg=tcfg, layers_fn=layers_fn, rng=rng,
+                        tcfg=_tcfg, layers_fn=layers_fn, rng=rng,
                         fused_ce=args.fused_ce,
                         loss_seq_chunk=args.loss_seq_chunk)
 
     out = run_workload(params, loss_fn, batches, rc, mesh=mesh,
                        param_specs=specs, use_rng=use_dropout,
                        val_iter_factory=val_batches,
-                       eval_loss_fn=lambda p, b: loss_fn(p, b, None), args_ns=args)
+                       eval_loss_fn=lambda p, b: loss_fn(p, b, None, _tcfg=tcfg_eval),
+                       args_ns=args)
     r = {"loss": out["loss"], "history": out["history"]}
     if "val_loss" in out:
         r["val_loss"] = out["val_loss"]
