@@ -71,7 +71,15 @@ def init_gpt(key, cfg: GPTCfg, dtype=jnp.float32):
         "blocks": init_transformer(keys[2], cfg.transformer(), dtype),
     }
     if cfg.position_embedding == "learned":
-        n_pos = max(cfg.max_position_embeddings or 0, cfg.seq_length)
+        if cfg.max_position_embeddings is not None \
+                and cfg.max_position_embeddings < cfg.seq_length:
+            # megatron asserts seq_length <= max_position_embeddings;
+            # silently widening the table would produce a checkpoint whose
+            # pos_embed no longer matches the declared flag
+            raise ValueError(
+                f"max_position_embeddings {cfg.max_position_embeddings} < "
+                f"seq_length {cfg.seq_length}")
+        n_pos = cfg.max_position_embeddings or cfg.seq_length
         params["pos_embed"] = (cfg.init_std * jax.random.normal(
             keys[1], (n_pos, cfg.hidden_size))).astype(dtype)
     if not cfg.tie_embeddings:
@@ -199,8 +207,11 @@ def gpt_loss(params, tokens, cfg: GPTCfg, *, loss_mask=None,
     if targets is None:
         targets = tokens[:, 1:]
         inputs = tokens[:, :-1]
+        # loss_mask follows megatron --eod-mask-loss semantics: 0 where the
+        # INPUT token is EOD (don't train the prediction made FROM an EOD
+        # slot) — align it to the input positions, not the targets
         mask = None if loss_mask is None else \
-            loss_mask[:, 1:].astype(jnp.float32)
+            loss_mask[:, :-1].astype(jnp.float32)
     else:
         inputs = tokens
         mask = None if loss_mask is None else loss_mask.astype(jnp.float32)

@@ -85,7 +85,8 @@ def init_block(key, cfg: TransformerCfg, dtype=jnp.float32):
         from megatron_clip_tpu.ops.moe import init_switch_mlp
         del block["mlp"]
         block["moe"] = init_switch_mlp(k_fc, w, cfg.mlp_hidden,
-                                       cfg.num_experts, dtype, cfg.use_bias)
+                                       cfg.num_experts, dtype, cfg.use_bias,
+                                       swiglu=cfg.act == "swiglu")
     if cfg.use_bias:
         block["attn"]["bqkv"] = jnp.zeros((qkv_out,), dtype=dtype)
         block["attn"]["bo"] = jnp.zeros((w,), dtype=dtype)

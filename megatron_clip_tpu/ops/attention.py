@@ -92,16 +92,6 @@ def sdpa_bshd(q, k, v, *, causal: bool = False,
 MIN_FLASH_SEQ = 256
 
 
-def _attention(q, k, v, *, causal, bias, scale, use_flash):
-    if (use_flash and bias is None and q.shape[-2] >= MIN_FLASH_SEQ
-            and q.shape[-1] <= 128):
-        from megatron_clip_tpu.ops import use_pallas
-        if use_pallas():
-            from megatron_clip_tpu.ops.pallas.flash_attention import flash_attention
-            return flash_attention(q, k, v, causal=causal, scale=scale)
-    return sdpa(q, k, v, causal=causal, bias=bias, scale=scale)
-
-
 def multi_head_attention(x, params, heads: int, *, causal: bool = False,
                          bias: Optional[jax.Array] = None, use_flash: bool = True,
                          kv: Optional[jax.Array] = None, rope=None,

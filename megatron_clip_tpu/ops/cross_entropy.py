@@ -23,10 +23,10 @@ def cross_entropy(logits, targets, *, label_smoothing: float = 0.0):
     gold = jnp.take_along_axis(logits, targets[..., None], axis=-1)[..., 0]
     loss = logz - gold
     if label_smoothing > 0.0:
-        v = logits.shape[-1]
+        # uniform-smoothing convention WITHOUT the -eps*log(V) offset, i.e.
+        # the raw smoothed cross-entropy (matches torch's label_smoothing)
         mean_log = jnp.mean(logits - logz[..., None], axis=-1)
-        loss = (1 - label_smoothing) * loss - label_smoothing * mean_log \
-            - label_smoothing * jnp.log(jnp.float32(v)) * 0  # keep scale
+        loss = (1 - label_smoothing) * loss - label_smoothing * mean_log
     return loss
 
 

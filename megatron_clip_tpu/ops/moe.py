@@ -36,20 +36,24 @@ def sinkhorn(cost, iters: int = 8):
 
 
 def init_switch_mlp(key, width: int, hidden: int, num_experts: int,
-                    dtype=jnp.float32, use_bias: bool = True):
+                    dtype=jnp.float32, use_bias: bool = True,
+                    swiglu: bool = False):
+    """swiglu doubles the expert fc width (value + gate halves), matching
+    the dense MLP's megatron --swiglu sizing (transformer.py:94-106)."""
     kr, k1, k2 = jax.random.split(key, 3)
     fc_std = (2 * width) ** -0.5
     proj_std = width ** -0.5
+    fc_out = hidden * (2 if swiglu else 1)
     p = {
         "router": (jax.random.normal(kr, (width, num_experts))
                    * width ** -0.5).astype(dtype),
-        "w1": (jax.random.normal(k1, (num_experts, width, hidden))
+        "w1": (jax.random.normal(k1, (num_experts, width, fc_out))
                * fc_std).astype(dtype),
         "w2": (jax.random.normal(k2, (num_experts, hidden, width))
                * proj_std).astype(dtype),
     }
     if use_bias:
-        p["b1"] = jnp.zeros((num_experts, hidden), dtype=dtype)
+        p["b1"] = jnp.zeros((num_experts, fc_out), dtype=dtype)
         p["b2"] = jnp.zeros((num_experts, width), dtype=dtype)
     return p
 
@@ -78,6 +82,30 @@ def apply_switch_mlp(params, x, *, act: str = "gelu",
         expert = jnp.argmax(probs, axis=-1)
     gate = jnp.take_along_axis(probs, expert[:, None], axis=-1)[:, 0]  # [N]
 
+    if not train:
+        # Eval = megatron SwitchMLP semantics exactly: every token through
+        # its argmax expert, NO capacity drops (the capacity queue below is
+        # batch-dependent — a token's fate would change with what else is in
+        # the batch). Dense all-experts compute (E x the MLP flops) keeps
+        # shapes static; the onehot combine selects each token's own expert.
+        onehot = jax.nn.one_hot(expert, e, dtype=jnp.float32)
+        h = jnp.einsum("nw,ewh->neh", xt, params["w1"].astype(x.dtype))
+        if "b1" in params:
+            h = h + params["b1"].astype(x.dtype)[None]
+        if act == "swiglu":
+            from megatron_clip_tpu.ops.activations import swiglu as _swiglu
+            h = _swiglu(h)
+        else:
+            h = get_act(act)(h)
+        ye = jnp.einsum("neh,ehw->new", h, params["w2"].astype(x.dtype))
+        if "b2" in params:
+            ye = ye + params["b2"].astype(x.dtype)[None]
+        y = jnp.einsum("ne,new->nw", (onehot * gate[:, None]).astype(x.dtype),
+                       ye)
+        frac_tokens = jnp.mean(onehot, axis=0)
+        aux = e * jnp.sum(frac_tokens * jnp.mean(probs, axis=0))
+        return y.reshape(b, s, w), aux
+
     capacity = max(1, int(capacity_factor * n / e))
     onehot = jax.nn.one_hot(expert, e, dtype=jnp.float32)    # [N, E]
     # position of each token within its expert queue
@@ -93,7 +121,11 @@ def apply_switch_mlp(params, x, *, act: str = "gelu",
     h = jnp.einsum("ecw,ewh->ech", xe, params["w1"].astype(x.dtype))
     if "b1" in params:
         h = h + params["b1"].astype(x.dtype)[:, None]
-    h = get_act(act)(h)
+    if act == "swiglu":
+        from megatron_clip_tpu.ops.activations import swiglu as _swiglu
+        h = _swiglu(h)   # splits the doubled fc width into value & gate
+    else:
+        h = get_act(act)(h)
     ye = jnp.einsum("ech,ehw->ecw", h, params["w2"].astype(x.dtype))
     if "b2" in params:
         ye = ye + params["b2"].astype(x.dtype)[:, None]

@@ -24,6 +24,36 @@ def test_switch_mlp_shapes_and_aux():
     assert 0.5 < float(aux) < 4.0
 
 
+def test_moe_swiglu_trains():
+    """--swiglu --num-experts is a valid megatron combo: expert fc width
+    doubles (value+gate) and the swiglu split applies per expert."""
+    cfg = dataclasses.replace(MOE_CFG, act="swiglu")
+    blocks = init_transformer(jax.random.PRNGKey(0), cfg)
+    # gate halves: expert w1 out dim is 2*mlp_hidden, w2 in dim mlp_hidden
+    assert blocks["moe"]["w1"].shape[-1] == 2 * cfg.mlp_hidden
+    assert blocks["moe"]["w2"].shape[-2] == cfg.mlp_hidden
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 64))
+    y, aux = apply_transformer(blocks, x, cfg)
+    assert y.shape == x.shape and np.isfinite(np.asarray(y)).all()
+    g = jax.grad(lambda b: jnp.sum(
+        apply_transformer(b, x, cfg)[0] ** 2))(blocks)
+    assert np.isfinite(np.asarray(g["moe"]["w1"])).all()
+
+
+def test_moe_eval_routing_batch_independent():
+    """At eval (train=False) routing is per-token argmax: a token's expert
+    must not depend on what else is in the batch (megatron switch_mlp.py
+    not-self.training semantics; sinkhorn is batch-dependent)."""
+    cfg = dataclasses.replace(MOE_CFG, train=False)
+    blocks = init_transformer(jax.random.PRNGKey(0), cfg)
+    xa = jax.random.normal(jax.random.PRNGKey(1), (1, 16, 64))
+    xb = jax.random.normal(jax.random.PRNGKey(2), (1, 16, 64))
+    solo, _ = apply_transformer(blocks, xa, cfg)
+    both, _ = apply_transformer(blocks, jnp.concatenate([xa, xb]), cfg)
+    np.testing.assert_allclose(np.asarray(both[0]), np.asarray(solo[0]),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_capacity_one_expert_collapse():
     """Force all tokens to one expert: with tight capacity most are dropped
     (output zero for dropped tokens — residual carries them)."""
