@@ -185,13 +185,23 @@ class DistillClipLoss(ClipLoss):
     def __call__(self, image_features, text_features, logit_scale,
                  dist_image_features=None, dist_text_features=None,
                  dist_logit_scale=None, output_dict: bool = False):
-        contrastive = super().__call__(image_features, text_features,
-                                       logit_scale)
         if dist_image_features is None:
+            contrastive = super().__call__(image_features, text_features,
+                                           logit_scale)
             return ({"contrastive_loss": contrastive} if output_dict
                     else contrastive)
+        # compute the student logits (and their feature all-gather) ONCE and
+        # derive both terms from them — calling super().__call__ separately
+        # would duplicate the gather + logit matmuls and rely on XLA CSE to
+        # merge them
         s_lpi, s_lpt = self.get_logits(image_features, text_features,
                                        logit_scale)
+        labels = self.get_ground_truth(s_lpi.shape[-1],
+                                       image_features.shape[0])
+        contrastive = 0.5 * (_xent(s_lpi, labels).mean()
+                             + _xent(s_lpt, labels).mean())
+        if self.axis_name is not None:
+            contrastive = jax.lax.pmean(contrastive, self.axis_name)
         t_lpi, t_lpt = self.get_logits(dist_image_features,
                                        dist_text_features, dist_logit_scale)
         t_lpi = jax.lax.stop_gradient(t_lpi)

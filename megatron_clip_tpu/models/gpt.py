@@ -104,6 +104,15 @@ def apply_gpt(params, tokens, cfg: GPTCfg, *, compute_dtype=jnp.bfloat16,
     `attn_bias` [B, 1, S, S]: additive attention mask composed with the
     causal mask (megatron --reset-attention-mask document isolation)."""
     tcfg = tcfg or cfg.transformer()
+    if (tcfg.context_parallel and position_ids is None
+            and tcfg.context_parallel_layout == "zigzag"):
+        # the learned pos-embed / rope tables and the LM loss shift all
+        # assume array order == position order; the zigzag CP layout breaks
+        # that, so explicit zigzag position_ids are mandatory
+        raise ValueError(
+            "context_parallel_layout='zigzag' requires position_ids in "
+            "zigzag array order (ops/ring_attention.zigzag_shard; see "
+            "pretrain_gpt.py for the integrated data path)")
     s = tokens.shape[1]
     x = params["tok_embed"][tokens].astype(compute_dtype)
     if "pos_embed" in params:

@@ -295,6 +295,14 @@ def apply_transformer(blocks, x, cfg: TransformerCfg, *, causal: bool = False,
     models/vit.relative_position_index).
     """
     if rope is None and cfg.rope:
+        if (cfg.context_parallel and position_ids is None
+                and cfg.context_parallel_layout == "zigzag"):
+            # ring attention masks with zigzag global positions; natural-
+            # order rope tables would silently give wrong rotary phases
+            raise ValueError(
+                "context_parallel_layout='zigzag' with rope requires "
+                "position_ids in zigzag array order "
+                "(ops/ring_attention.zigzag_shard; see pretrain_gpt.py)")
         from megatron_clip_tpu.ops.rope import rope_cos_sin
         rkw = dict(rotary_percent=cfg.rotary_percent,
                    seq_len_interpolation_factor=cfg.rope_interpolation)

@@ -154,11 +154,13 @@ def fused_linear_cross_entropy(x, w, labels, block_t: int = 0,
     ~ x(bt*wd) + w/dw tiles + fp32 acc(wd*bv), so wd*bv is capped at 512K
     elements (bv 512 up to wd 1024, 256 at 2048, 128 at 4096) to stay
     under the 16M scoped-vmem limit with double buffering."""
+    import os
     wd = x.shape[1]
     if not block_t:
-        block_t = 256
+        block_t = int(os.environ.get("MCT_FLCE_BT", "256"))
     if not block_v:
-        block_v = max(128, min(512, (512 * 1024 // wd) // 128 * 128))
+        block_v = int(os.environ.get("MCT_FLCE_BV", "0")) or \
+            max(128, min(512, (512 * 1024 // wd) // 128 * 128))
     return _flce(x, w, labels, block_t, block_v)
 
 

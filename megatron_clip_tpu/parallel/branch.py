@@ -80,6 +80,9 @@ class _Branch:
             # which already produced these cotangents).
             a = self.accum
             b = batch.shape[0]
+            if b % a:
+                raise ValueError(f"per-step batch {b} not divisible by "
+                                 f"accum_freq {a}")
             bm = batch.reshape(a, b // a, *batch.shape[1:])
             cm = cotangent.reshape(a, b // a, *cotangent.shape[1:])
 
@@ -145,23 +148,21 @@ class BranchParallelCLIP:
                                                 self.bp.text.vpp)
                        if t_pp > 1 else None)
 
+        from megatron_clip_tpu.models.clip import _l2_normalize
+
         def vision_fwd(vparams, images):
             tcfg = cfg.vision.transformer(act=cfg.act, remat=self.remat)
             f = apply_vit(vparams, images, cfg.vision, cfg.embed_dim,
                           act=cfg.act, tcfg=tcfg, layers_fn=v_layers_fn,
                           compute_dtype=self.compute_dtype)
-            f = f.astype(jnp.float32)
-            return f / jnp.maximum(
-                jnp.linalg.norm(f, axis=-1, keepdims=True), 1e-12)
+            return _l2_normalize(f)   # same fp32 F.normalize as the joint model
 
         def text_fwd(tparams, texts):
             tcfg = cfg.text.transformer(act=cfg.act, remat=self.remat)
             f = apply_text(tparams, texts, cfg.text, cfg.embed_dim,
                            act=cfg.act, tcfg=tcfg, layers_fn=t_layers_fn,
                            compute_dtype=self.compute_dtype)
-            f = f.astype(jnp.float32)
-            return f / jnp.maximum(
-                jnp.linalg.norm(f, axis=-1, keepdims=True), 1e-12)
+            return _l2_normalize(f)
 
         self._tx = None  # set in init_state
         self._vision = None

@@ -33,8 +33,7 @@ EXPERT = "expert"
 MeshAxes = (DATA, FSDP, TENSOR, STAGE, CONTEXT)
 
 
-def build_mesh(cfg, devices: Optional[Sequence] = None,
-               contiguous_stage: bool = True) -> Mesh:
+def build_mesh(cfg, devices: Optional[Sequence] = None) -> Mesh:
     """Build a Mesh of shape (dp, fsdp, tp, pp) from a ParallelCfg.
 
     Axis order puts `tensor` innermost-but-one so TP collectives ride the

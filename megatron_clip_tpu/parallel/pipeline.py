@@ -54,10 +54,12 @@ from megatron_clip_tpu.parallel.mesh import CONTEXT, STAGE
 def _microbatch_bias(bias, m, b):
     """Split an additive attention bias [B, ...] (padding masks etc.) into
     microbatches alongside x; broadcast shapes ([1,...] / [H,S,S]) are
-    replicated per microbatch."""
+    replicated per microbatch. Per-batch biases must be 4-D [B, H|1, S, S]:
+    ndim alone disambiguates them from a 3-D [H, S, S] head bias whose H
+    happens to equal the global batch."""
     if bias is None:
         return None
-    if bias.shape[0] == b:
+    if bias.ndim == 4 and bias.shape[0] == b:
         return bias.reshape(m, b // m, *bias.shape[1:])
     return jnp.broadcast_to(bias[None], (m, *bias.shape))
 
@@ -90,6 +92,15 @@ def _context_setup(mesh, cfg: TransformerCfg, x, bias, position_ids):
                          "context parallelism in the pipeline")
     rope_tabs = None
     if cfg.rope:
+        if (getattr(cfg, "context_parallel_layout", "contiguous") == "zigzag"
+                and position_ids is None):
+            # ring attention masks with zigzag global positions; natural-
+            # order rope tables would give every token the wrong rotary
+            # phase with no error (pretrain_gpt threads zigzag position_ids)
+            raise ValueError(
+                "context_parallel_layout='zigzag' with rope requires "
+                "position_ids in zigzag array order (see "
+                "ops/ring_attention.zigzag_shard and pretrain_gpt.py)")
         from megatron_clip_tpu.ops.rope import rope_cos_sin
         cos, sin = rope_cos_sin(
             x.shape[1], cfg.head_dim, cfg.rope_theta,
@@ -255,17 +266,21 @@ def pipeline_transformer(blocks, x, cfg: TransformerCfg, *, mesh: Mesh,
 
 
 def make_pipelined_layers_fn(mesh: Mesh, num_microbatches: int,
-                             num_chunks: int = 1) -> Callable:
+                             num_chunks: int = 1,
+                             vpp_prearranged: bool = False) -> Callable:
     """Adapter for towers: returns layers_fn(blocks, x, cfg, causal) that the
     model applies in place of apply_transformer when pp > 1. num_chunks > 1
-    selects the interleaved (virtual-pipeline) schedule."""
+    selects the interleaved (virtual-pipeline) schedule; vpp_prearranged
+    declares the stacked layers already in `vpp_arrange` physical order (see
+    the interleaved docstring — skips the per-step cross-stage weight
+    permute)."""
     def layers_fn(blocks, x, cfg, *, causal=False, bias=None, rng=None,
                   position_ids=None):
         if num_chunks > 1:
             return pipeline_transformer_interleaved(
                 blocks, x, cfg, mesh=mesh, num_microbatches=num_microbatches,
                 num_chunks=num_chunks, causal=causal, bias=bias, rng=rng,
-                position_ids=position_ids)
+                position_ids=position_ids, prearranged=vpp_prearranged)
         return pipeline_transformer(blocks, x, cfg, mesh=mesh,
                                     num_microbatches=num_microbatches,
                                     causal=causal, bias=bias, rng=rng,
@@ -273,10 +288,47 @@ def make_pipelined_layers_fn(mesh: Mesh, num_microbatches: int,
     return layers_fn
 
 
+def vpp_layer_order(n_layers: int, n_stages: int, num_chunks: int):
+    """Physical layer order for zero-copy interleaved placement: stage s's
+    CONTIGUOUS leading-dim shard holds its round-robin chunks k*S+s for
+    k = 0..V-1 (megatron's per-rank non-contiguous VPP layer assignment,
+    training.py:227-242, expressed as a one-time permutation so the
+    PartitionSpec over `stage` stays a plain contiguous split).
+
+    Returns order such that physical[i] = logical[order[i]]."""
+    import numpy as np
+    lc = n_layers // (n_stages * num_chunks)
+    if lc * n_stages * num_chunks != n_layers:
+        raise ValueError(f"{n_layers} layers not divisible by "
+                         f"stages*chunks {n_stages * num_chunks}")
+    return np.asarray([(k * n_stages + s) * lc + i
+                       for s in range(n_stages)
+                       for k in range(num_chunks)
+                       for i in range(lc)])
+
+
+def vpp_arrange(blocks, n_stages: int, num_chunks: int):
+    """Permute stacked layer params logical -> physical (one-time, outside
+    the train step). Pair with layers_fn(vpp_prearranged=True)."""
+    n_layers = jax.tree.leaves(blocks)[0].shape[0]
+    order = vpp_layer_order(n_layers, n_stages, num_chunks)
+    return jax.tree.map(lambda l: l[order], blocks)
+
+
+def vpp_restore(blocks, n_stages: int, num_chunks: int):
+    """Inverse of vpp_arrange (physical -> logical, e.g. for checkpoints,
+    which stay layout-independent in logical layer order)."""
+    import numpy as np
+    n_layers = jax.tree.leaves(blocks)[0].shape[0]
+    inv = np.argsort(vpp_layer_order(n_layers, n_stages, num_chunks))
+    return jax.tree.map(lambda l: l[inv], blocks)
+
+
 def pipeline_transformer_interleaved(blocks, x, cfg: TransformerCfg, *,
                                      mesh: Mesh, num_microbatches: int,
                                      num_chunks: int, causal: bool = False,
-                                     bias=None, rng=None, position_ids=None):
+                                     bias=None, rng=None, position_ids=None,
+                                     prearranged: bool = False):
     """Interleaved (virtual-pipeline) schedule — megatron's
     `forward_backward_pipelining_with_interleaving` (schedules.py:370-935)
     done as a circular ring.
@@ -285,6 +337,15 @@ def pipeline_transformer_interleaved(blocks, x, cfg: TransformerCfg, *,
     lives on stage v % S — the VPP layer assignment, training.py:227-242);
     activations circulate the ring num_chunks times, so the pipeline bubble
     shrinks from (S-1)/(M+S-1) to ~(S-1)/(M*V+S-1) per unit work.
+
+    Weight placement: with `prearranged=False` (logical [L,...] layer order,
+    contiguous over `stage`), the round-robin chunk gather re-permutes
+    ~(V-1)/V of the block weights across stages inside EVERY step (fwd + the
+    transposed scatter in bwd) — correct but costly at scale. Training
+    runtimes should place params with `vpp_arrange` once and pass
+    `prearranged=True` (physical order: stage s's contiguous shard = its
+    chunks k*S+s), which makes the chunk lookup a local reshape with zero
+    cross-stage traffic; checkpoints stay logical via `vpp_restore`.
 
     Schedule law: at tick t, stage s advances the activation whose chunk is
     ((t-s)//S) mod V; stage 0 injects microbatch (t//(S*V))*S + t%S whenever
@@ -328,21 +389,34 @@ def pipeline_transformer_interleaved(blocks, x, cfg: TransformerCfg, *,
         pm = position_ids.reshape(m, b // m, position_ids.shape[1])
         position_ids = None
 
-    # rearrange stacked layers [L,...] -> [S, V, Lc, ...] with global chunk
-    # k*S + s at [s, k] (round-robin chunk placement)
-    def arrange(leaf):
-        chunks = leaf.reshape(n_stages * v, lc, *leaf.shape[1:])
-        idx = jnp.asarray([[k * n_stages + s for k in range(v)]
-                           for s in range(n_stages)])
-        return chunks[idx]                   # [S, V, Lc, ...]
+    if prearranged:
+        # physical vpp_arrange order: each stage's contiguous [L/S] shard is
+        # already its round-robin chunks — zero cross-stage weight movement
+        stage_major = blocks
+    else:
+        # rearrange stacked layers [L,...] -> [S, V, Lc, ...] with global
+        # chunk k*S + s at [s, k] (round-robin chunk placement). NOTE: on a
+        # stage-sharded array this gather is a cross-stage weight permute
+        # paid inside every step — see the docstring; prefer prearranged.
+        def arrange(leaf):
+            chunks = leaf.reshape(n_stages * v, lc, *leaf.shape[1:])
+            idx = jnp.asarray([[k * n_stages + s for k in range(v)]
+                               for s in range(n_stages)])
+            return chunks[idx]                   # [S, V, Lc, ...]
 
-    stage_major = jax.tree.map(arrange, blocks)
+        stage_major = jax.tree.map(arrange, blocks)
     sv = n_stages * v
     ticks = m * v + n_stages - 1
 
     def staged(stage_blocks, xm, bm, km, pm, rope_tabs):
-        # shard_map divides the leading S axis to size 1; squeeze it
-        stage_blocks = jax.tree.map(lambda l: l[0], stage_blocks)  # [V, Lc,...]
+        if prearranged:
+            # the contiguous local [L/S, ...] shard is chunks k=0..V-1
+            stage_blocks = jax.tree.map(
+                lambda l: l.reshape(v, lc, *l.shape[1:]), stage_blocks)
+        else:
+            # shard_map divides the leading S axis to size 1; squeeze it
+            stage_blocks = jax.tree.map(lambda l: l[0],
+                                        stage_blocks)      # [V, Lc, ...]
         stage = jax.lax.axis_index(STAGE)
         shift = [(i, (i + 1) % n_stages) for i in range(n_stages)]
         local_rope = (_local_rope(rope_tabs, cp_size, s_global)

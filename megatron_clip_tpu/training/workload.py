@@ -568,10 +568,13 @@ def _json_safe_args(args) -> dict:
     return out
 
 
-def build_workload_mesh(rc: RuntimeCfg):
+def build_workload_mesh(rc: RuntimeCfg, *, vpp_prearranged: bool = False):
     """(mesh, layers_fn) for the runtime layout; mesh is None single-device.
     layers_fn is the pipelined schedule adapter when pp > 1 (pass it into
-    the model's apply)."""
+    the model's apply). vpp_prearranged=True declares the entry places its
+    stacked layers in vpp_arrange physical order (zero-copy interleaved
+    chunk placement) and supplies matching ckpt_transforms — see
+    vpp_ckpt_transforms."""
     from megatron_clip_tpu.parallel import build_mesh
 
     devices = jax.devices()
@@ -587,8 +590,25 @@ def build_workload_mesh(rc: RuntimeCfg):
         from megatron_clip_tpu.parallel.pipeline import \
             make_pipelined_layers_fn
         layers_fn = make_pipelined_layers_fn(
-            mesh, max(1, rc.num_microbatches), rc.vpp)
+            mesh, max(1, rc.num_microbatches), rc.vpp,
+            vpp_prearranged=vpp_prearranged and rc.vpp > 1)
     return mesh, layers_fn
+
+
+def vpp_ckpt_transforms(params, blocks_key: str, pp: int, vpp: int):
+    """(tag_tree, to_ckpt, from_ckpt) for run_workload's ckpt_transforms:
+    keeps checkpoints in LOGICAL layer order while the in-memory stacked
+    blocks (params[blocks_key]) live in vpp_arrange physical order."""
+    import numpy as np
+    from megatron_clip_tpu.parallel.pipeline import vpp_layer_order
+    n_layers = jax.tree.leaves(params[blocks_key])[0].shape[0]
+    order = vpp_layer_order(n_layers, pp, vpp)
+    inv = np.argsort(order)
+    tags = jax.tree.map(lambda _: False, params)
+    tags[blocks_key] = jax.tree.map(lambda _: True, params[blocks_key])
+    to_ckpt = lambda leaf, tag: leaf[inv] if tag else leaf      # noqa: E731
+    from_ckpt = lambda leaf, tag: leaf[order] if tag else leaf  # noqa: E731
+    return tags, to_ckpt, from_ckpt
 
 
 def run_workload(params, loss_fn: Callable, batch_iter: Iterator,
@@ -598,7 +618,7 @@ def run_workload(params, loss_fn: Callable, batch_iter: Iterator,
                  eval_loss_fn: Callable = None,
                  custom_eval: Callable = None,
                  aux_state: Any = None, aux_update: Callable = None,
-                 args_ns=None) -> dict:
+                 args_ns=None, ckpt_transforms=None) -> dict:
     """Train `loss_fn(params, batch, rng) -> scalar` for rc.train_steps.
 
     `aux_state`/`aux_update`: non-gradient training state (e.g. DINO's EMA
@@ -618,6 +638,13 @@ def run_workload(params, loss_fn: Callable, batch_iter: Iterator,
     iterator`: on resume a factory seeks directly (the consumed-samples
     sampler fast-forward, megatron data_samplers.py:14-48), a plain
     iterator is replayed-and-discarded for start_step batches.
+
+    `ckpt_transforms`: (tag_tree, to_ckpt, from_ckpt) for entries whose
+    in-memory param layout differs from the (layout-independent) checkpoint
+    layout — e.g. the interleaved pipeline's vpp_arrange physical layer
+    order. tag_tree is params-shaped; to_ckpt(leaf, tag)/from_ckpt(leaf,
+    tag) map each leaf at save/load. Applied to params directly and to the
+    optimizer state structurally via optax.tree_map_params.
     """
     from megatron_clip_tpu.checkpoints import (
         save_checkpoint, load_checkpoint, latest_checkpoint_step)
@@ -719,10 +746,31 @@ def run_workload(params, loss_fn: Callable, batch_iter: Iterator,
               "provides no validation data source / eval fn; skipping eval",
               flush=True)
 
+    def _to_ckpt(p, o):
+        """In-memory (possibly rearranged) layout -> the layout-independent
+        checkpoint layout; identity without ckpt_transforms."""
+        if ckpt_transforms is None:
+            return p, o
+        tags, to_ckpt, _ = ckpt_transforms
+        p = jax.tree.map(to_ckpt, p, tags)
+        if o is not None:
+            o = optax.tree_map_params(tx, to_ckpt, o, tags)
+        return p, o
+
+    def _from_ckpt(p, o):
+        if ckpt_transforms is None:
+            return p, o
+        tags, _, from_ckpt = ckpt_transforms
+        p = jax.tree.map(from_ckpt, p, tags)
+        if o is not None:
+            o = optax.tree_map_params(tx, from_ckpt, o, tags)
+        return p, o
+
     def _ckpt_state():
-        s = {"params": params}
-        if not rc.no_save_optim:
-            s["opt_state"] = opt_state
+        p, o = _to_ckpt(params, None if rc.no_save_optim else opt_state)
+        s = {"params": p}
+        if o is not None:
+            s["opt_state"] = o
         if aux is not None:
             s["aux"] = aux
         return s
@@ -762,7 +810,8 @@ def run_workload(params, loss_fn: Callable, batch_iter: Iterator,
                 loaded_aux = _place_like(raw_aux, aux)
             except KeyError:
                 pass
-        return _place_like(loaded, params), loaded_aux, from_step
+        p, _ = _from_ckpt(_place_like(loaded, params), None)
+        return p, loaded_aux, from_step
 
     def _meta(i):
         # `consumed` is the running (rampup-aware) sample count; before the
@@ -785,7 +834,7 @@ def run_workload(params, loss_fn: Callable, batch_iter: Iterator,
                   flush=True)
         else:
             tree, meta, start_step = load_checkpoint(rc.save, _load_template())
-            params, opt_state = tree["params"], tree["opt_state"]
+            params, opt_state = _from_ckpt(tree["params"], tree["opt_state"])
             aux = tree.get("aux", aux)
             print(f"[{rc.name}] resumed from {rc.save} @ step {start_step} "
                   f"(consumed_samples={meta.get('consumed_samples', 0)})",
@@ -813,7 +862,7 @@ def run_workload(params, loss_fn: Callable, batch_iter: Iterator,
                   flush=True)
         else:
             tree, meta, start_step = load_checkpoint(rc.load, _load_template())
-            params, opt_state = tree["params"], tree["opt_state"]
+            params, opt_state = _from_ckpt(tree["params"], tree["opt_state"])
             aux = tree.get("aux", aux)
             print(f"[{rc.name}] loaded {rc.load} @ step {start_step} "
                   f"(continuing; saving to {rc.save})", flush=True)

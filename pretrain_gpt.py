@@ -224,7 +224,18 @@ def run(args):
     if args.adam_beta2 is None:
         rc.beta2 = 0.95      # the megatron GPT recipe default
     rc.tokens_per_sample = args.seq_length
-    mesh, layers_fn = build_workload_mesh(rc)
+    mesh, layers_fn = build_workload_mesh(rc, vpp_prearranged=True)
+    ckpt_transforms = None
+    if mesh is not None and rc.pp > 1 and rc.vpp > 1:
+        # interleaved pipeline: place the stacked layers in vpp_arrange
+        # physical order ONCE (stage s's contiguous shard = its round-robin
+        # chunks) so the schedule reads weights with zero cross-stage
+        # traffic; checkpoints stay logical via the transforms
+        from megatron_clip_tpu.parallel.pipeline import vpp_arrange
+        from megatron_clip_tpu.training.workload import vpp_ckpt_transforms
+        ckpt_transforms = vpp_ckpt_transforms(params, "blocks", rc.pp, rc.vpp)
+        params = dict(params,
+                      blocks=vpp_arrange(params["blocks"], rc.pp, rc.vpp))
     specs = gpt_param_specs(params,
                             stage_axis=STAGE if rc.pp > 1 else None)
 
@@ -315,7 +326,7 @@ def run(args):
                        param_specs=specs, use_rng=use_dropout,
                        val_iter_factory=val_batches,
                        eval_loss_fn=lambda p, b: loss_fn(p, b, None, _tcfg=tcfg_eval),
-                       args_ns=args)
+                       args_ns=args, ckpt_transforms=ckpt_transforms)
     r = {"loss": out["loss"], "history": out["history"]}
     if "val_loss" in out:
         r["val_loss"] = out["val_loss"]

@@ -364,3 +364,82 @@ def test_joint_clip_pipeline_matches_single_device(devices8):
     for a, b in zip(jax.tree.leaves(r1.state.params),
                     jax.tree.leaves(r2.state.params)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-4)
+
+
+def test_interleaved_prearranged_matches_logical(devices8):
+    """vpp_arrange physical placement (zero cross-stage weight movement) must
+    be numerically identical to the logical-order schedule, and vpp_restore
+    must invert vpp_arrange exactly (checkpoints stay logical)."""
+    from megatron_clip_tpu.parallel.pipeline import (
+        pipeline_transformer_interleaved, vpp_arrange, vpp_restore)
+
+    cfg = TransformerCfg(layers=8, width=64, heads=4)
+    blocks = init_transformer(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 16, 64))
+    mesh = build_mesh(ParallelCfg(dp=4, pp=2))
+
+    want = apply_transformer(blocks, x, cfg)
+    log = pipeline_transformer_interleaved(
+        blocks, x, cfg, mesh=mesh, num_microbatches=4, num_chunks=2)
+    pre_blocks = vpp_arrange(blocks, 2, 2)
+    pre = pipeline_transformer_interleaved(
+        pre_blocks, x, cfg, mesh=mesh, num_microbatches=4, num_chunks=2,
+        prearranged=True)
+    np.testing.assert_allclose(np.asarray(log), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(pre), np.asarray(log),
+                               rtol=1e-6, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(vpp_restore(pre_blocks, 2, 2)),
+                    jax.tree.leaves(blocks)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_interleaved_prearranged_gradients_match(devices8):
+    """Gradients through the prearranged schedule, restored to logical
+    order, equal the logical schedule's gradients."""
+    from megatron_clip_tpu.parallel.pipeline import (
+        pipeline_transformer_interleaved, vpp_arrange, vpp_restore)
+
+    cfg = TransformerCfg(layers=4, width=64, heads=2)
+    blocks = init_transformer(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 8, 64))
+    mesh = build_mesh(ParallelCfg(dp=4, pp=2))
+
+    g_log = jax.grad(lambda b: jnp.sum(pipeline_transformer_interleaved(
+        b, x, cfg, mesh=mesh, num_microbatches=4, num_chunks=2) ** 2))(blocks)
+    g_pre = jax.grad(lambda b: jnp.sum(pipeline_transformer_interleaved(
+        b, x, cfg, mesh=mesh, num_microbatches=4, num_chunks=2,
+        prearranged=True) ** 2))(vpp_arrange(blocks, 2, 2))
+    for a, b in zip(jax.tree.leaves(vpp_restore(g_pre, 2, 2)),
+                    jax.tree.leaves(g_log)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_zigzag_rope_requires_position_ids(devices8):
+    """zigzag CP without explicit zigzag position_ids must raise (natural-
+    order rope tables against zigzag-masked ring attention would be silently
+    wrong) — in the plain transformer, the pipeline, and apply_gpt."""
+    import dataclasses
+    from megatron_clip_tpu.models.gpt import GPTCfg, apply_gpt, init_gpt
+
+    cfg = dataclasses.replace(CFG, rope=True, context_parallel=True,
+                              context_parallel_layout="zigzag")
+    blocks = init_transformer(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 16, 64))
+    with pytest.raises(ValueError, match="zigzag"):
+        apply_transformer(blocks, x, cfg, causal=True)
+
+    mesh = build_mesh(ParallelCfg(pp=2, cp=2, dp=2))
+    with pytest.raises(ValueError, match="zigzag"):
+        pipeline_transformer(blocks, x, cfg, mesh=mesh, num_microbatches=2,
+                             causal=True)
+
+    gcfg = GPTCfg(num_layers=2, hidden_size=64, num_heads=4, vocab_size=128,
+                  seq_length=16, position_embedding="learned")
+    gparams = init_gpt(jax.random.PRNGKey(0), gcfg)
+    tcfg = gcfg.transformer(context_parallel=True,
+                            context_parallel_layout="zigzag")
+    tokens = jnp.ones((2, 16), jnp.int32)
+    with pytest.raises(ValueError, match="zigzag"):
+        apply_gpt(gparams, tokens, gcfg, tcfg=tcfg)

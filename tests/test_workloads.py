@@ -389,3 +389,33 @@ def test_megatron_flag_aliases():
         "--encoder-num-layers", "3", "--decoder-num-layers", "2",
         "--num-attention-heads", "4"])
     assert (a.num_layers, a.num_decoder_layers, a.num_heads) == (3, 2, 4)
+
+
+def test_gpt_vpp_resume_equivalence(devices8, tmp_path):
+    """Interleaved pipeline (vpp2): the in-memory layers live in
+    vpp_arrange physical order but checkpoints stay logical — 3+save+
+    resume+3 must equal 6 straight steps, and the checkpoint must load
+    into a pp1 run (layout independence)."""
+    from pretrain_gpt import parse_args, run
+    ck = str(tmp_path / "gpt_vpp_ck")
+    vpp = ["--num-layers", "8",
+           "--pipeline-model-parallel-size", "2",
+           "--virtual-pipeline-parallel-size", "2",
+           "--num-microbatches", "4",
+           "--fsdp-parallel-size", "2"]
+    m_full = run(parse_args(GPT_COMMON + vpp + ["--train-steps", "6"]))
+    run(parse_args(GPT_COMMON + vpp + ["--train-steps", "3", "--save", ck,
+                                       "--save-interval", "3"]))
+    # the step-3 checkpoint loads into a DIFFERENT layout (pp1): logical
+    # layer order in the checkpoint is what makes this legal. Run this
+    # BEFORE the resume run (which re-saves the root at step 6).
+    m_pp1 = run(parse_args(
+        GPT_COMMON + ["--num-layers", "8", "--fsdp-parallel-size", "2",
+                      "--train-steps", "4", "--load", ck, "--no-load-optim"]))
+    m_res = run(parse_args(GPT_COMMON + vpp + [
+        "--train-steps", "6", "--save", ck, "--resume"]))
+    np.testing.assert_allclose(m_res["loss"], m_full["loss"], atol=1e-5)
+    # both runs' first logged step after the checkpoint is step 4, computed
+    # from identical step-3 params (params-only load) -> identical loss
+    np.testing.assert_allclose(m_pp1["history"][0][1], m_res["history"][0][1],
+                               atol=1e-4)
