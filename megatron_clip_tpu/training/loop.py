@@ -474,15 +474,31 @@ class _JointRunner:
     def __init__(self, args, model, params, tx_factory, pcfg, loss_obj,
                  teacher=None):
         self.mesh = build_mesh(pcfg) if pcfg.num_devices > 1 else None
+        self._vpp = None
         if pcfg.pp > 1:
             if self.mesh is None:
                 raise ValueError("--pipeline-model-parallel-size > 1 needs "
                                  "more than one device")
-            from megatron_clip_tpu.parallel.pipeline import \
-                make_pipelined_layers_fn
+            from megatron_clip_tpu.parallel.pipeline import (
+                make_pipelined_layers_fn, vpp_arrange)
             model = dataclasses.replace(
                 model, layers_fn=make_pipelined_layers_fn(
-                    self.mesh, max(1, pcfg.microbatches), pcfg.vpp))
+                    self.mesh, max(1, pcfg.microbatches), pcfg.vpp,
+                    vpp_prearranged=pcfg.vpp > 1))
+            if pcfg.vpp > 1:
+                # interleaved schedule: place BOTH towers' stacked layers in
+                # vpp_arrange physical order once (stage s's contiguous
+                # shard = its round-robin chunks) so the per-step chunk
+                # lookup moves no weights across stages; checkpoints stay in
+                # logical layer order via _to_logical/_to_physical below.
+                # The pipelined joint path guarantees plain ViT+text towers
+                # (clip.py rejects layers_fn for resnet/convnext/swin/HF),
+                # so both subtrees have stacked "blocks".
+                self._vpp = (pcfg.pp, pcfg.vpp)
+                params = {**params}
+                for twr in ("visual", "text"):
+                    params[twr] = dict(params[twr], blocks=vpp_arrange(
+                        params[twr]["blocks"], pcfg.pp, pcfg.vpp))
         self.model = model
         self.tx = tx_factory(params)
         state = TrainState.create(params, self.tx)
@@ -505,13 +521,62 @@ class _JointRunner:
     def eval_model(self):
         return self.model, self.state.params
 
+    def _map_blocks(self, state, leaf_fn):
+        """Map each tower's stacked blocks (params AND the mirrored optimizer
+        leaves, via optax.tree_map_params) with leaf_fn — the layout hop
+        between the in-memory vpp_arrange physical order and the
+        layout-independent logical checkpoint order."""
+        import optax
+
+        tags = jax.tree.map(lambda _: False, state.params)
+        for twr in ("visual", "text"):
+            tags[twr] = dict(tags[twr], blocks=jax.tree.map(
+                lambda _: True, state.params[twr]["blocks"]))
+        def f(leaf, tag):
+            if not tag:
+                return leaf
+            out = leaf_fn(leaf)
+            if hasattr(leaf, "sharding"):
+                # host-index reordering drops the mesh placement; restore it
+                # so the next step doesn't silently reshard on entry
+                out = jax.device_put(out, leaf.sharding)
+            return out
+
+        return state._replace(
+            params=jax.tree.map(f, state.params, tags),
+            opt_state=optax.tree_map_params(self.tx, f, state.opt_state,
+                                            tags))
+
+    def _to_logical(self, state):
+        if self._vpp is None:
+            return state
+        from megatron_clip_tpu.parallel.pipeline import vpp_layer_order
+        pp, vpp = self._vpp
+        inv_cache = {}
+
+        def restore(leaf):
+            n = leaf.shape[0]
+            if n not in inv_cache:
+                inv_cache[n] = np.argsort(vpp_layer_order(n, pp, vpp))
+            return leaf[inv_cache[n]]
+
+        return self._map_blocks(state, restore)
+
+    def _to_physical(self, state):
+        if self._vpp is None:
+            return state
+        from megatron_clip_tpu.parallel.pipeline import vpp_layer_order
+        pp, vpp = self._vpp
+        return self._map_blocks(
+            state, lambda leaf: leaf[vpp_layer_order(leaf.shape[0], pp, vpp)])
+
     def save(self, root, step, consumed):
-        save_checkpoint(root, step, self.state._asdict(),
+        save_checkpoint(root, step, self._to_logical(self.state)._asdict(),
                         {"consumed_samples": consumed})
 
     def load(self, root):
         tree, meta, step = load_checkpoint(root, self.state._asdict())
-        self.state = TrainState(**tree)
+        self.state = self._to_physical(TrainState(**tree))
         return self.state, meta, step
 
 

@@ -443,3 +443,61 @@ def test_zigzag_rope_requires_position_ids(devices8):
     tokens = jnp.ones((2, 16), jnp.int32)
     with pytest.raises(ValueError, match="zigzag"):
         apply_gpt(gparams, tokens, gcfg, tcfg=tcfg)
+
+
+def test_joint_clip_vpp_prearranged_and_ckpt_layout(devices8, tmp_path):
+    """Joint CLIP with the interleaved schedule (vpp2): layers live in
+    vpp_arrange physical order in memory, but (a) training matches the
+    single-device step, and (b) checkpoints stay in logical layer order —
+    a vpp2 save must load into a pp1 runner bit-for-bit."""
+    from megatron_clip_tpu import factory
+    from megatron_clip_tpu.losses import ClipLoss
+    from megatron_clip_tpu.training.loop import _JointRunner
+    from megatron_clip_tpu.training.optim import make_optimizer
+
+    class A:
+        accum_freq = 1
+        seed = 0
+
+    towers = dict(
+        vision_cfg={"image_size": 32, "layers": 4, "width": 64,
+                    "head_width": 32, "patch_size": 8},
+        text_cfg={"context_length": 32, "vocab_size": 49408, "width": 64,
+                  "heads": 2, "layers": 4})
+    tx_factory = lambda p: make_optimizer(p, lambda s: 1e-3)
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.randn(8, 32, 32, 3).astype(np.float32))
+    texts = jnp.asarray(rng.randint(1, 40000, (8, 32)).astype(np.int32))
+
+    model1, params1 = factory.create_model("test-tiny", precision="fp32",
+                                           **towers)
+    r1 = _JointRunner(A(), model1, params1, tx_factory, ParallelCfg(),
+                      ClipLoss())
+    model2, params2 = factory.create_model("test-tiny", precision="fp32",
+                                           **towers)
+    r2 = _JointRunner(A(), model2, params2, tx_factory,
+                      ParallelCfg(dp=2, tp=2, pp=2, vpp=2, microbatches=4),
+                      ClipLoss())
+    for _ in range(2):
+        m1 = r1.step(images, texts)
+        m2 = r2.step(images, texts)
+    assert abs(float(m1["loss"]) - float(m2["loss"])) < 1e-4
+    # in-memory physical order differs from r1's logical order for blocks,
+    # but the checkpoint must be logical: save from vpp2, load into pp1
+    r2.save(str(tmp_path / "ck"), 2, 16)
+    model3, params3 = factory.create_model("test-tiny", precision="fp32",
+                                           **towers)
+    r3 = _JointRunner(A(), model3, params3, tx_factory, ParallelCfg(),
+                      ClipLoss())
+    r3.load(str(tmp_path / "ck"))
+    for a, b in zip(jax.tree.leaves(r1.state.params),
+                    jax.tree.leaves(r3.state.params)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-4)
+    # and resuming the vpp2 runner from its own checkpoint round-trips
+    r2b = _JointRunner(A(), *factory.create_model(
+        "test-tiny", precision="fp32", **towers), tx_factory,
+        ParallelCfg(dp=2, tp=2, pp=2, vpp=2, microbatches=4), ClipLoss())
+    r2b.load(str(tmp_path / "ck"))
+    for a, b in zip(jax.tree.leaves(r2.state.params),
+                    jax.tree.leaves(r2b.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
