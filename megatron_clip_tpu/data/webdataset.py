@@ -146,14 +146,37 @@ def split_by_worker(shards: List[str], worker_id: int,
     return list(shards[worker_id::num_workers])
 
 
+class _StopWorker(Exception):
+    """Raised inside an inline (thread) worker when the consumer is gone."""
+
+
+def _qput(out_q, item, stop):
+    """out_q.put that stays responsive to a consumer-side stop event —
+    threads can't be terminated, so an inline worker blocked on a full
+    queue would otherwise live (holding its shuffle buffer) forever."""
+    if stop is None:
+        out_q.put(item)
+        return
+    while True:
+        if stop.is_set():
+            raise _StopWorker
+        try:
+            out_q.put(item, timeout=0.5)
+            return
+        except queue.Full:
+            continue
+
+
 def _worker_loop(shards, seed, shuffle, shuffle_buffer, preprocess,
                  tokenizer, context_length, batch_size, out_q,
-                 skip_samples: int = 0):
+                 skip_samples: int = 0, stop=None):
     """Decode worker: stream its shard slice, emit ready (images, texts)
     batches. Runs in a separate process (real decode parallelism — PIL is
     CPU-bound) or inline. `skip_samples` raw samples are skipped BEFORE
     decode — the cheap consumed-samples fast-forward on resume (megatron
-    data_samplers.py:14-48 semantics; tar read is ~free vs PIL decode)."""
+    data_samplers.py:14-48 semantics; tar read is ~free vs PIL decode).
+    `stop` (inline thread workers only): event the consumer sets when it
+    exits early; every queue put watches it."""
     rng = random.Random(seed)
     imgs, caps = [], []
     try:
@@ -179,9 +202,9 @@ def _worker_loop(shards, seed, shuffle, shuffle_buffer, preprocess,
                 imgs.append(preprocess(img))
                 caps.append(cap)
                 if len(imgs) == batch_size:
-                    out_q.put((np.stack(imgs),
-                               np.asarray(tokenizer(caps, context_length),
-                                          np.int32)))
+                    _qput(out_q, (np.stack(imgs),
+                                  np.asarray(tokenizer(caps, context_length),
+                                             np.int32)), stop)
                     imgs, caps = [], []
         if shuffle:
             rng.shuffle(buf)
@@ -189,12 +212,17 @@ def _worker_loop(shards, seed, shuffle, shuffle_buffer, preprocess,
             imgs.append(preprocess(img))
             caps.append(cap)
             if len(imgs) == batch_size:
-                out_q.put((np.stack(imgs),
-                           np.asarray(tokenizer(caps, context_length),
-                                      np.int32)))
+                _qput(out_q, (np.stack(imgs),
+                              np.asarray(tokenizer(caps, context_length),
+                                         np.int32)), stop)
                 imgs, caps = [], []
+    except _StopWorker:
+        pass
     finally:
-        out_q.put(None)
+        try:
+            _qput(out_q, None, stop)
+        except _StopWorker:
+            pass
 
 
 def device_prefetch(iterator, size: int = 2):
@@ -331,14 +359,16 @@ class WdsData:
         skips = [self.batch_size * max(0, -(-(skip_b - w) // nw))
                  for w in range(nw)]
 
+        stop_evt = None
         if n_workers <= 1:
             # inline: one background thread keeps decode off the train loop
             q: "queue.Queue" = queue.Queue(maxsize=8)
+            stop_evt = threading.Event()
             t = threading.Thread(
                 target=_worker_loop,
                 args=(shards, base_seed, self.shuffle, self.shuffle_buffer,
                       self.preprocess, self.tokenizer, self.context_length,
-                      self.batch_size, q, skips[0]),
+                      self.batch_size, q, skips[0], stop_evt),
                 daemon=True)
             t.start()
             queues, live = [q], 1
@@ -386,6 +416,15 @@ class WdsData:
             for p in procs:
                 if p.is_alive():
                     p.terminate()
+            if stop_evt is not None:
+                # inline thread worker: signal it and drain its queue so a
+                # blocked put wakes promptly (threads can't be terminated)
+                stop_evt.set()
+                try:
+                    while True:
+                        queues[0].get_nowait()
+                except queue.Empty:
+                    pass
             for q_ in queues:
                 if hasattr(q_, "cancel_join_thread"):
                     q_.cancel_join_thread()

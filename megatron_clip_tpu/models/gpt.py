@@ -224,6 +224,13 @@ def gpt_loss(params, tokens, cfg: GPTCfg, *, loss_mask=None,
     else:
         inputs = tokens
         mask = None if loss_mask is None else loss_mask.astype(jnp.float32)
+    if tcfg is None:
+        # gpt_loss IS the training objective: default to train=True so MoE
+        # routes with sinkhorn balancing + capacity (megatron SwitchMLP
+        # self.training semantics) — the bare cfg.transformer() default of
+        # train=False is for inference (apply_gpt). Callers wanting eval
+        # loss pass an explicit tcfg (pretrain_gpt.py tcfg_eval).
+        tcfg = cfg.transformer(train=True)
     if fused_ce and not cfg.num_experts:
         # fused lm-head + CE Pallas kernel: logits never hit HBM
         # (ops/pallas/fused_ce.py — the single-chip answer to megatron's

@@ -86,22 +86,32 @@ def apply_switch_mlp(params, x, *, act: str = "gelu",
         # Eval = megatron SwitchMLP semantics exactly: every token through
         # its argmax expert, NO capacity drops (the capacity queue below is
         # batch-dependent — a token's fate would change with what else is in
-        # the batch). Dense all-experts compute (E x the MLP flops) keeps
-        # shapes static; the onehot combine selects each token's own expert.
+        # the batch). All-experts compute (E x the MLP flops) keeps shapes
+        # static, but scanned one expert at a time so the live activation is
+        # [N, H] — a dense [N, E, H] einsum is E x that and OOMs configs
+        # whose TRAINING fits (e.g. 64 experts).
         onehot = jax.nn.one_hot(expert, e, dtype=jnp.float32)
-        h = jnp.einsum("nw,ewh->neh", xt, params["w1"].astype(x.dtype))
-        if "b1" in params:
-            h = h + params["b1"].astype(x.dtype)[None]
-        if act == "swiglu":
-            from megatron_clip_tpu.ops.activations import swiglu as _swiglu
-            h = _swiglu(h)
-        else:
-            h = get_act(act)(h)
-        ye = jnp.einsum("neh,ehw->new", h, params["w2"].astype(x.dtype))
-        if "b2" in params:
-            ye = ye + params["b2"].astype(x.dtype)[None]
-        y = jnp.einsum("ne,new->nw", (onehot * gate[:, None]).astype(x.dtype),
-                       ye)
+
+        def one_expert(y, packed):
+            ei, w1, w2, b1, b2 = packed
+            h = xt @ w1.astype(x.dtype)
+            if b1 is not None:
+                h = h + b1.astype(x.dtype)
+            if act == "swiglu":
+                from megatron_clip_tpu.ops.activations import \
+                    swiglu as _swiglu
+                h = _swiglu(h)
+            else:
+                h = get_act(act)(h)
+            o = h @ w2.astype(x.dtype)
+            if b2 is not None:
+                o = o + b2.astype(x.dtype)
+            sel = jnp.where(expert == ei, gate, 0.0).astype(x.dtype)
+            return y + sel[:, None] * o, None
+
+        xs = (jnp.arange(e), params["w1"], params["w2"],
+              params.get("b1"), params.get("b2"))
+        y, _ = jax.lax.scan(one_expert, jnp.zeros_like(xt), xs)
         frac_tokens = jnp.mean(onehot, axis=0)
         aux = e * jnp.sum(frac_tokens * jnp.mean(probs, axis=0))
         return y.reshape(b, s, w), aux

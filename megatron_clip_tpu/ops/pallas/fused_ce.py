@@ -157,7 +157,7 @@ def fused_linear_cross_entropy(x, w, labels, block_t: int = 0,
     import os
     wd = x.shape[1]
     if not block_t:
-        block_t = int(os.environ.get("MCT_FLCE_BT", "256"))
+        block_t = int(os.environ.get("MCT_FLCE_BT", "0")) or 256
     if not block_v:
         block_v = int(os.environ.get("MCT_FLCE_BV", "0")) or \
             max(128, min(512, (512 * 1024 // wd) // 128 * 128))

@@ -309,18 +309,25 @@ def add_megatron_compat_args(p):
         "megatron compatibility",
         "accepted so reference megatron commands run unmodified; "
         "no-ops warn once (see MIGRATING.md)")
+    # only flags the ENTRY did not already define for real are no-ops —
+    # e.g. pretrain_gpt's --max-position-embeddings actively sizes the pos
+    # table; warning "no-op" about it there would be wrong
+    registered = []
     for flag in _MEGATRON_NOOP_STORE_TRUE:
         try:
             g.add_argument(flag, action="store_true",
                            help=argparse.SUPPRESS)
+            registered.append(flag)
         except argparse.ArgumentError:
             pass  # the entry defines a real version of this flag
     for flag, typ in _MEGATRON_NOOP_VALUE.items():
         try:
             g.add_argument(flag, type=typ, default=None,
                            help=argparse.SUPPRESS)
+            registered.append(flag)
         except argparse.ArgumentError:
             pass
+    p.set_defaults(_mct_noop_flags=tuple(registered))
     for flag, hlp in (
             ("--bf16", "megatron --bf16: maps to --precision bf16"),
             ("--fp16", "megatron --fp16: bf16 is used instead on TPU "
@@ -368,23 +375,28 @@ def add_megatron_compat_args(p):
         pass
 
 
-def vocab_size_from_tokenizer_args(args, extra_ids: int = 0):
+def vocab_size_from_tokenizer_args(args, extra_ids: int = 0,
+                                   with_real: bool = False):
     """megatron sizes the embedding from the tokenizer files, not a
     --vocab-size flag (tokenizer.py build_tokenizer +
     _vocab_size_with_padding): when --vocab-file / --merge-file /
     --tokenizer-model are passed, derive the padded vocab size the same
     way so reference launch scripts produce the same model shape. Returns
     None when no tokenizer files were given (the entry's --vocab-size
-    applies)."""
+    applies). with_real=True returns (padded, real) — datasets that SAMPLE
+    token ids (BERT MLM random replacement) must draw from the real
+    tokenizer vocab, never the padding rows (megatron bert_dataset.py
+    vocab_id_list)."""
     from megatron_clip_tpu.tokenizer import megatron_tokenizers as mt
     tt = getattr(args, "tokenizer_type", None) or ""
     vf = getattr(args, "vocab_file", None)
     mf = getattr(args, "merge_file", None)
     sp = getattr(args, "tokenizer_model", None)
     if not (vf or sp):
-        return None
+        return (None, None) if with_real else None
     if tt in ("NullTokenizer", "CLIPTokenizer"):
-        return None  # fixed-size vocabs; the entry's default already matches
+        # fixed-size vocabs; the entry's default already matches
+        return (None, None) if with_real else None
     if sp or tt in ("SentencePieceTokenizer", "GPTSentencePieceTokenizer",
                     "Llama2Tokenizer"):
         tok = mt.SentencePieceTokenizer(sp or vf)
@@ -397,7 +409,9 @@ def vocab_size_from_tokenizer_args(args, extra_ids: int = 0):
     # (megatron --vocab-extra-ids, tokenizer.py _T5 vocab build)
     d = getattr(args, "make_vocab_size_divisible_by", None) or 128
     tp = getattr(args, "tensor_model_parallel_size", 1) or 1
-    return mt.vocab_size_with_padding(tok.vocab_size + extra_ids, d, tp)
+    real = tok.vocab_size + extra_ids
+    padded = mt.vocab_size_with_padding(real, d, tp)
+    return (padded, real) if with_real else padded
 
 
 def normalize_megatron_compat(ns):
@@ -417,10 +431,15 @@ def normalize_megatron_compat(ns):
         if getattr(ns, "recompute_activations", False) \
                 and ns.recompute_granularity == "none":
             ns.recompute_granularity = "selective"
-    set_noops = [f for f in _MEGATRON_NOOP_STORE_TRUE
-                 if getattr(ns, f[2:].replace("-", "_"), False) is True]
-    set_noops += [f for f, _ in _MEGATRON_NOOP_VALUE.items()
-                  if getattr(ns, f[2:].replace("-", "_"), None) is not None]
+    # warn only for flags registered AS no-ops on this entry's parser
+    # (an entry's real flag of the same name is behavior-bearing)
+    noop_true = set(getattr(ns, "_mct_noop_flags",
+                            tuple(_MEGATRON_NOOP_STORE_TRUE)
+                            + tuple(_MEGATRON_NOOP_VALUE)))
+    set_noops = [f for f in _MEGATRON_NOOP_STORE_TRUE if f in noop_true
+                 and getattr(ns, f[2:].replace("-", "_"), False) is True]
+    set_noops += [f for f in _MEGATRON_NOOP_VALUE if f in noop_true
+                  and getattr(ns, f[2:].replace("-", "_"), None) is not None]
     if set_noops:
         warnings.warn("megatron flags accepted but no-ops on TPU: "
                       + " ".join(sorted(set_noops)))

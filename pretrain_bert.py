@@ -59,13 +59,17 @@ def run(args):
 
     from megatron_clip_tpu.training.workload import \
         vocab_size_from_tokenizer_args
-    vocab = vocab_size_from_tokenizer_args(args)
+    vocab, real_vocab = vocab_size_from_tokenizer_args(args, with_real=True)
     if vocab is None:
+        real_vocab = args.vocab_size
         vocab = args.vocab_size
         if args.make_vocab_size_divisible_by:
             d = args.make_vocab_size_divisible_by
             vocab = -(-vocab // d) * d
-    args.vocab_size = vocab   # the dataset masking draws from it too
+    # model embedding = padded size; MLM random replacement / synthetic
+    # tokens draw from the REAL vocab only — megatron samples replacements
+    # from vocab_id_list (bert_dataset.py), never the padding rows
+    args.vocab_size = real_vocab
     cfg = BertCfg(num_layers=args.num_layers, hidden_size=args.hidden_size,
                   num_heads=args.num_heads, vocab_size=vocab,
                   seq_length=args.seq_length,

@@ -93,10 +93,12 @@ def run(args):
 
     # --vocab-file given: size the vocab like megatron's T5 tokenizer
     # (wordpiece + <extra_id_k> sentinels, padded)
-    tok_vocab = vocab_size_from_tokenizer_args(
-        args, extra_ids=args.vocab_extra_ids)
+    tok_vocab, real_vocab = vocab_size_from_tokenizer_args(
+        args, extra_ids=args.vocab_extra_ids, with_real=True)
     if tok_vocab is not None:
         args.vocab_size = tok_vocab
+    else:
+        real_vocab = args.vocab_size
 
     if args.kv_channels not in (None, args.hidden_size // args.num_heads):
         raise SystemExit(
@@ -127,7 +129,10 @@ def run(args):
     mesh, _ = build_workload_mesh(rc)
     specs = generic_param_specs(params)
 
-    sentinel_base = args.vocab_size - args.vocab_extra_ids
+    # sentinels are the <extra_id_k> ids the TOKENIZER appended — the last
+    # extra_ids rows of the REAL vocab, before any divisibility padding
+    # (megatron tokenizer.py _T5 vocab build; padding rows hold no tokens)
+    sentinel_base = real_vocab - args.vocab_extra_ids
 
     def _doc_split(index):
         from megatron_clip_tpu.data.indexed_dataset import MMapIndexedDataset
@@ -149,7 +154,7 @@ def run(args):
                 max_seq_length_dec=args.decoder_seq_length,
                 masked_lm_prob=args.masked_lm_prob,
                 short_seq_prob=args.short_seq_prob,
-                vocab_size=args.vocab_size, num_epochs=1000,
+                vocab_size=real_vocab, num_epochs=1000,
                 num_sentinels=args.vocab_extra_ids,
                 seed=seed)
         else:

@@ -164,8 +164,40 @@ def test_vocab_size_from_tokenizer_args(tmp_path):
     assert vocab_size_from_tokenizer_args(ns) == 1024
     # T5: +100 sentinels first -> 1100 -> 1280
     assert vocab_size_from_tokenizer_args(ns, extra_ids=100) == 1280
+    # with_real: datasets that SAMPLE ids (BERT MLM replacement, T5
+    # sentinel placement) must see the REAL tokenizer size, not padding
+    assert vocab_size_from_tokenizer_args(ns, with_real=True) == (1024, 1000)
+    assert vocab_size_from_tokenizer_args(
+        ns, extra_ids=100, with_real=True) == (1280, 1100)
     ns.vocab_file = None
     assert vocab_size_from_tokenizer_args(ns) is None
+    assert vocab_size_from_tokenizer_args(ns, with_real=True) == (None, None)
+
+
+def test_noop_warning_skips_entry_real_flags():
+    """--max-position-embeddings is behavior-bearing on the GPT entry (it
+    sizes the learned pos table); only entries that registered it as a
+    compat no-op may warn about it."""
+    import argparse
+    import warnings
+    from pretrain_gpt import parse_args
+    from megatron_clip_tpu.training.workload import (
+        add_megatron_compat_args, normalize_megatron_compat)
+
+    a = parse_args(["--max-position-embeddings", "2048",
+                    "--seq-length", "32"])
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        normalize_megatron_compat(a)
+    assert not any("--max-position-embeddings" in str(x.message) for x in w)
+
+    p = argparse.ArgumentParser()   # an entry with no real version
+    add_megatron_compat_args(p)
+    b = p.parse_args(["--max-position-embeddings", "512"])
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        normalize_megatron_compat(b)
+    assert any("--max-position-embeddings" in str(x.message) for x in w)
 
 
 def test_rampup_batch_size(tmp_path, capsys):
