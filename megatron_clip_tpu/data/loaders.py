@@ -24,6 +24,17 @@ class DataInfo:
     def __iter__(self):
         return iter(self.loader)
 
+    def __getattr__(self, name):
+        # Delegate loader-control methods (set_epoch / skip_batches) to the
+        # wrapped pipeline so callers holding the DataInfo wrapper reach
+        # them — the resume fast-forward probes hasattr() on this object,
+        # and without delegation a webdataset resume silently replayed the
+        # epoch-0 shard order (open_CLIP's DataInfo.set_epoch equivalent,
+        # data.py:66-69).
+        if name.startswith("__") or name == "loader":
+            raise AttributeError(name)
+        return getattr(self.loader, name)
+
 
 class SyntheticData:
     """open_CLIP --dataset-type synthetic (data.py:487-505): fixed random

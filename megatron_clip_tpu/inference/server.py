@@ -100,6 +100,12 @@ class GenerationService:
         if add_bos and self.eos_id >= 0:
             # megatron add_BOS prepends tokenizer.eod (tokenization.py)
             ids = [[self.eos_id] + seq for seq in ids]
+        if any(len(seq) == 0 for seq in ids):
+            # a zero-length prompt makes the next-token gather index -1
+            # (clamped to position 0) and produces silently-wrong output;
+            # megatron requires add_BOS for empty prompts (tokenization.py)
+            raise ValueError("empty prompt (tokenizes to zero tokens); "
+                             "pass add_BOS to generate unconditionally")
         max_len = _bucket(max(len(i) for i in ids))
         batch = np.zeros((len(ids), max_len), np.int32)
         lens = np.zeros((len(ids),), np.int32)
@@ -181,6 +187,8 @@ class GenerationService:
         tokens_to_generate = max(1, min(int(tokens_to_generate),
                                         self.MAX_TOKENS_TO_GENERATE))
         ids = self.tokenizer.encode(prompts[0])
+        if not ids:
+            raise ValueError("empty prompt (tokenizes to zero tokens)")
         if self._pp_stages() > 1:
             raise ValueError("beam search is not supported under "
                              "pipeline-parallel serving; use a tp-only mesh")
@@ -190,16 +198,22 @@ class GenerationService:
             if self.mesh is not None:
                 import jax
                 ctx = jax.sharding.set_mesh(self.mesh)
+            # beam_search needs a concrete eos id (finished beams are frozen
+            # by extending with it at zero cost); when the tokenizer has
+            # none, token 0 plays that role — and the SAME id must drive the
+            # truncation below, else the frozen beams' padding tokens leak
+            # into the returned text
+            eff_eos = self.eos_id if self.eos_id >= 0 else 0
             with ctx:
                 toks, scores = beam_search(
                     self.params, jnp.asarray([ids], jnp.int32), self.cfg,
                     beam_size=int(beam_width),
                     max_new_tokens=tokens_to_generate,
-                    eos_id=self.eos_id if self.eos_id >= 0 else 0,
+                    eos_id=eff_eos,
                     length_penalty=float(length_penalty))
         best = list(np.asarray(toks)[0, 0, len(ids):])
-        if self.eos_id in best:
-            best = best[:best.index(self.eos_id)]
+        if eff_eos in best:
+            best = best[:best.index(eff_eos)]
         seq = [int(t) for t in ids] + [int(t) for t in best]
         text = self.tokenizer.decode([int(t) for t in ids]) + \
             self.tokenizer.decode([int(t) for t in best])

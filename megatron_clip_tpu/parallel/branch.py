@@ -137,6 +137,12 @@ class BranchParallelCLIP:
             self.text_mesh = self.vision_mesh
 
         cfg = self.cfg
+        # NOTE: the branch towers use the LOGICAL (non-prearranged) weight
+        # layout under vpp>1 — correct, but each step pays the round-robin
+        # chunk gather across stages; the joint runner's zero-copy
+        # vpp_arrange placement is the fast layout (training/loop.py
+        # _JointRunner) and could be adopted here with the same
+        # logical-order checkpoint/eval conversions.
         from megatron_clip_tpu.parallel.pipeline import make_pipelined_layers_fn
         v_layers_fn = (make_pipelined_layers_fn(self.vision_mesh,
                                                 self.bp.vision.microbatches,
@@ -200,8 +206,20 @@ class BranchParallelCLIP:
         head_params = jax.device_put(
             head_params, NamedSharding(self.vision_mesh, P()))
 
-        v_tx, t_tx, h_tx = (tx_factory(vparams), tx_factory(tparams),
-                            tx_factory(head_params))
+        # tell the factory WHICH tower each subtree is (the LiT lock mask
+        # keys off "visual"/"text" top-level names, which per-tower subtrees
+        # don't carry); plain single-arg factories are called as-is
+        import inspect
+
+        def _tx(p, tower):
+            try:
+                accepts = "tower" in inspect.signature(tx_factory).parameters
+            except (TypeError, ValueError):
+                accepts = False
+            return tx_factory(p, tower=tower) if accepts else tx_factory(p)
+
+        v_tx, t_tx, h_tx = (_tx(vparams, "visual"), _tx(tparams, "text"),
+                            _tx(head_params, None))
         self._vision = _Branch(self.vision_mesh, self._vision_fwd, v_tx,
                                accum=self.accum_freq)
         self._text = _Branch(self.text_mesh, self._text_fwd, t_tx,

@@ -96,6 +96,22 @@ def _model_overrides(args) -> dict:
     return ov
 
 
+def _call_tx_factory(factory, params, **kw):
+    """Call an optimizer factory, forwarding only the keyword hints
+    (tower=/vpp_layout=) its signature accepts — user-supplied factories
+    are often plain single-arg lambdas."""
+    import inspect
+    try:
+        sig = inspect.signature(factory)
+        has_var_kw = any(q.kind == inspect.Parameter.VAR_KEYWORD
+                         for q in sig.parameters.values())
+        if not has_var_kw:
+            kw = {k: v for k, v in kw.items() if k in sig.parameters}
+    except (TypeError, ValueError):
+        kw = {}
+    return factory(params, **kw)
+
+
 def _prune_older_checkpoints(root: str, keep_step: int) -> None:
     """open_CLIP --delete-previous-checkpoint: only the newest survives."""
     import glob
@@ -174,17 +190,32 @@ def _run_training(args, term) -> dict:
     lock_image = getattr(args, "lock_image", False)
     lock_text = getattr(args, "lock_text", False)
 
-    def tx_factory(p):
+    def tx_factory(p, tower=None, vpp_layout=None):
+        """Optimizer for a param tree `p`.
+
+        tower: "visual"/"text" when `p` is a single tower subtree (the
+        branch-parallel runner optimizes each tower separately — without
+        the tower name the LiT lock mask can't tell which tower it is
+        masking and --lock-* silently no-ops).
+        vpp_layout: (pp, vpp) when the stacked blocks in `p` are in
+        vpp_arrange PHYSICAL order — the per-layer lock-group vector is
+        computed in logical layer order and must be permuted the same way,
+        else --lock-*-unlocked-layers freezes the wrong layers.
+        """
         lock_mask = None
         if lock_image or lock_text:
             from megatron_clip_tpu.training.optim import tower_lock_mask
+            tree = {tower: p} if tower is not None else p
             lock_mask = tower_lock_mask(
-                p, lock_image=lock_image,
+                tree, lock_image=lock_image,
                 image_unlocked_groups=getattr(
                     args, "lock_image_unlocked_groups", 0),
                 lock_text=lock_text,
                 text_unlocked_layers=getattr(
-                    args, "lock_text_unlocked_layers", 0))
+                    args, "lock_text_unlocked_layers", 0),
+                vpp_layout=vpp_layout)
+            if tower is not None:
+                lock_mask = lock_mask[tower]
         return make_optimizer(
             p, schedule, beta1=args.beta1, beta2=args.beta2, eps=args.eps,
             weight_decay=args.wd, grad_clip_norm=args.grad_clip_norm,
@@ -231,13 +262,31 @@ def _run_training(args, term) -> dict:
                               loss_obj, teacher=teacher)
 
     start_step, consumed = 0, 0
-    if args.resume and args.save:
-        root = os.path.join(args.save, args.name or "default")
-        if latest_checkpoint_step(root) is not None:
+    if args.resume:
+        # open_CLIP --resume semantics (main.py:108-170): "latest" finds the
+        # newest checkpoint under the run dir; anything else is an explicit
+        # checkpoint root to load from (and loading from it does not require
+        # --save).
+        if args.resume != "latest":
+            root = os.path.expanduser(args.resume)
+            if latest_checkpoint_step(root) is None:
+                raise FileNotFoundError(
+                    f"--resume {args.resume}: no checkpoint tracker found "
+                    f"under that directory")
             state, meta, start_step = runner.load(root)
             consumed = meta.get("consumed_samples", 0)
             _log(f"resumed from {root} @ step {start_step} "
                  f"(consumed_samples={consumed})")
+        elif args.save:
+            root = os.path.join(args.save, args.name or "default")
+            if latest_checkpoint_step(root) is not None:
+                state, meta, start_step = runner.load(root)
+                consumed = meta.get("consumed_samples", 0)
+                _log(f"resumed from {root} @ step {start_step} "
+                     f"(consumed_samples={consumed})")
+        else:
+            _log("WARNING: --resume latest needs --save to locate the run "
+                 "dir; starting from scratch")
 
     save_root = os.path.join(args.save, args.name or "default") if args.save else None
     if getattr(args, "copy_codebase", False) and save_root:
@@ -333,6 +382,12 @@ def _run_training(args, term) -> dict:
             if step >= total_steps or (args.exit_interval and
                                        step >= args.exit_interval):
                 break
+            if step >= (epoch + 1) * steps_per_epoch:
+                # --steps-per-epoch shorter than the loader: stop the epoch
+                # here so the step//steps_per_epoch resume math, the LR
+                # schedule, and the epoch-boundary eval/save cadence all
+                # agree on where epochs fall
+                break
             metrics = runner.step(images, texts)
             step += 1
             consumed += args.batch_size
@@ -391,6 +446,13 @@ def _run_training(args, term) -> dict:
                      f"{args.exit_duration_in_mins} budget reached")
                 _finish()
                 return final_metrics
+        # a step budget (total_steps or --exit-interval) ends the RUN, not
+        # just the epoch: save/eval once below, then stop — looping over the
+        # remaining epochs would re-save the same step and re-run the same
+        # eval every epoch (megatron --exit-interval exits outright,
+        # training.py:829)
+        run_done = step >= total_steps or (args.exit_interval and
+                                           step >= args.exit_interval)
         if save_root and ((epoch + 1) % args.save_frequency == 0
                           or args.save_most_recent):
             runner.save(save_root, step, consumed)
@@ -456,6 +518,8 @@ def _run_training(args, term) -> dict:
                         f"{k}={v:.4f}" for k, v in zs2.items()))
                     final_metrics.update(
                         {f"v2_{k}": v for k, v in zs2.items()})
+        if run_done:
+            break
     if nan_iters:
         _log(f"total non-finite loss iterations: {nan_iters}")
     _finish()
@@ -500,7 +564,11 @@ class _JointRunner:
                     params[twr] = dict(params[twr], blocks=vpp_arrange(
                         params[twr]["blocks"], pcfg.pp, pcfg.vpp))
         self.model = model
-        self.tx = tx_factory(params)
+        # the per-layer lock-mask must follow the vpp physical layer order
+        # (tx_factory's vpp_layout); plain single-arg factories (tests,
+        # __graft_entry__) are called as-is
+        self.tx = _call_tx_factory(tx_factory, params, vpp_layout=self._vpp) \
+            if self._vpp else _call_tx_factory(tx_factory, params)
         state = TrainState.create(params, self.tx)
         if self.mesh is not None:
             from megatron_clip_tpu.parallel.mesh import STAGE
@@ -597,6 +665,7 @@ class _BranchRunner:
                                vpp=args.virtual_pipeline_parallel_size,
                                microbatches=args.num_microbatches),
             text=ParallelCfg(dp=tdp, fsdp=fsdp, tp=xtp, pp=xpp,
+                             vpp=args.virtual_pipeline_parallel_size,
                              microbatches=args.num_microbatches))
         self.model = model
         self.runner = BranchParallelCLIP(

@@ -35,7 +35,8 @@ def _no_decay_mask(params):
 def tower_lock_mask(params, *, lock_image: bool = False,
                     image_unlocked_groups: int = 0,
                     lock_text: bool = False,
-                    text_unlocked_layers: int = 0):
+                    text_unlocked_layers: int = 0,
+                    vpp_layout=None):
     """Build a pytree of float multipliers (1.0 = trainable, 0.0 = frozen)
     implementing open_CLIP's LiT-style tower locking
     (open_CLIP/src/open_clip/model.py:263-268, transformer.py:398-429).
@@ -95,6 +96,19 @@ def tower_lock_mask(params, *, lock_image: bool = False,
             mask[key] = tower_mask(val, text_unlocked_layers)
         else:
             mask[key] = jax.tree.map(lambda x: jnp.asarray(1.0, x.dtype), val)
+    if vpp_layout is not None:
+        # the stacked blocks in `params` are in vpp_arrange PHYSICAL order
+        # (interleaved pipeline's zero-copy placement) — the per-layer group
+        # vector above was computed in LOGICAL layer order, so permute it
+        # the same way; without this --lock-*-unlocked-layers freezes the
+        # wrong layers under pp>1, vpp>1
+        from megatron_clip_tpu.parallel.pipeline import vpp_arrange
+        pp_, vpp_ = vpp_layout
+        for key, locked in (("visual", lock_image), ("text", lock_text)):
+            if locked and isinstance(mask.get(key), dict) \
+                    and "blocks" in mask[key]:
+                mask[key] = dict(mask[key], blocks=vpp_arrange(
+                    mask[key]["blocks"], pp_, vpp_))
     return mask
 
 

@@ -37,15 +37,14 @@ class TrainState(NamedTuple):
 
 def make_train_step(model, tx, *, loss_obj: Optional[Callable] = None,
                     mesh: Optional[Mesh] = None, microbatches: int = 1,
-                    sequence_parallel: bool = False,
                     teacher=None,
                     jit: bool = True, seed: int = 0) -> Callable:
     """Build `step(state, images, texts) -> (state, metrics)`.
 
     model: factory.CLIPModel; tx: optax transformation.
-    With a mesh, inputs are constrained to batch sharding and (optionally)
-    sequence-parallel activation sharding is requested via the model's
-    sharding hints.
+    With a mesh, inputs are constrained to batch sharding;
+    sequence-parallel activation sharding is a model property
+    (dataclasses.replace(model, sequence_parallel=True)), not a step flag.
     teacher: optional `(teacher_model, teacher_params)` for distillation
     (open_CLIP --distill-model/--distill-pretrained, train.py dist_model
     forward + DistillClipLoss). The teacher runs under stop_gradient inside

@@ -53,6 +53,16 @@ def test_bad_request(server):
     assert status == 400 and "message" in out
 
 
+def test_empty_prompt_rejected(server):
+    """A prompt that tokenizes to zero tokens is a clean 400, not a
+    silently-wrong generation (the next-token gather index would be -1,
+    clamped to position 0). Beam path too."""
+    status, out = _put(server, {"prompts": [""], "tokens_to_generate": 4})
+    assert status == 400 and "empty prompt" in out["message"]
+    status, out = _put(server, {"prompts": [""], "beam_width": 2})
+    assert status == 400 and "empty prompt" in out["message"]
+
+
 def test_multi_prompt_batch(server):
     status, out = _put(server, {"prompts": ["one", "two three"],
                                 "tokens_to_generate": 3,

@@ -111,6 +111,46 @@ class TestTowerLock:
             tower_lock_mask(no_blocks, lock_image=True,
                             image_unlocked_groups=1)
 
+    def test_vpp_layout_permutes_per_layer_mask(self):
+        """Under the interleaved pipeline's physical weight placement
+        (vpp_arrange), the per-layer lock vector must be permuted to the
+        same order — physical row i gets the logical layer order[i]'s
+        lock bit (training/loop.py _JointRunner builds its optimizer on
+        arranged params)."""
+        import numpy as np
+        from megatron_clip_tpu.parallel.pipeline import (vpp_arrange,
+                                                         vpp_layer_order)
+        L, pp, vpp = 8, 2, 2
+        params = {"text": {"blocks": {"w": jnp.zeros((L, 4, 4))},
+                           "proj": jnp.zeros((4, 4))}}
+        logical = tower_lock_mask(params, lock_text=True,
+                                  text_unlocked_layers=4)
+        arranged = tower_lock_mask(
+            {"text": {"blocks": vpp_arrange(params["text"]["blocks"],
+                                            pp, vpp),
+                      "proj": params["text"]["proj"]}},
+            lock_text=True, text_unlocked_layers=4, vpp_layout=(pp, vpp))
+        order = vpp_layer_order(L, pp, vpp)
+        got = np.asarray(arranged["text"]["blocks"]["w"]).reshape(L)
+        want = np.asarray(logical["text"]["blocks"]["w"]).reshape(L)[order]
+        assert (got == want).all()
+        # and the physical mask must differ from the un-permuted one
+        # (otherwise this test would pass vacuously)
+        assert not (want == np.asarray(
+            logical["text"]["blocks"]["w"]).reshape(L)).all()
+
+    def test_tower_subtree_mask_via_tower_name(self):
+        """Branch-parallel optimizes each tower subtree separately; wrapping
+        the subtree under its tower name must reproduce the full-tree mask
+        (without it --lock-* silently no-ops in branch mode)."""
+        model, params = tiny_model()
+        full = tower_lock_mask(params, lock_image=True,
+                               image_unlocked_groups=2)
+        sub = tower_lock_mask({"visual": params["visual"]},
+                              lock_image=True, image_unlocked_groups=2)
+        assert jax.tree.all(jax.tree.map(
+            jnp.array_equal, full["visual"], sub["visual"]))
+
 
 class TestDistill:
     def test_distill_step_runs_and_teacher_fixed(self):

@@ -114,6 +114,82 @@ def test_synthetic_branch_parallel(devices8):
     assert np.isfinite(m["loss"])
 
 
+def test_resume_explicit_path(tmp_path):
+    """--resume <dir> loads from that checkpoint root (open_CLIP main.py
+    resume-by-path), without requiring --save."""
+    base = [a for a in TINY_ARGS if a not in ("--train-num-samples", "64")]
+    base += ["--train-num-samples", str(16 * 4), "--seed", "3"]
+    m_full = run_training(parse_args(base + ["--log-interval", "1"]))
+
+    root = str(tmp_path / "ck")
+    run_training(parse_args(
+        base + ["--save", root, "--name", "t", "--exit-interval", "2",
+                "--save-interval", "2"]))
+    m_resumed = run_training(parse_args(
+        base + ["--resume", os.path.join(root, "t"), "--log-interval", "1"]))
+    assert m_resumed["step"] == 4
+    np.testing.assert_allclose(m_resumed["loss"], m_full["loss"],
+                               rtol=1e-4, atol=1e-5)
+    # a bogus path is a loud error, not a silent from-scratch run
+    with pytest.raises(FileNotFoundError):
+        run_training(parse_args(base + ["--resume", str(tmp_path / "nope")]))
+
+
+def test_exit_interval_ends_run_not_epoch(tmp_path):
+    """Hitting --exit-interval stops the whole run after one boundary
+    save/eval — remaining epochs must not re-save the same step once per
+    epoch (megatron --exit-interval exits outright, training.py:829)."""
+    save = str(tmp_path / "ck")
+    m = run_training(parse_args(TINY_ARGS[:-2] + [
+        "--train-num-samples", "32", "--epochs", "10",
+        "--exit-interval", "2", "--save", save, "--save-frequency", "1"]))
+    assert m["step"] == 2
+    root = os.path.join(save, "default")
+    iters = sorted(d for d in os.listdir(root) if d.startswith("iter_"))
+    assert iters == ["iter_0000002"], iters
+
+
+def test_steps_per_epoch_bounds_epochs(tmp_path):
+    """--steps-per-epoch shorter than the loader ends each epoch at the
+    configured step count, so epoch-boundary saves land on exact
+    multiples (keeps the resume step//steps_per_epoch math honest)."""
+    save = str(tmp_path / "ck")
+    m = run_training(parse_args(TINY_ARGS + [
+        "--steps-per-epoch", "2", "--epochs", "2",
+        "--save", save, "--save-frequency", "1"]))
+    # loader has 4 batches/epoch but each epoch stops after 2 steps
+    assert m["step"] == 4
+    root = os.path.join(save, "default")
+    iters = sorted(d for d in os.listdir(root) if d.startswith("iter_"))
+    assert iters == ["iter_0000002", "iter_0000004"], iters
+
+
+def test_datainfo_delegates_loader_controls():
+    """The DataInfo wrapper must expose the underlying loader's
+    set_epoch/skip_batches — the resume fast-forward probes hasattr() on
+    the wrapper (training/loop.py), and without delegation a webdataset
+    resume silently replays the epoch-0 shard order."""
+    from megatron_clip_tpu.data.loaders import DataInfo, SyntheticData
+
+    ds = SyntheticData(4, 16, 32, context_length=16)
+    di = DataInfo(ds, ds.num_batches, 16)
+    assert hasattr(di, "skip_batches")
+    di.skip_batches(3)
+    assert len(list(di)) == ds.num_batches - 3
+    assert not hasattr(di, "set_epoch")  # SyntheticData has none — hasattr
+    # stays an honest capability probe through the delegation
+
+    class _Epochal(SyntheticData):
+        def set_epoch(self, e):
+            self.epoch = e
+
+    ds2 = _Epochal(4, 16, 32, context_length=16)
+    di2 = DataInfo(ds2, ds2.num_batches, 16)
+    assert hasattr(di2, "set_epoch")
+    di2.set_epoch(5)
+    assert ds2.epoch == 5
+
+
 def test_resume_equivalence(tmp_path, devices8):
     """N steps straight == N/2 steps + save + load + N/2 steps."""
     base = [a for a in TINY_ARGS if a not in ("--train-num-samples", "64")]
