@@ -1,24 +1,59 @@
 """Benchmark: CLIP training step throughput + MFU on the local chip.
 
-Prints ONE JSON line. Primary metric: ViT-B/32 train MFU (bs384). The same
-line also carries the north-star model's numbers (`vit_l14_*`: ViT-L/14,
-bs48, remat none, recompute-bwd attention kernel) so the driver artifact
-records both — BASELINE.json's target is ViT-L-class MFU >= 50%.
+Structured so the driver artifact survives any single slow leg
+(round-3 lesson: one uninterruptible XLA compile lost the whole record):
 
-Baseline anchor (BASELINE.md): the reference publishes no CLIP perf numbers;
-the north-star is >=50% MFU. vs_baseline is therefore measured MFU / 0.50.
+1. A repo-local persistent compilation cache (`.jax_cache/`) is enabled
+   programmatically, so repeat runs skip the multi-minute single-core
+   compiles entirely (measured: primary leg 4m26s cold -> 1m17s warm).
+2. The primary ViT-B/32 JSON line is printed (and flushed) IMMEDIATELY
+   after the primary leg — before any secondary leg starts.
+3. The ViT-L/14 and GPT-345m legs run in SUBPROCESSES with a hard kill
+   on budget (`subprocess.run(timeout=...)` SIGKILLs mid-compile, which
+   SIGALRM cannot). Their results merge into a final JSON line.
 
-Env knobs: BENCH_BATCH / BENCH_REMAT / BENCH_SCAN / BENCH_MU_DTYPE for the
-primary model; MCT_BENCH_SKIP_VITL=1 skips the ViT-L pass (halves runtime).
+Prints at least one JSON line (primary), and — when the secondary legs
+return in budget — a final merged line carrying `vit_l14_*` and
+`gpt_345m_*`. Both lines are complete artifacts; the last line printed
+is always the most complete one.
+
+Baseline anchor (BASELINE.md): the reference publishes no CLIP perf
+numbers; the north-star is >=50% MFU (BASELINE.json). vs_baseline is
+therefore measured MFU / 0.50.
+
+Env knobs: BENCH_BATCH / BENCH_REMAT / BENCH_SCAN / BENCH_MU_DTYPE for
+the primary model; MCT_BENCH_SKIP_VITL=1 / MCT_BENCH_SKIP_GPT=1 skip
+legs; MCT_BENCH_VITL_BUDGET / MCT_BENCH_GPT_BUDGET (seconds) bound each
+leg; BENCH_DEADLINE bounds the secondary phase overall.
 """
 import dataclasses
 import json
 import os
+import subprocess
 import sys
 import time
 
 import jax
 import jax.numpy as jnp
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+
+
+def enable_compile_cache():
+    """Point JAX at a repo-local persistent compilation cache.
+
+    The cache directory is intentionally NOT committed (gitignored); it
+    persists on the bench machine's disk between the builder session and
+    the driver's end-of-round run, turning the dominant cost (single-core
+    XLA compiles of unrolled 24-layer models) into a disk read.
+    """
+    cache = os.path.join(_REPO, ".jax_cache")
+    try:
+        os.makedirs(cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # noqa: BLE001 — cache is an optimization only
+        pass
 
 
 def transformer_flops_per_token(layers, width, mlp_hidden, seq):
@@ -146,9 +181,67 @@ def bench_gpt_345m(batch: int = 6, iters: int = 15, warmup: int = 2) -> dict:
             "tokens_per_sec": toks}
 
 
-def main():
-    on_cpu = jax.default_backend() == "cpu"
+def _run_leg(leg: str) -> None:
+    """Child-process entry: run one secondary leg, print its JSON fragment."""
+    if leg == "vitl":
+        # north-star model: pure_bf16 weights (open_CLIP --precision
+        # pure_bf16) halve param/grad/optimizer HBM -> bs64 fits with no
+        # remat: 59.6% MFU vs 56.6% for mixed-bf16 @ bs48 (bs80 OOMs).
+        # MCT_MHA_SAVE_PROBS=0 = recompute-bwd attention kernel.
+        os.environ["MCT_MHA_SAVE_PROBS"] = "0"
+        r = bench_clip("ViT-L-14", batch=64, iters=10, warmup=2,
+                       precision="pure_bf16")
+        out = {"vit_l14_mfu": round(r["mfu"], 4),
+               "vit_l14_images_per_sec": round(r["images_per_sec"], 1),
+               "vit_l14_step_ms": round(r["step_ms"], 2),
+               "vit_l14_vs_baseline": round(r["mfu"] / 0.50, 4)}
+    elif leg == "gpt":
+        # the megatron-workload rung (gpt-345m seq2048, pure-bf16 state,
+        # no remat, fused flash backward)
+        r = bench_gpt_345m()
+        out = {"gpt_345m_mfu": round(r["mfu"], 4),
+               "gpt_345m_hfu": round(r["hfu"], 4),
+               "gpt_345m_tokens_per_sec": round(r["tokens_per_sec"], 0)}
+    else:
+        raise SystemExit(f"unknown leg {leg!r}")
+    print(json.dumps(out), flush=True)
 
+
+def _budgeted_leg(leg: str, budget_s: float) -> dict:
+    """Run `bench.py --leg <leg>` as a subprocess with a hard-kill budget.
+
+    A subprocess dies mid-XLA-compile on timeout (SIGKILL); an in-process
+    SIGALRM only fires after the C++ compile returns — which is how round
+    3's artifact was lost. Returns the leg's JSON fragment or {}.
+    """
+    if budget_s <= 30:  # not worth starting a leg that can't finish
+        sys.stderr.write(f"bench: skipping {leg} (deadline exhausted)\n")
+        return {}
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--leg", leg],
+            stdout=subprocess.PIPE, stderr=sys.stderr,
+            timeout=budget_s, cwd=_REPO)
+    except subprocess.TimeoutExpired:
+        sys.stderr.write(f"bench: {leg} leg killed at {budget_s:.0f}s budget\n")
+        return {}
+    except Exception:  # noqa: BLE001 — keep the primary metric alive
+        import traceback
+        traceback.print_exc()
+        return {}
+    for line in reversed(proc.stdout.decode(errors="replace").splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
+    sys.stderr.write(f"bench: {leg} leg rc={proc.returncode}, no JSON\n")
+    return {}
+
+
+def _primary() -> tuple[dict, int]:
+    on_cpu = jax.default_backend() == "cpu"
     if on_cpu:  # smoke mode
         r = bench_clip("ViT-B-32", batch=8, iters=3, warmup=1,
                        precision="fp32", mu_dtype=None, overrides=dict(
@@ -158,89 +251,22 @@ def main():
                                        "patch_size": 8},
                            text_cfg={"context_length": 16, "vocab_size": 512,
                                      "width": 64, "heads": 2, "layers": 2}))
-        batch = 8
-        extra = {}
-    else:
-        batch = int(os.environ.get("BENCH_BATCH", "384"))
-        mu = {"bf16": jnp.bfloat16, "fp32": None}[
-            os.environ.get("BENCH_MU_DTYPE", "bf16")]
-        # bs384 measured best on v5e (vs 49.6% @256, 47.6% @512); pure-bf16
-        # weights (open_CLIP --precision pure_bf16) add +0.5pt over mixed
-        # bf16 by halving param/grad/optimizer HBM traffic: 50.9% vs 50.4%
-        r = bench_clip("ViT-B-32", batch=batch, iters=20, warmup=3,
-                       precision=os.environ.get("BENCH_PRECISION",
-                                                "pure_bf16"),
-                       remat=os.environ.get("BENCH_REMAT", "none"),
-                       scan_layers=os.environ.get("BENCH_SCAN", "0") == "1",
-                       mu_dtype=mu)
-        extra = {}
+        return r, 8
+    batch = int(os.environ.get("BENCH_BATCH", "384"))
+    mu = {"bf16": jnp.bfloat16, "fp32": None}[
+        os.environ.get("BENCH_MU_DTYPE", "bf16")]
+    # bs384 measured best on v5e (vs 49.6% @256, 47.6% @512); pure-bf16
+    # weights (open_CLIP --precision pure_bf16) add +0.5pt over mixed
+    # bf16 by halving param/grad/optimizer HBM traffic: 50.9% vs 50.4%
+    r = bench_clip("ViT-B-32", batch=batch, iters=20, warmup=3,
+                   precision=os.environ.get("BENCH_PRECISION", "pure_bf16"),
+                   remat=os.environ.get("BENCH_REMAT", "none"),
+                   scan_layers=os.environ.get("BENCH_SCAN", "0") == "1",
+                   mu_dtype=mu)
+    return r, batch
 
-        def _budgeted(label: str, budget_env: str, default_s: str, fn,
-                      env: dict = None):
-            """Run a secondary bench leg under a SIGALRM budget so the
-            primary metric always prints; scoped env overrides are restored
-            afterwards (an earlier leak let the ViT-L leg's
-            MCT_MHA_SAVE_PROBS=0 bleed into the GPT leg and the fallback
-            rerun). Returns fn() or None."""
-            import signal
 
-            def _alarm(signum, frame):
-                raise TimeoutError(f"{label} pass exceeded its time budget")
-
-            saved = {}
-            try:
-                for k, v in (env or {}).items():
-                    saved[k] = os.environ.get(k)
-                    os.environ[k] = v
-                prev = signal.signal(signal.SIGALRM, _alarm)
-                signal.alarm(int(os.environ.get(budget_env, default_s)))
-                return fn()
-            except Exception:  # noqa: BLE001 — keep the primary metric
-                sys.stderr.write(f"bench: {label} pass failed\n")
-                import traceback
-                traceback.print_exc()
-                return None
-            finally:
-                signal.alarm(0)
-                for k, old in saved.items():
-                    if old is None:
-                        os.environ.pop(k, None)
-                    else:
-                        os.environ[k] = old
-                try:
-                    signal.signal(signal.SIGALRM, prev)
-                except Exception:  # noqa: BLE001
-                    pass
-
-        if os.environ.get("MCT_BENCH_SKIP_VITL") != "1":
-            # north-star model: pure_bf16 weights (open_CLIP --precision
-            # pure_bf16) halve param/grad/optimizer HBM -> bs64 fits with
-            # no remat: 59.6% MFU vs 56.6% for mixed-bf16 @ bs48 (bs80
-            # OOMs). MCT_MHA_SAVE_PROBS=0 = recompute-bwd attention kernel
-            rl = _budgeted("ViT-L/14", "MCT_BENCH_VITL_BUDGET", "420",
-                           lambda: bench_clip("ViT-L-14", batch=64, iters=10,
-                                              warmup=2,
-                                              precision="pure_bf16"),
-                           env={"MCT_MHA_SAVE_PROBS": "0"})
-            if rl is not None:
-                extra = {
-                    "vit_l14_mfu": round(rl["mfu"], 4),
-                    "vit_l14_images_per_sec": round(rl["images_per_sec"], 1),
-                    "vit_l14_step_ms": round(rl["step_ms"], 2),
-                    "vit_l14_vs_baseline": round(rl["mfu"] / 0.50, 4),
-                }
-        if os.environ.get("MCT_BENCH_SKIP_GPT") != "1":
-            # the megatron-workload rung (gpt-345m seq2048, pure-bf16
-            # state, no remat, fused flash backward)
-            rg = _budgeted("gpt-345m", "MCT_BENCH_GPT_BUDGET", "540",
-                           bench_gpt_345m)
-            if rg is not None:
-                extra.update({
-                    "gpt_345m_mfu": round(rg["mfu"], 4),
-                    "gpt_345m_hfu": round(rg["hfu"], 4),
-                    "gpt_345m_tokens_per_sec": round(rg["tokens_per_sec"], 0),
-                })
-
+def _emit(r: dict, batch: int, extra: dict) -> None:
     print(json.dumps({
         "metric": "CLIP ViT-B/32 train MFU (1 chip, bs%d)" % batch,
         "value": round(r["mfu"], 4),
@@ -251,10 +277,36 @@ def main():
         "loss": r["loss"],
         "device": str(jax.devices()[0].device_kind),
         **extra,
-    }))
+    }), flush=True)
+
+
+def main():
+    start = time.monotonic()
+    r, batch = _primary()
+    # The driver artifact is safe from this point on, whatever follows.
+    _emit(r, batch, {})
+
+    if jax.default_backend() == "cpu":
+        return
+    deadline = start + float(os.environ.get("BENCH_DEADLINE", "560"))
+    extra = {}
+    if os.environ.get("MCT_BENCH_SKIP_VITL") != "1":
+        budget = min(float(os.environ.get("MCT_BENCH_VITL_BUDGET", "300")),
+                     deadline - time.monotonic())
+        extra.update(_budgeted_leg("vitl", budget))
+    if os.environ.get("MCT_BENCH_SKIP_GPT") != "1":
+        budget = min(float(os.environ.get("MCT_BENCH_GPT_BUDGET", "240")),
+                     deadline - time.monotonic())
+        extra.update(_budgeted_leg("gpt", budget))
+    if extra:
+        _emit(r, batch, extra)  # final, most complete line (printed last)
 
 
 if __name__ == "__main__":
+    enable_compile_cache()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--leg":
+        _run_leg(sys.argv[2])
+        sys.exit(0)
     try:
         main()
     except Exception:  # noqa: BLE001 — fall back to the conservative config
@@ -266,4 +318,5 @@ if __name__ == "__main__":
         os.environ["BENCH_SCAN"] = "1"
         os.environ.setdefault("BENCH_BATCH", "256")
         os.environ["MCT_BENCH_SKIP_VITL"] = "1"
+        os.environ["MCT_BENCH_SKIP_GPT"] = "1"
         main()

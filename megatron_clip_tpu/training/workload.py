@@ -73,13 +73,21 @@ class RuntimeCfg:
     cp: int = 1
     dcn_dp: int = 1   # data parallelism across slices/pods (DCN)
     num_microbatches: int = 1
+    # megatron --micro-batch-size at pp == 1: gradient accumulation over
+    # batch_size // micro_batch_size microbatches via a lax.scan INSIDE the
+    # jitted step (the no-pipelining scheduler's microbatch loop,
+    # megatron/core/pipeline_parallel/schedules.py:286), with fp32 grad
+    # accumulators (megatron's main_grad). Lets an activation-bound config
+    # train when the full-batch activations would OOM. With pp > 1 the
+    # microbatch split is the pipeline schedule instead (num_microbatches).
+    micro_batch_size: Optional[int] = None
     tokens_per_sample: int = 0   # >0: log tok/s alongside samples/s
     # megatron --rampup-batch-size START INCREMENT RAMP_SAMPLES
     # (microbatches.py:83-144): the EFFECTIVE batch grows from START to
     # batch_size by INCREMENT every RAMP_SAMPLES/n_increments consumed
-    # samples. The runtime uses the first gbs rows of each fixed-size
-    # yielded batch (the data stream cadence is unchanged — unlike
-    # megatron, which draws exactly gbs samples); consumed_samples in the
+    # samples. The runtime draws EXACTLY gbs samples per step (unused rows
+    # of a source batch carry to the next step — megatron's
+    # consumed-samples law, sample-for-sample); consumed_samples in the
     # checkpoint metadata tracks the ramped count. Each distinct batch
     # size compiles the step once (XLA caches by shape).
     rampup_batch_size: Optional[Tuple[int, int, int]] = None
@@ -147,8 +155,10 @@ def add_runtime_args(p, *, lr: float = 1e-4, weight_decay: float = 0.01,
                         "each distinct size compiles the step once")
     p.add_argument("--micro-batch-size", type=int, default=None,
                    help="megatron per-rank microbatch; with pp>1 derives "
-                        "num_microbatches = batch_size // micro (otherwise "
-                        "informational — the TPU step takes the full batch)")
+                        "num_microbatches = batch_size // micro; at pp=1 "
+                        "enables in-jit gradient accumulation over "
+                        "batch_size // micro microbatches (schedules.py:286 "
+                        "no-pipelining loop)")
     p.add_argument("--train-steps", "--train-iters", type=int, default=20)
     p.add_argument("--train-samples", type=int, default=None,
                    help="run length in samples instead of steps (megatron "
@@ -480,6 +490,9 @@ def runtime_cfg_from_args(args, name: str) -> RuntimeCfg:
             (args.batch_size // args.micro_batch_size)
             if getattr(args, "micro_batch_size", None)
             and args.pipeline_model_parallel_size > 1 else 1),
+        micro_batch_size=(getattr(args, "micro_batch_size", None)
+                          if args.pipeline_model_parallel_size == 1
+                          else None),
         save=args.save, save_interval=args.save_interval,
         resume=args.resume, load=getattr(args, "load", None),
         finetune=getattr(args, "finetune", False),
@@ -630,6 +643,63 @@ def vpp_ckpt_transforms(params, blocks_key: str, pp: int, vpp: int):
     return tags, to_ckpt, from_ckpt
 
 
+class _BatchDrawer:
+    """Draw exactly-n-row batches from a fixed-size batch iterator, carrying
+    the unused tail of each source batch over to the next draw.
+
+    megatron's rampup sampler draws exactly gbs samples per step
+    (microbatches.py:83-144 + data_samplers.py), so the consumed-samples ->
+    dataset-position mapping is sample-exact; slicing the first gbs rows of
+    a fixed-size batch and dropping the rest (the round-3 behavior) would
+    diverge from that stream. Leaves whose leading dim != the source batch
+    size (scalar/step metadata) are passed through, latest value wins.
+    """
+
+    def __init__(self, it: Iterator, src_bs: int):
+        self.it, self.src_bs = it, src_bs
+        self.buf = None          # leftover rows (batch leaves only sliced)
+        self.buf_rows = 0
+        self.mask = None         # pytree[bool]: leaf participates in rows
+
+    def _pull(self):
+        b = next(self.it)
+        if self.mask is None:
+            self.mask = jax.tree.map(
+                lambda x: getattr(x, "ndim", 0) > 0
+                and x.shape[0] == self.src_bs, b)
+        return b
+
+    def draw(self, n: int):
+        parts, rows = [], []
+        if self.buf_rows:
+            parts.append(self.buf)
+            rows.append(self.buf_rows)
+        have = sum(rows)
+        while have < n:
+            parts.append(self._pull())
+            rows.append(self.src_bs)
+            have += self.src_bs
+        if len(parts) == 1:
+            cat = parts[0]
+        else:
+            cat = jax.tree.map(
+                lambda m, *xs: np.concatenate([np.asarray(x) for x in xs])
+                if m else xs[-1], self.mask, *parts)
+        out = jax.tree.map(lambda m, x: x[:n] if m else x, self.mask, cat)
+        if have > n:
+            self.buf = jax.tree.map(lambda m, x: x[n:] if m else x,
+                                    self.mask, cat)
+        else:
+            self.buf = None
+        self.buf_rows = have - n
+        return out
+
+    def skip_rows(self, n: int):
+        """Discard n rows (resume mid-source-batch)."""
+        if n:
+            self.draw(n)
+
+
 def run_workload(params, loss_fn: Callable, batch_iter: Iterator,
                  rc: RuntimeCfg, *, mesh=None, param_specs=None,
                  use_rng: bool = False, post_step: Callable = None,
@@ -694,18 +764,93 @@ def run_workload(params, loss_fn: Callable, batch_iter: Iterator,
 
     base_rng = jax.random.PRNGKey(rc.seed + 1)
 
-    # base_rng is an explicit argument, NOT a closure constant: a captured
-    # live ArrayImpl const in a donated step breaks jax 0.9's C++ fastpath
-    # on the second pipelined run in a process ("Execution supplied N
-    # buffers but compiled program expected N+4")
-    def _step(params, opt_state, aux, batch, step_idx, base_rng):
-        rng = jax.random.fold_in(base_rng, step_idx) if use_rng else None
+    def _loss_and_grads(params, batch, rng, aux):
         if aux_update is not None:
             (loss, loss_aux), grads = jax.value_and_grad(
                 lambda p: loss_fn(p, batch, rng, aux), has_aux=True)(params)
         else:
             loss, grads = jax.value_and_grad(
                 lambda p: loss_fn(p, batch, rng))(params)
+            loss_aux = None
+        return loss, loss_aux, grads
+
+    accum_mbs = rc.micro_batch_size if rc.pp == 1 else None
+
+    def _accum_loss_and_grads(params, batch, rng, aux):
+        """Gradient accumulation over batch//micro microbatches: the
+        reference's no-pipelining scheduler loop (megatron
+        core/pipeline_parallel/schedules.py:286), as a lax.scan inside the
+        jit. Grads accumulate in fp32 (megatron's main_grad buffer,
+        core/distributed.py GradBuffer); activations exist for ONE
+        microbatch at a time, which is what lets an activation-bound
+        config train."""
+        from jax import lax
+        leads = {x.shape[0] for x in jax.tree.leaves(batch)
+                 if getattr(x, "ndim", 0) > 0}
+        if len(leads) != 1:
+            raise ValueError(
+                "--micro-batch-size accumulation requires every batch leaf "
+                f"to share one leading (batch) dim; got {sorted(leads)}")
+        (gbs,) = leads
+        if gbs % accum_mbs:
+            raise ValueError(f"global batch {gbs} not divisible by "
+                             f"--micro-batch-size {accum_mbs}")
+        n = gbs // accum_mbs
+        if n <= 1:
+            return _loss_and_grads(params, batch, rng, aux)
+        # 0-d leaves (step tags/metadata) broadcast across microbatches
+        mb = jax.tree.map(
+            lambda x: x.reshape((n, accum_mbs) + x.shape[1:])
+            if getattr(x, "ndim", 0) > 0 else jnp.broadcast_to(x, (n,)),
+            batch)
+        # loss_aux accumulator template via abstract eval (no extra compile)
+        la_sds = jax.eval_shape(
+            lambda p, b, r, a: _loss_and_grads(p, b, r, a)[1],
+            params, jax.tree.map(lambda x: x[0], mb), rng, aux)
+
+        def _la_zero(s):
+            return jnp.zeros(s.shape, jnp.float32
+                             if jnp.issubdtype(s.dtype, jnp.inexact)
+                             else s.dtype)
+
+        def body(carry, xs):
+            mb_i, idx = xs
+            r = jax.random.fold_in(rng, idx) if rng is not None else None
+            loss_i, la_i, g_i = _loss_and_grads(params, mb_i, r, aux)
+            acc_l, acc_la, acc_g = carry
+            acc_l = acc_l + loss_i.astype(jnp.float32) / n
+            acc_g = jax.tree.map(
+                lambda a, g: a + g.astype(jnp.float32) / n, acc_g, g_i)
+            if la_i is not None:
+                # inexact leaves: mean over microbatches; others: last wins
+                acc_la = jax.tree.map(
+                    lambda a, x: a + x.astype(jnp.float32) / n
+                    if jnp.issubdtype(x.dtype, jnp.inexact) else x,
+                    acc_la, la_i)
+            return (acc_l, acc_la, acc_g), None
+
+        init = (jnp.zeros((), jnp.float32),
+                jax.tree.map(_la_zero, la_sds),
+                jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32),
+                             params))
+        (loss, loss_aux, grads), _ = lax.scan(
+            body, init, (mb, jnp.arange(n, dtype=jnp.int32)))
+        grads = jax.tree.map(lambda g, p: g.astype(p.dtype), grads, params)
+        loss_aux = jax.tree.map(
+            lambda a, s: a.astype(s.dtype), loss_aux, la_sds)
+        return loss, loss_aux, grads
+
+    # base_rng is an explicit argument, NOT a closure constant: a captured
+    # live ArrayImpl const in a donated step breaks jax 0.9's C++ fastpath
+    # on the second pipelined run in a process ("Execution supplied N
+    # buffers but compiled program expected N+4")
+    def _step(params, opt_state, aux, batch, step_idx, base_rng):
+        rng = jax.random.fold_in(base_rng, step_idx) if use_rng else None
+        if accum_mbs:
+            loss, loss_aux, grads = _accum_loss_and_grads(
+                params, batch, rng, aux)
+        else:
+            loss, loss_aux, grads = _loss_and_grads(params, batch, rng, aux)
         # megatron training_log metrics: grad norm always, params norm
         # opt-in (--log-params-norm); both computed inside the jit
         metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}
@@ -906,18 +1051,19 @@ def run_workload(params, loss_fn: Callable, batch_iter: Iterator,
         return {"loss": v, "params": params, "aux": aux,
                 "history": [], "val_loss": v}
 
-    if callable(batch_iter):
-        batch_iter = batch_iter(start_step)     # seekable factory: O(1)
-    else:
-        for _ in range(start_step):             # replay-and-discard
-            next(batch_iter)
-
     # --rampup-batch-size: effective-batch calculator (megatron
     # microbatches.py:83-144). Granularity = what the mesh batch axes and
-    # the pipeline microbatch split require of the leading dim.
+    # the pipeline microbatch split require of the leading dim. Built
+    # BEFORE the data stream is positioned: a ramped run's dataset position
+    # is consumed SAMPLES (drawn exactly, megatron data_samplers.py), not
+    # steps.
     rampup = None
     consumed = start_step * rc.batch_size
+    if rc.micro_batch_size and rc.batch_size % rc.micro_batch_size:
+        raise SystemExit(f"--batch-size {rc.batch_size} must be divisible "
+                         f"by --micro-batch-size {rc.micro_batch_size}")
     if rc.rampup_batch_size is not None:
+        import math
         from megatron_clip_tpu.training.microbatches import (
             build_num_microbatches_calculator)
         gran = 1
@@ -925,6 +1071,9 @@ def run_workload(params, loss_fn: Callable, batch_iter: Iterator,
             gran = mesh.shape.get("data", 1) * mesh.shape.get("fsdp", 1)
         if rc.pp > 1:
             gran *= max(1, rc.num_microbatches)
+        if rc.micro_batch_size and rc.pp == 1:
+            # every ramped size must still split into whole microbatches
+            gran = math.lcm(gran, rc.micro_batch_size)
         try:
             rampup = build_num_microbatches_calculator(
                 rc.batch_size, 1, gran, rc.rampup_batch_size)
@@ -949,6 +1098,28 @@ def run_workload(params, loss_fn: Callable, batch_iter: Iterator,
         print(f"[{rc.name}] batch rampup {start} -> {rc.batch_size} "
               f"(+{inc}; up to {n_sizes} distinct step compilations)",
               flush=True)
+
+    # Position the data stream. Without rampup a step consumes exactly one
+    # source batch, so the position is start_step batches. With rampup the
+    # position is `consumed` SAMPLES: seek whole source batches, then
+    # discard the already-consumed rows of the next one — megatron's
+    # consumed-samples law, sample-for-sample (microbatches.py:83-144).
+    drawer = None
+    if rampup is None:
+        if callable(batch_iter):
+            batch_iter = batch_iter(start_step)  # seekable factory: O(1)
+        else:
+            for _ in range(start_step):          # replay-and-discard
+                next(batch_iter)
+    else:
+        src_batches, skip_rows = divmod(consumed, rc.batch_size)
+        if callable(batch_iter):
+            batch_iter = batch_iter(src_batches)
+        else:
+            for _ in range(src_batches):
+                next(batch_iter)
+        drawer = _BatchDrawer(batch_iter, rc.batch_size)
+        drawer.skip_rows(skip_rows)
 
     writer = None
     if rc.tensorboard_dir:
@@ -982,18 +1153,13 @@ def run_workload(params, loss_fn: Callable, batch_iter: Iterator,
                 profiling = True
                 print(f"[{rc.name}] profiler trace started -> {pdir}",
                       flush=True)
-            batch = next(batch_iter)
             gbs = rc.batch_size
             if rampup is not None:
                 rampup.update(consumed)
                 gbs = rampup.current_global_batch_size()
-                if gbs != rc.batch_size:
-                    # the first gbs rows of the fixed-size yielded batch
-                    batch = jax.tree.map(
-                        lambda x: x[:gbs]
-                        if (getattr(x, "shape", None)
-                            and len(x.shape) > 0
-                            and x.shape[0] == rc.batch_size) else x, batch)
+                batch = drawer.draw(gbs)  # exactly gbs samples, tail kept
+            else:
+                batch = next(batch_iter)
             batch = jax.tree.map(jnp.asarray, batch)
             params, opt_state, aux, metrics = step(params, opt_state, aux,
                                                    batch, jnp.int32(i),
