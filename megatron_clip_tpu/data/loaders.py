@@ -106,6 +106,13 @@ class CsvData:
     def skip_batches(self, n: int) -> None:
         self._skip = max(0, int(n))
 
+    def set_epoch(self, epoch: int) -> None:
+        """Resync the shuffle epoch on resume: a mid-run resume into epoch
+        N > 0 must replay epoch N's shuffle order, not epoch 0's — else the
+        skip_batches fast-forward skips the WRONG samples (same contract as
+        the wds DataInfo set_epoch delegation)."""
+        self.epoch = int(epoch)
+
     def __iter__(self):
         from PIL import Image
         order = list(range(self.num_samples))

@@ -104,8 +104,14 @@ class GenerationService:
             # a zero-length prompt makes the next-token gather index -1
             # (clamped to position 0) and produces silently-wrong output;
             # megatron requires add_BOS for empty prompts (tokenization.py)
+            if self.eos_id >= 0:
+                raise ValueError("empty prompt (tokenizes to zero tokens); "
+                                 "pass add_BOS to generate unconditionally")
+            # add_BOS prepends tokenizer.eod — with no EOD token the
+            # suggested remedy would still 400, so say so instead
             raise ValueError("empty prompt (tokenizes to zero tokens); "
-                             "pass add_BOS to generate unconditionally")
+                             "this tokenizer has no BOS/EOD token, so "
+                             "empty prompts are unsupported")
         max_len = _bucket(max(len(i) for i in ids))
         batch = np.zeros((len(ids), max_len), np.int32)
         lens = np.zeros((len(ids),), np.int32)

@@ -208,15 +208,14 @@ class BranchParallelCLIP:
 
         # tell the factory WHICH tower each subtree is (the LiT lock mask
         # keys off "visual"/"text" top-level names, which per-tower subtrees
-        # don't carry); plain single-arg factories are called as-is
-        import inspect
+        # don't carry); plain single-arg factories are called as-is.
+        # _call_tx_factory also honors **kwargs factories (VAR_KEYWORD) —
+        # a local "tower in parameters" probe would silently drop the hint
+        # for `def f(p, **kw)` and no-op --lock-* in branch mode
+        from megatron_clip_tpu.training.loop import _call_tx_factory
 
         def _tx(p, tower):
-            try:
-                accepts = "tower" in inspect.signature(tx_factory).parameters
-            except (TypeError, ValueError):
-                accepts = False
-            return tx_factory(p, tower=tower) if accepts else tx_factory(p)
+            return _call_tx_factory(tx_factory, p, tower=tower)
 
         v_tx, t_tx, h_tx = (_tx(vparams, "visual"), _tx(tparams, "text"),
                             _tx(head_params, None))

@@ -453,8 +453,11 @@ def _run_training(args, term) -> dict:
         # training.py:829)
         run_done = step >= total_steps or (args.exit_interval and
                                            step >= args.exit_interval)
+        # run_done always saves: megatron's --exit-interval path persists a
+        # checkpoint before exiting (training.py:829) even when the epoch
+        # save gate (save_frequency > 1) would not fire this epoch
         if save_root and ((epoch + 1) % args.save_frequency == 0
-                          or args.save_most_recent):
+                          or args.save_most_recent or run_done):
             runner.save(save_root, step, consumed)
             _log(f"saved checkpoint @ step {step}")
             if args.delete_previous_checkpoint:

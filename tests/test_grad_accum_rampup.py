@@ -238,3 +238,39 @@ def test_rampup_composes_with_grad_accum():
     run_workload({"w": jnp.ones(())}, loss, _id_batches(8), rc)
     # every traced microbatch is exactly micro_batch_size rows
     assert set(shapes) == {(2, 1)}, shapes
+
+
+# ---------------------------------------------------------------------------
+# CsvData epoch resync (advisor r3 finding: resume into epoch N replayed the
+# epoch-0 shuffle, so skip_batches fast-forwarded the wrong samples)
+
+
+def test_csvdata_set_epoch_resyncs_shuffle(tmp_path):
+    from PIL import Image
+    from megatron_clip_tpu.data.loaders import CsvData
+
+    rows = ["filepath\ttitle"]
+    for i in range(8):
+        p = tmp_path / f"im{i}.png"
+        Image.new("RGB", (4, 4), (i * 20, 0, 0)).save(p)
+        rows.append(f"{p}\tcap{i}")
+    csv_path = tmp_path / "data.tsv"
+    csv_path.write_text("\n".join(rows) + "\n")
+
+    def make(epoch=None):
+        ds = CsvData(str(csv_path), 2, lambda im: np.zeros((2, 2, 3)),
+                     lambda caps, L: [[int(c[3:])] * L for c in caps],
+                     shuffle=True, seed=7)
+        if epoch is not None:
+            ds.set_epoch(epoch)
+        return ds
+
+    def epoch_order(ds):
+        return [int(t[0]) for _, toks in ds for t in toks]
+
+    fresh = make()
+    e0 = epoch_order(fresh)      # advances fresh.epoch to 1
+    e1 = epoch_order(fresh)
+    assert e0 != e1              # per-epoch shuffle differs
+    resumed = make(epoch=1)      # mid-run resume into epoch 1
+    assert epoch_order(resumed) == e1
