@@ -134,10 +134,18 @@ class GPTDataset:
 def gpt_batch_iterator(prefix: str, batch_size: int, seq_length: int,
                        seed: int = 0, split: str = "",
                        split_index: int = 0,
-                       cache_dir: str = None) -> Iterator[np.ndarray]:
-    """Infinite [B, seq_length+1] int32 batches (consumed-samples resume is
-    the caller's job via skipping). `split`: megatron --split weights
-    ('969,30,1'); split_index 0/1/2 = train/valid/test doc range."""
+                       cache_dir: str = None, *,
+                       start_sample: int = 0,
+                       dataloader_type: str = "single",
+                       data_sharding: bool = False) -> Iterator[np.ndarray]:
+    """Infinite [B, seq_length+1] int32 batches. `start_sample` seeks O(1)
+    (consumed-samples resume: the sampler position is arithmetic, no batch
+    is decoded to skip). `split`: megatron --split weights ('969,30,1');
+    split_index 0/1/2 = train/valid/test doc range. `dataloader_type`:
+    megatron --dataloader-type — 'single' sequential over the dataset's
+    shuffle index, 'cyclic' the MegatronPretrainingRandomSampler law
+    (data_samplers.py:93, per-epoch reshuffle on top of the packing
+    index)."""
     documents, tag = None, ""
     if split:
         n_docs = len(MMapIndexedDataset(prefix).doc_idx) - 1
@@ -149,12 +157,13 @@ def gpt_batch_iterator(prefix: str, batch_size: int, seq_length: int,
         tag = ("train", "valid", "test")[split_index]
     ds = GPTDataset(prefix, seq_length, seed=seed, documents=documents,
                     split_tag=tag, cache_dir=cache_dir)
-    i = 0
-    while True:
-        batch = np.stack([np.asarray(ds[i + j], np.int32)[:seq_length + 1]
-                          for j in range(batch_size)])
-        i += batch_size
-        yield batch
+    from megatron_clip_tpu.data.samplers import batch_indices_iterator
+    for idx in batch_indices_iterator(
+            len(ds), batch_size, dataloader_type=dataloader_type,
+            consumed_samples=start_sample, data_sharding=data_sharding,
+            seed=seed):
+        yield np.stack([np.asarray(ds[int(j)], np.int32)[:seq_length + 1]
+                        for j in idx])
 
 
 class BlendableDataset:

@@ -54,10 +54,14 @@ def image_folder_batches(root: str, batch_size: int, image_size: int, *,
                          epochs: int = -1, classes_fraction: float = 1.0,
                          per_class_fraction: float = 1.0,
                          samples: List[Tuple[str, int]] = None,
-                         class_names: List[str] = None) -> Iterator:
+                         class_names: List[str] = None,
+                         skip_batches: int = 0) -> Iterator:
     """`samples` reuses a prior scan_image_folder result (an ImageNet-size
     directory walk is slow — don't repeat it per epoch); `class_names` pins
-    the label space when scanning (see scan_image_folder)."""
+    the label space when scanning (see scan_image_folder). `skip_batches`
+    seeks decode-free: skipped epochs only replay the (cheap) shuffle to
+    keep the rng stream aligned, skipped in-epoch batches are never
+    opened."""
     from PIL import Image
     if samples is None:
         samples, _ = scan_image_folder(root, classes_fraction,
@@ -68,11 +72,19 @@ def image_folder_batches(root: str, batch_size: int, image_size: int, *,
     pp = image_transform(image_size, is_train=is_train)
     rng = random.Random(seed)
     epoch = 0
+    pending_skip = max(0, int(skip_batches))
     while epochs < 0 or epoch < epochs:
         order = list(range(len(samples)))
         if is_train:
             rng.shuffle(order)
-        for lo in range(0, len(order) - batch_size + 1, batch_size):
+        bpe = max(0, (len(order) - batch_size) // batch_size + 1)
+        if pending_skip >= bpe > 0:
+            pending_skip -= bpe
+            epoch += 1
+            continue
+        start, pending_skip = pending_skip, 0
+        for lo in range(start * batch_size,
+                        len(order) - batch_size + 1, batch_size):
             imgs, labels = [], []
             for i in order[lo:lo + batch_size]:
                 path, label = samples[i]

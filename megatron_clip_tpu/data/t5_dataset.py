@@ -145,11 +145,15 @@ class T5Dataset:
 
 
 def t5_batch_iterator(prefix: str, batch_size: int, *, start_step: int = 0,
+                      dataloader_type: str = "single",
+                      data_sharding: bool = True, sampler_seed: int = 0,
                       **kw):
-    """Yield dict batches; `start_step` seeks (consumed-samples resume)."""
+    """Yield dict batches; `start_step` seeks O(1) (consumed-samples
+    resume). `dataloader_type` follows megatron --dataloader-type
+    (data/samplers.py laws)."""
+    from megatron_clip_tpu.data.samplers import sampled_batches
     ds = T5Dataset(prefix, **kw)
-    i = start_step * batch_size
-    while True:
-        rows = [ds[(i + j) % len(ds)] for j in range(batch_size)]
-        i += batch_size
-        yield {k: np.stack([r[k] for r in rows]) for k in rows[0]}
+    yield from sampled_batches(
+        ds, batch_size, dataloader_type=dataloader_type,
+        consumed_samples=start_step * batch_size,
+        data_sharding=data_sharding, seed=sampler_seed)

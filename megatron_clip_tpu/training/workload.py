@@ -377,10 +377,18 @@ def add_megatron_compat_args(p):
                        help=argparse.SUPPRESS)
         g.add_argument("--dataloader-type", choices=["single", "cyclic"],
                        default=None,
-                       help="accepted for megatron parity; samplers here "
-                            "are sequential over the dataset's own shuffle "
-                            "index with consumed-samples resume "
-                            "(data_samplers.py:14-48 semantics)")
+                       help="megatron --dataloader-type: 'single' = "
+                            "sequential with consumed-samples resume "
+                            "(MegatronPretrainingSampler, "
+                            "data_samplers.py:48); 'cyclic' = per-epoch "
+                            "random resampling "
+                            "(MegatronPretrainingRandomSampler, :93), both "
+                            "O(1)-seekable (data/samplers.py)")
+        g.add_argument("--no-data-sharding", action="store_false",
+                       dest="data_sharding", default=True,
+                       help="megatron --no-data-sharding: cyclic sampler "
+                            "draws from one shared permutation (rank-"
+                            "strided) instead of per-rank buckets")
     except argparse.ArgumentError:
         pass
 

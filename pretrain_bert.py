@@ -98,14 +98,15 @@ def run(args):
                              f"for split {index} ({n_docs} docs)")
         return lo, hi
 
-    def masked_batches(seed=args.seed, split_index=0):
-        rng = np.random.RandomState(seed)
+    def masked_batches(seed=args.seed, split_index=0, start_step=0):
         if args.data_path:
             # real sentence-pair pretraining: NSP pairs + 80/10/10 masking
             # from a sentence-level indexed corpus (reference
-            # bert_dataset.py via helpers build_mapping)
+            # bert_dataset.py via helpers build_mapping); O(1) seek via the
+            # sampler laws (data/samplers.py, --dataloader-type honored)
             from megatron_clip_tpu.data.bert_dataset import (
                 BertPairDataset, BertSpecialIds)
+            from megatron_clip_tpu.data.samplers import sampled_batches
             ids = BertSpecialIds(mask=args.mask_id)
             ds = BertPairDataset(
                 args.data_path, max_seq_length=args.seq_length,
@@ -114,11 +115,13 @@ def run(args):
                 vocab_size=args.vocab_size, seed=seed,
                 special_ids=ids, documents=_doc_split(split_index),
                 max_num_samples=args.train_steps * args.batch_size)
-            i = 0
-            while True:
-                rows = [ds[(i + j) % len(ds)] for j in range(args.batch_size)]
-                i += args.batch_size
-                batch = {k: np.stack([r[k] for r in rows]) for k in rows[0]}
+            for batch in sampled_batches(
+                    ds, args.batch_size,
+                    dataloader_type=getattr(args, "dataloader_type", None)
+                    or "single",
+                    consumed_samples=start_step * args.batch_size,
+                    data_sharding=getattr(args, "data_sharding", True),
+                    seed=seed):
                 yield {"tokens": batch["tokens"],
                        "labels": batch["labels"].clip(min=0),
                        "loss_mask": batch["loss_mask"],
@@ -126,7 +129,12 @@ def run(args):
                        "token_types": batch["token_types"],
                        "pad_mask": batch["pad_mask"]}
         else:
+            # per-step keyed rng: resume seeks without replaying the stream
+            step = start_step
             while True:
+                step += 1
+                rng = np.random.RandomState(
+                    (seed * 2654435761 + step) % (2 ** 31))
                 toks = rng.randint(4, args.vocab_size,
                                    (args.batch_size, args.seq_length)
                                    ).astype(np.int32)
@@ -145,7 +153,9 @@ def run(args):
                          compute_dtype=compute, tcfg=tcfg,
                          layers_fn=layers_fn, rng=step_rng)
 
-    out = run_workload(params, loss_fn, masked_batches(), rc, mesh=mesh,
+    out = run_workload(params, loss_fn,
+                       lambda start_step: masked_batches(
+                           start_step=start_step), rc, mesh=mesh,
                        param_specs=specs, use_rng=use_rng,
                        # real data: the --split valid doc range; synthetic:
                        # a held-out seeded stream

@@ -241,24 +241,29 @@ def run(args):
 
     def batches(start_step=0):
         if args.data_path:
+            # O(1) seek: the sampler position is arithmetic on consumed
+            # samples; no skipped batch is decoded (megatron
+            # data_samplers.py consumed-samples fast-forward)
             from megatron_clip_tpu.data.gpt_dataset import gpt_batch_iterator
-            it = gpt_batch_iterator(args.data_path, args.batch_size,
-                                    args.seq_length, seed=args.seed,
-                                    split=args.split, split_index=0,
-                                    cache_dir=args.data_cache_path)
-            for _ in range(start_step):
-                next(it)
-            yield from it
+            yield from gpt_batch_iterator(
+                args.data_path, args.batch_size,
+                args.seq_length, seed=args.seed,
+                split=args.split, split_index=0,
+                cache_dir=args.data_cache_path,
+                start_sample=start_step * args.batch_size,
+                dataloader_type=getattr(args, "dataloader_type", None)
+                or "single",
+                data_sharding=getattr(args, "data_sharding", False))
         else:
-            rng = np.random.RandomState(args.seed)
-            step = 0
+            # per-step keyed rng: seekable without replaying the stream
+            step = start_step
             while True:
-                batch = rng.randint(0, cfg.vocab_size,
-                                    (args.batch_size, cfg.seq_length + 1)
-                                    ).astype(np.int32)
                 step += 1
-                if step > start_step:
-                    yield batch
+                rng = np.random.RandomState(
+                    (args.seed * 2654435761 + step) % (2 ** 31))
+                yield rng.randint(0, cfg.vocab_size,
+                                  (args.batch_size, cfg.seq_length + 1)
+                                  ).astype(np.int32)
 
     def val_batches():
         # validation never touches the training stream (consumed-samples

@@ -87,10 +87,10 @@ def run(args):
                              f"for split {index} ({n_docs} docs)")
         return lo, hi
 
-    def batches(seed=args.seed, split_index=0):
-        rng = np.random.RandomState(seed)
+    def batches(seed=args.seed, split_index=0, start_step=0):
         if args.data_path:
             from megatron_clip_tpu.data.bert_dataset import ICTDataset
+            from megatron_clip_tpu.data.samplers import sampled_batches
             ds = ICTDataset(args.data_path,
                             args.titles_data_path or args.data_path,
                             max_seq_length=args.seq_length,
@@ -99,14 +99,22 @@ def run(args):
                             query_in_block_prob=args.query_in_block_prob,
                             seed=seed,
                             max_num_samples=args.train_steps * args.batch_size)
-            i = 0
-            while True:
-                rows = [ds[(i + j) % len(ds)] for j in range(args.batch_size)]
-                i += args.batch_size
-                yield (jnp.asarray(np.stack([r["query"] for r in rows])),
-                       jnp.asarray(np.stack([r["block"] for r in rows])))
+            # O(1) consumed-samples seek + --dataloader-type laws
+            for b in sampled_batches(
+                    ds, args.batch_size,
+                    dataloader_type=getattr(args, "dataloader_type", None)
+                    or "single",
+                    consumed_samples=start_step * args.batch_size,
+                    data_sharding=getattr(args, "data_sharding", True),
+                    seed=seed):
+                yield jnp.asarray(b["query"]), jnp.asarray(b["block"])
         else:
+            # per-step keyed rng: resume seeks without replaying the stream
+            step = start_step
             while True:
+                step += 1
+                rng = np.random.RandomState(
+                    (seed * 2654435761 + step) % (2 ** 31))
                 q = rng.randint(4, args.vocab_size,
                                 (args.batch_size, args.seq_length))
                 blk = q.copy()
@@ -119,7 +127,9 @@ def run(args):
         loss, _acc = ict_loss(p, q, blk, cfg, compute_dtype=compute)
         return loss
 
-    out = run_workload(params, loss_fn, batches(), rc, mesh=mesh,
+    out = run_workload(params, loss_fn,
+                       lambda start_step: batches(start_step=start_step),
+                       rc, mesh=mesh,
                        param_specs=specs,
                        val_iter_factory=lambda: batches(args.seed + 7919,
                                                         split_index=1), args_ns=args)

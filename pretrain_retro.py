@@ -73,8 +73,11 @@ def run(args):
     m = args.chunk_length
     l = args.seq_length // m
     k = args.num_neighbors
-    def batches(seed=args.seed):
-        rng = np.random.RandomState(seed)
+    def batches(seed=args.seed, start_step=0):
+        # per-step keyed rng everywhere: resume seeks O(1), no stream replay
+        def _step_rng(step):
+            return np.random.RandomState(
+                (seed * 2654435761 + step) % (2 ** 31))
         if args.retro_prefix:
             chunks = np.load(args.retro_prefix + "_chunks.npy")
             docs = np.load(args.retro_prefix + "_chunk_docs.npy")
@@ -85,8 +88,10 @@ def run(args):
             if not starts:
                 raise SystemExit(f"no document has {l} consecutive chunks; "
                                  "reduce --seq-length")
+            step = start_step
             while True:
-                idx = rng.choice(starts, size=args.batch_size)
+                step += 1
+                idx = _step_rng(step).choice(starts, size=args.batch_size)
                 toks = np.stack([chunks[i:i + l].reshape(-1) for i in idx])
                 nb = np.stack([nbrs[i:i + l] for i in idx])
                 yield jnp.asarray(toks, jnp.int32), jnp.asarray(nb, jnp.int32)
@@ -96,7 +101,10 @@ def run(args):
             # chunk u+1's token in its continuation half, so the otherwise
             # unpredictable first token of every chunk (after the first) is
             # recoverable only through the CCA path
+            step = start_step
             while True:
+                step += 1
+                rng = _step_rng(step)
                 sym = rng.randint(4, args.vocab_size, (args.batch_size, l))
                 pat = np.repeat(sym[:, :, None], m, axis=2)
                 toks = pat.reshape(args.batch_size, l * m)
@@ -111,7 +119,9 @@ def run(args):
         toks, nb = batch
         return retro_loss(p, toks, nb, cfg, compute_dtype=compute)
 
-    out = run_workload(params, loss_fn, batches(), rc, mesh=mesh,
+    out = run_workload(params, loss_fn,
+                       lambda start_step: batches(start_step=start_step),
+                       rc, mesh=mesh,
                        param_specs=specs,
                        val_iter_factory=lambda: batches(args.seed + 7919), args_ns=args)
     return {"loss": out["loss"]}

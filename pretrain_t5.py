@@ -149,6 +149,10 @@ def run(args):
             from megatron_clip_tpu.data.t5_dataset import t5_batch_iterator
             yield from t5_batch_iterator(
                 args.data_path, args.batch_size, start_step=start_step,
+                dataloader_type=getattr(args, "dataloader_type", None)
+                or "single",
+                data_sharding=getattr(args, "data_sharding", True),
+                sampler_seed=seed,
                 documents=_doc_split(split_index),
                 max_seq_length=args.encoder_seq_length,
                 max_seq_length_dec=args.decoder_seq_length,
@@ -158,18 +162,18 @@ def run(args):
                 num_sentinels=args.vocab_extra_ids,
                 seed=seed)
         else:
-            rng = np.random.RandomState(seed)
-            step = 0
+            # per-step keyed rng: resume seeks without replaying the stream
+            step = start_step
             while True:
+                step += 1
+                rng = np.random.RandomState(
+                    (seed * 2654435761 + step) % (2 ** 31))
                 toks = rng.randint(4, sentinel_base,
                                    (args.batch_size, args.encoder_seq_length)
                                    ).astype(np.int32)
                 enc, dec_in, labels, mask = span_corrupt(
                     rng, toks, args.vocab_size, sentinel_base,
                     max_dec=args.decoder_seq_length)
-                step += 1
-                if step <= start_step:
-                    continue
                 yield {"enc_tokens": enc, "dec_tokens": dec_in,
                        "labels": labels, "loss_mask": mask}
 

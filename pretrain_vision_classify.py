@@ -79,15 +79,21 @@ def run(args):
     from megatron_clip_tpu.parallel.mesh import STAGE
     specs = generic_param_specs(
         params, stage_axis=STAGE if rc.pp > 1 else None)
-    def batches(seed=args.seed, data_dir=None):
-        rng = np.random.RandomState(seed)
+    def batches(seed=args.seed, data_dir=None, start_step=0):
         if data_dir or args.data_dir:
+            # decode-free seek: skipped batches are never opened
             from megatron_clip_tpu.data.image_folder import image_folder_batches
             yield from image_folder_batches(
                 data_dir or args.data_dir, args.batch_size, args.img_size,
                 seed=seed, classes_fraction=args.classes_fraction,
-                per_class_fraction=args.data_per_class_fraction)
+                per_class_fraction=args.data_per_class_fraction,
+                skip_batches=start_step)
+        # per-step keyed rng: resume seeks without replaying the stream
+        step = start_step
         while True:
+            step += 1
+            rng = np.random.RandomState(
+                (seed * 2654435761 + step) % (2 ** 31))
             yield (jnp.asarray(rng.randn(args.batch_size, args.img_size,
                                          args.img_size, 3).astype(np.float32)),
                    jnp.asarray(rng.randint(0, args.num_classes,
@@ -109,7 +115,9 @@ def run(args):
                                    compute_dtype=compute,
                                    layers_fn=layers_fn)
 
-    out = run_workload(params, loss_fn, batches(), rc, mesh=mesh,
+    out = run_workload(params, loss_fn,
+                       lambda start_step: batches(start_step=start_step),
+                       rc, mesh=mesh,
                        param_specs=specs, val_iter_factory=val_factory, args_ns=args)
     return {"loss": out["loss"]}
 

@@ -112,23 +112,28 @@ def run(args):
     mesh, _ = build_workload_mesh(rc)
     specs = generic_param_specs(student)
 
-    rng = np.random.RandomState(args.seed)
-
-    def batches():
+    def batches(start_step=0):
+        # per-step keyed rng (views/crops included): resume seeks O(1)
+        # without replaying the augmentation stream
         if args.data_dir:
             from megatron_clip_tpu.data.image_folder import \
                 image_folder_batches
             src = (im for im, _ in image_folder_batches(
                 args.data_dir, args.batch_size, args.img_size,
-                is_train=True, epochs=10 ** 6, seed=args.seed))
+                is_train=True, epochs=10 ** 6, seed=args.seed,
+                skip_batches=start_step))
         else:
-            def synth():
-                while True:
-                    yield rng.randn(args.batch_size, args.img_size,
-                                    args.img_size, 3).astype(np.float32)
-            src = synth()
-        for base in src:
-            base = np.asarray(base)
+            src = None
+        step = start_step
+        while True:
+            step += 1
+            rng = np.random.RandomState(
+                (args.seed * 2654435761 + step) % (2 ** 31))
+            if src is not None:
+                base = np.asarray(next(src))
+            else:
+                base = rng.randn(args.batch_size, args.img_size,
+                                 args.img_size, 3).astype(np.float32)
             out = {"v1": (base + 0.1 * rng.randn(*base.shape)
                           ).astype(np.float32),
                    "v2": (base + 0.1 * rng.randn(*base.shape)
@@ -213,7 +218,7 @@ def run(args):
                                 seed=args.seed),
                             knn_t=args.knn_t)
 
-    out = run_workload(student, loss_fn, batches(), rc, mesh=mesh,
+    out = run_workload(student, loss_fn, batches, rc, mesh=mesh,
                        param_specs=specs, aux_state=aux,
                        aux_update=aux_update, custom_eval=custom_eval,
                        args_ns=args)

@@ -51,24 +51,34 @@ def run(args):
     specs = generic_param_specs(params)
     n_patches = (args.image_size // args.patch_size) ** 2
 
-    def batches(seed=args.seed):
+    def batches(seed=args.seed, start_step=0):
         if args.data_dir:
+            # decode-free seek (image_folder skip_batches)
             from megatron_clip_tpu.data.image_folder import image_folder_batches
             for images, _ in image_folder_batches(
                     args.data_dir, args.batch_size, args.image_size,
-                    is_train=True, epochs=10 ** 6, seed=seed):
+                    is_train=True, epochs=10 ** 6, seed=seed,
+                    skip_batches=start_step):
                 yield jnp.asarray(images)
         else:
-            rng = np.random.RandomState(seed)
+            # per-step keyed rng: resume seeks without replaying the stream
+            step = start_step
             while True:
+                step += 1
+                rng = np.random.RandomState(
+                    (seed * 2654435761 + step) % (2 ** 31))
                 yield jnp.asarray(rng.rand(
                     args.batch_size, args.image_size, args.image_size, 3
                 ).astype(np.float32))
 
-    def masked_batches(seed=args.seed):
-        mask_rng = jax.random.PRNGKey(seed + 1)
-        for images in batches(seed):
-            mask_rng, sub = jax.random.split(mask_rng)
+    def masked_batches(seed=args.seed, start_step=0):
+        # mask keys fold in the absolute step index, so the mask stream is
+        # position-exact under resume too
+        base_key = jax.random.PRNGKey(seed + 1)
+        step = start_step
+        for images in batches(seed, start_step=start_step):
+            step += 1
+            sub = jax.random.fold_in(base_key, step)
             mask = random_patch_mask(sub, images.shape[0], n_patches,
                                      args.mask_ratio)
             yield images, mask
@@ -77,7 +87,9 @@ def run(args):
         images, mask = batch
         return inpaint_loss(p, images, mask, cfg, compute_dtype=compute)
 
-    out = run_workload(params, loss_fn, masked_batches(), rc, mesh=mesh,
+    out = run_workload(params, loss_fn,
+                       lambda start_step: masked_batches(
+                           start_step=start_step), rc, mesh=mesh,
                        param_specs=specs,
                        val_iter_factory=(None if args.data_dir else
                                          lambda: masked_batches(

@@ -254,18 +254,22 @@ def test_optimizer_flags(devices8):
     """--optimizer sgd / --sgd-momentum and the adam hyperparameter flags
     (megatron --adam-beta1/2/--adam-eps) reach the update rule."""
     from pretrain_gpt import parse_args, run
+    # lr large enough that hyperparameter differences clear fp32 loss
+    # resolution by step 3 (at the default 3e-4 the adam-beta trajectory
+    # difference rounds to the same float)
     m_sgd = run(parse_args(GPT_COMMON + [
-        "--train-steps", "3", "--optimizer", "sgd",
+        "--train-steps", "3", "--lr", "0.05", "--optimizer", "sgd",
         "--sgd-momentum", "0.8"]))
     assert np.isfinite(m_sgd["loss"])
     m_adam = run(parse_args(GPT_COMMON + [
-        "--train-steps", "3", "--adam-beta1", "0.85",
+        "--train-steps", "3", "--lr", "0.05", "--adam-beta1", "0.85",
         "--adam-beta2", "0.9", "--adam-eps", "1e-6"]))
     assert np.isfinite(m_adam["loss"])
     # different hyperparameters produce a different trajectory
-    m_def = run(parse_args(GPT_COMMON + ["--train-steps", "3"]))
-    assert abs(m_adam["loss"] - m_def["loss"]) > 1e-7
-    assert abs(m_sgd["loss"] - m_def["loss"]) > 1e-7
+    m_def = run(parse_args(GPT_COMMON + ["--train-steps", "3",
+                                         "--lr", "0.05"]))
+    assert abs(m_adam["loss"] - m_def["loss"]) > 1e-6
+    assert abs(m_sgd["loss"] - m_def["loss"]) > 1e-6
 
 
 def test_skip_train_and_wd_schedule(devices8, tmp_path):
