@@ -137,22 +137,26 @@ class BranchParallelCLIP:
             self.text_mesh = self.vision_mesh
 
         cfg = self.cfg
-        # NOTE: the branch towers use the LOGICAL (non-prearranged) weight
-        # layout under vpp>1 — correct, but each step pays the round-robin
-        # chunk gather across stages; the joint runner's zero-copy
-        # vpp_arrange placement is the fast layout (training/loop.py
-        # _JointRunner) and could be adopted here with the same
-        # logical-order checkpoint/eval conversions.
+        # Under vpp>1 each tower's stacked layers are placed ONCE in
+        # vpp_arrange physical order (stage s's contiguous leading-dim shard
+        # = its round-robin chunks), same zero-copy placement as the joint
+        # runner — the schedule then reads weights with no per-step
+        # cross-stage permute. init_state applies the arrangement;
+        # to_logical_state/to_physical_state convert for checkpoints/eval.
         from megatron_clip_tpu.parallel.pipeline import make_pipelined_layers_fn
-        v_layers_fn = (make_pipelined_layers_fn(self.vision_mesh,
-                                                self.bp.vision.microbatches,
-                                                self.bp.vision.vpp)
-                       if self.bp.vision.pp > 1 else None)
+        v_pp, v_vpp = self.bp.vision.pp, self.bp.vision.vpp
+        self._v_vpp = (v_pp, v_vpp) if v_pp > 1 and v_vpp > 1 else None
+        v_layers_fn = (make_pipelined_layers_fn(
+            self.vision_mesh, self.bp.vision.microbatches, v_vpp,
+            vpp_prearranged=self._v_vpp is not None)
+            if v_pp > 1 else None)
         t_pp = self.bp.text.pp if self.bp.text is not None else 1
-        t_layers_fn = (make_pipelined_layers_fn(self.text_mesh,
-                                                self.bp.text.microbatches,
-                                                self.bp.text.vpp)
-                       if t_pp > 1 else None)
+        t_vpp = self.bp.text.vpp if self.bp.text is not None else 1
+        self._t_vpp = (t_pp, t_vpp) if t_pp > 1 and t_vpp > 1 else None
+        t_layers_fn = (make_pipelined_layers_fn(
+            self.text_mesh, self.bp.text.microbatches, t_vpp,
+            vpp_prearranged=self._t_vpp is not None)
+            if t_pp > 1 else None)
 
         from megatron_clip_tpu.models.clip import _l2_normalize
 
@@ -196,6 +200,17 @@ class BranchParallelCLIP:
         head_params = {"logit_scale": params.pop("logit_scale")}
         vparams, tparams = params["visual"], params["text"]
 
+        # interleaved vpp: place each tower's stacked layers in vpp_arrange
+        # physical order once (zero-copy schedule reads; checkpoints/eval
+        # stay logical via to_logical_state)
+        from megatron_clip_tpu.parallel.pipeline import vpp_arrange
+        if self._v_vpp is not None:
+            vparams = dict(vparams, blocks=vpp_arrange(
+                vparams["blocks"], *self._v_vpp))
+        if self._t_vpp is not None:
+            tparams = dict(tparams, blocks=vpp_arrange(
+                tparams["blocks"], *self._t_vpp))
+
         from megatron_clip_tpu.parallel.mesh import STAGE
         v_stage = STAGE if self.bp.vision.pp > 1 else None
         t_stage = STAGE if (self.bp.text is not None and self.bp.text.pp > 1) else None
@@ -215,7 +230,11 @@ class BranchParallelCLIP:
         from megatron_clip_tpu.training.loop import _call_tx_factory
 
         def _tx(p, tower):
-            return _call_tx_factory(tx_factory, p, tower=tower)
+            # per-layer lock masks must follow the tower's PHYSICAL layer
+            # order under vpp_arrange (the joint runner's vpp_layout hint)
+            layout = {"visual": self._v_vpp, "text": self._t_vpp}.get(tower)
+            return _call_tx_factory(tx_factory, p, tower=tower,
+                                    vpp_layout=layout)
 
         v_tx, t_tx, h_tx = (_tx(vparams, "visual"), _tx(tparams, "text"),
                             _tx(head_params, None))
@@ -243,11 +262,63 @@ class BranchParallelCLIP:
                                          LOGIT_SCALE_MAX)
         return params, opt_state
 
+    # ---- vpp physical <-> logical layout hops ------------------------------
+    def _map_tower_blocks(self, tower_state, tx, layout, leaf_fn):
+        """Map (params, opt_state)'s stacked blocks with leaf_fn, mirroring
+        the optimizer leaves via optax.tree_map_params (the joint runner's
+        _map_blocks, per tower)."""
+        params, opt_state = tower_state
+        if layout is None or "blocks" not in params:
+            return tower_state
+        tags = jax.tree.map(lambda _: False, params)
+        tags = dict(tags, blocks=jax.tree.map(lambda _: True,
+                                              params["blocks"]))
+
+        def f(leaf, tag):
+            if not tag:
+                return leaf
+            out = leaf_fn(leaf)
+            if hasattr(leaf, "sharding"):
+                out = jax.device_put(out, leaf.sharding)
+            return out
+
+        return (jax.tree.map(f, params, tags),
+                optax.tree_map_params(tx, f, opt_state, tags))
+
+    def _layout_hop(self, state: BranchState, restore: bool) -> BranchState:
+        import numpy as np
+        from megatron_clip_tpu.parallel.pipeline import vpp_layer_order
+
+        def mk(layout):
+            def leaf_fn(leaf):
+                order = vpp_layer_order(leaf.shape[0], *layout)
+                return leaf[np.argsort(order)] if restore else leaf[order]
+            return leaf_fn
+
+        vision, text = state.vision, state.text
+        if self._v_vpp is not None:
+            vision = self._map_tower_blocks(vision, self._vision.tx,
+                                            self._v_vpp, mk(self._v_vpp))
+        if self._t_vpp is not None:
+            text = self._map_tower_blocks(text, self._text.tx,
+                                          self._t_vpp, mk(self._t_vpp))
+        return state._replace(vision=vision, text=text)
+
+    def to_logical_state(self, state: BranchState) -> BranchState:
+        """In-memory vpp_arrange physical order -> logical layer order (the
+        layout-independent checkpoint/eval form)."""
+        return self._layout_hop(state, restore=True)
+
+    def to_physical_state(self, state: BranchState) -> BranchState:
+        return self._layout_hop(state, restore=False)
+
     def eval_params(self, state: BranchState):
         """Full CLIP param tree gathered (replicated) onto the vision mesh —
-        the form the evaluation harness consumes via CLIPModel(params, ...).
+        the form the evaluation harness consumes via CLIPModel(params, ...),
+        in LOGICAL layer order (the eval apply is unpipelined).
         The reference's branch eval requires cross-branch gathers too
         (open_CLIP main.py epoch eval with the DDP model)."""
+        state = self.to_logical_state(state)
         repl = NamedSharding(self.vision_mesh, P())
         return {
             "visual": jax.device_put(state.vision[0], repl),

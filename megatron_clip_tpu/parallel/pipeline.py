@@ -51,6 +51,39 @@ from megatron_clip_tpu.nn.transformer import apply_transformer
 from megatron_clip_tpu.parallel.mesh import CONTEXT, STAGE
 
 
+def _cpu_promotes(*arrays):
+    """XLA CPU's AllReducePromotion pass CHECK-fails cloning some bf16
+    all-reduces in the pipelined train-step graphs ("Invalid binary
+    instruction opcode copy", hlo_instruction.cc:1585). The bf16
+    all-reduces come from (a) the final output psum and (b) the transposes
+    of the stage-replicated shard_map inputs (d(x)/d(bias) sum over STAGE
+    in the backward). Workaround: on the CPU backend, carry those inputs
+    across the shard_map boundary in f32 and cast back inside — the compute
+    stays bf16, only the boundary dtype changes. TPU is untouched."""
+    promote = jax.default_backend() == "cpu"
+    outs, dts = [], []
+    for a in arrays:
+        if promote and a is not None and a.dtype == jnp.bfloat16:
+            outs.append(a.astype(jnp.float32))
+            dts.append(jnp.bfloat16)
+        else:
+            outs.append(a)
+            dts.append(None)
+    return outs, tuple(dts)
+
+
+def _output_psum(x):
+    """Final output gather: psum the last stage's masked buffer to every
+    stage. On the CPU backend the all-reduce runs in f32: XLA CPU's
+    AllReducePromotion pass CHECK-fails cloning this bf16 all-reduce
+    ("Invalid binary instruction opcode copy", hlo_instruction.cc:1585) in
+    the pipelined-train-step graphs, so we promote manually there. TPU
+    keeps the native bf16 psum (half the gather bytes)."""
+    if jax.default_backend() == "cpu" and x.dtype != jnp.float32:
+        return jax.lax.psum(x.astype(jnp.float32), STAGE).astype(x.dtype)
+    return jax.lax.psum(x, STAGE)
+
+
 def _microbatch_bias(bias, m, b):
     """Split an additive attention bias [B, ...] (padding masks etc.) into
     microbatches alongside x; broadcast shapes ([1,...] / [H,S,S]) are
@@ -186,6 +219,10 @@ def pipeline_transformer(blocks, x, cfg: TransformerCfg, *, mesh: Mesh,
         position_ids = None   # the per-tick kw carries them instead
 
     def staged(stage_blocks, xm, bm, km, pm, rope_tabs):
+        # under _cpu_promotes the scan state/buffers stay f32 (any bf16
+        # pvary/psum_invariant CHECK-fails XLA CPU's AllReducePromotion);
+        # the per-tick compute is cast back to the model dtype below
+        mdt, bias_dt = _boundary_dts
         stage = jax.lax.axis_index(STAGE)
         if cp_size > 1:
             fwd = partial(apply_transformer, stage_blocks, cfg=cfg,
@@ -216,19 +253,22 @@ def pipeline_transformer(blocks, x, cfg: TransformerCfg, *, mesh: Mesh,
             if pm is not None:
                 kw["position_ids"] = jax.lax.dynamic_index_in_dim(
                     pm, mb_idx, 0, keepdims=False)
+            x_in = cur if mdt is None else cur.astype(mdt)
             if bm is not None:
                 bias_in = jax.lax.dynamic_index_in_dim(
                     bm, jnp.minimum(t, m - 1), 0, keepdims=False)
                 cur_bias = jnp.where(stage == 0, bias_in, state_bias)
-                out = fwd(x=cur, bias=cur_bias, **kw)
+                out = fwd(x=x_in, bias=cur_bias if bias_dt is None
+                          else cur_bias.astype(bias_dt), **kw)
                 state_bias = jax.lax.ppermute(cur_bias, STAGE, shift)
             else:
-                out = fwd(x=cur, **kw)
+                out = fwd(x=x_in, **kw)
             if moe:
                 y, aux_t = out
                 acc_aux = acc_aux + jnp.where(active, aux_t, 0.0)
             else:
                 y = out
+            y = y.astype(xm.dtype)      # back to the (possibly f32) carry
             # the last stage writes microbatch t-(S-1) into the output slot
             write = (stage == n_stages - 1) & active
             prev = jax.lax.dynamic_index_in_dim(out_buf, mb_idx, 0,
@@ -252,16 +292,17 @@ def pipeline_transformer(blocks, x, cfg: TransformerCfg, *, mesh: Mesh,
         if cp_size > 1:
             # each context rank saw only its seq shard's router decisions
             acc_aux = jax.lax.pmean(acc_aux, CONTEXT)
-        return jax.lax.psum(outs * mask, STAGE), acc_aux
+        return _output_psum(outs * mask), acc_aux
 
     xspec = P(None, None, seq_axis)       # [M, mb, S(/cp), W]
+    (xm, bm), _boundary_dts = _cpu_promotes(xm, bm)
     out, aux = jax.shard_map(
         staged, mesh=mesh,
         in_specs=(P(STAGE), xspec, P(), P(), P(), P()),
         out_specs=(xspec, P()),
         axis_names=axis_names,
     )(blocks, xm, bm, km, pm, rope_tabs)
-    out = out.reshape(b, *x.shape[1:])
+    out = out.reshape(b, *x.shape[1:]).astype(x.dtype)
     return (out, aux) if moe else out
 
 
@@ -409,6 +450,10 @@ def pipeline_transformer_interleaved(blocks, x, cfg: TransformerCfg, *,
     ticks = m * v + n_stages - 1
 
     def staged(stage_blocks, xm, bm, km, pm, rope_tabs):
+        # under _cpu_promotes the scan state/buffers stay f32 (any bf16
+        # pvary/psum_invariant CHECK-fails XLA CPU's AllReducePromotion);
+        # the per-tick compute is cast back to the model dtype below
+        mdt, bias_dt = _boundary_dts
         if prearranged:
             # the contiguous local [L/S, ...] shard is chunks k=0..V-1
             stage_blocks = jax.tree.map(
@@ -458,21 +503,27 @@ def pipeline_transformer_interleaved(blocks, x, cfg: TransformerCfg, *,
                     pm, m_cur, 0, keepdims=False)
             elif pos_ids is not None:
                 kw["position_ids"] = pos_ids
+            x_in = cur if mdt is None else cur.astype(mdt)
             if bm is not None:
                 bias_in = jax.lax.dynamic_index_in_dim(bm, m_in, 0,
                                                        keepdims=False)
                 cur_bias = jnp.where(inject, bias_in, state_bias)
-                out = apply_transformer(chunk_blocks, cur, cfg, causal=causal,
-                                        bias=cur_bias, rope=local_rope, **kw)
+                out = apply_transformer(chunk_blocks, x_in, cfg,
+                                        causal=causal,
+                                        bias=cur_bias if bias_dt is None
+                                        else cur_bias.astype(bias_dt),
+                                        rope=local_rope, **kw)
                 state_bias = jax.lax.ppermute(cur_bias, STAGE, shift)
             else:
-                out = apply_transformer(chunk_blocks, cur, cfg, causal=causal,
+                out = apply_transformer(chunk_blocks, x_in, cfg,
+                                        causal=causal,
                                         rope=local_rope, **kw)
             if moe:
                 y, aux_t = out
                 acc_aux = acc_aux + jnp.where(active, aux_t, 0.0)
             else:
                 y = out
+            y = y.astype(xm.dtype)      # back to the (possibly f32) carry
             # final outputs leave the last stage on chunk V-1; write them
             # into an [M, ...] buffer indexed by microbatch instead of
             # scan-stacking all (M*V + S - 1) tick outputs — ~V+1x less
@@ -498,14 +549,15 @@ def pipeline_transformer_interleaved(blocks, x, cfg: TransformerCfg, *,
         acc_aux = jax.lax.psum(acc_aux, STAGE) / m
         if cp_size > 1:
             acc_aux = jax.lax.pmean(acc_aux, CONTEXT)
-        return jax.lax.psum(outs * mask, STAGE), acc_aux
+        return _output_psum(outs * mask), acc_aux
 
     xspec = P(None, None, seq_axis)
+    (xm, bm), _boundary_dts = _cpu_promotes(xm, bm)
     out, aux = jax.shard_map(
         staged, mesh=mesh,
         in_specs=(P(STAGE), xspec, P(), P(), P(), P()),
         out_specs=(xspec, P()),
         axis_names=axis_names,
     )(stage_major, xm, bm, km, pm, rope_tabs)
-    out = out.reshape(b, *x.shape[1:])
+    out = out.reshape(b, *x.shape[1:]).astype(x.dtype)
     return (out, aux) if moe else out

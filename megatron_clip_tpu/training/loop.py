@@ -689,11 +689,14 @@ class _BranchRunner:
         return self.model, self.runner.eval_params(self.state)
 
     def save(self, root, step, consumed):
-        save_checkpoint(root, step, self.state._asdict(),
+        # checkpoints stay in LOGICAL layer order (vpp_arrange is an
+        # in-memory placement detail, same contract as the joint runner)
+        save_checkpoint(root, step,
+                        self.runner.to_logical_state(self.state)._asdict(),
                         {"consumed_samples": consumed})
 
     def load(self, root):
         from megatron_clip_tpu.parallel.branch import BranchState
         tree, meta, step = load_checkpoint(root, self.state._asdict())
-        self.state = BranchState(**tree)
+        self.state = self.runner.to_physical_state(BranchState(**tree))
         return self.state, meta, step

@@ -121,3 +121,82 @@ def test_branch_eval_params_runs_eval(devices8):
     assert fi.shape == (8, TINY.embed_dim) and ft.shape == (8, TINY.embed_dim)
     np.testing.assert_allclose(np.asarray(jnp.linalg.norm(fi, axis=-1)),
                                np.ones(8), rtol=1e-5)
+
+
+def test_branch_vpp_prearranged_matches_joint(devices8):
+    """Branch towers under interleaved vpp2 use the zero-copy vpp_arrange
+    physical placement (round-4 adoption of the joint runner's layout) and
+    still match the joint single-device step; to_logical_state restores the
+    checkpoint/eval layer order exactly."""
+    bp = BranchParallelCfg(
+        vision=ParallelCfg(dp=2, pp=2, vpp=2, microbatches=2),
+        text=ParallelCfg(dp=4))
+    import dataclasses
+    cfg = dataclasses.replace(
+        TINY, vision=dataclasses.replace(TINY.vision, layers=4))
+    runner = BranchParallelCLIP(cfg=cfg, bp=bp, compute_dtype=jnp.float32)
+    assert runner._v_vpp == (2, 2) and runner._t_vpp is None
+    state = runner.init_state(jax.random.PRNGKey(0), _tx_factory)
+
+    # physical placement really happened, and to_logical inverts it
+    ref_params = init_clip(jax.random.PRNGKey(0), cfg)
+    from megatron_clip_tpu.parallel.pipeline import vpp_arrange
+    want_phys = vpp_arrange(ref_params["visual"]["blocks"], 2, 2)
+    for a, b in zip(jax.tree.leaves(state.vision[0]["blocks"]),
+                    jax.tree.leaves(want_phys)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    logical = runner.to_logical_state(state)
+    for a, b in zip(jax.tree.leaves(logical.vision[0]["blocks"]),
+                    jax.tree.leaves(ref_params["visual"]["blocks"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # eval_params is logical too
+    ev = runner.eval_params(state)
+    for a, b in zip(jax.tree.leaves(ev["visual"]["blocks"]),
+                    jax.tree.leaves(ref_params["visual"]["blocks"])):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # training parity vs the joint step
+    model = CLIPModel(cfg=cfg, precision=Precision("float32", "float32"))
+    params = init_clip(jax.random.PRNGKey(0), cfg)
+    tx = _tx_factory(params)
+    ref_state = TrainState.create(params, tx)
+    ref_step = make_train_step(model, tx)
+    images, texts = _data()
+    for _ in range(2):
+        state, m = runner.train_step(state, images, texts)
+        ref_state, rm = ref_step(ref_state, images, texts)
+        np.testing.assert_allclose(float(m["loss"]), float(rm["loss"]),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_branch_vpp_prearranged_no_weight_permute(devices8):
+    """The prearranged interleaved schedule moves NO weights across stages:
+    its compiled HLO carries fewer collective ops than the logical-layout
+    schedule of the same model (the VERDICT-r3 collective-count check)."""
+    from megatron_clip_tpu.config import TransformerCfg
+    from megatron_clip_tpu.nn.transformer import init_transformer
+    from megatron_clip_tpu.parallel.mesh import build_mesh
+    from megatron_clip_tpu.parallel.pipeline import (
+        pipeline_transformer_interleaved, vpp_arrange)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from megatron_clip_tpu.parallel.mesh import STAGE
+
+    cfg = TransformerCfg(layers=4, width=64, heads=2)
+    blocks = init_transformer(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 8, 64))
+    mesh = build_mesh(ParallelCfg(dp=4, pp=2))
+    stage_sh = NamedSharding(mesh, P(STAGE))  # layers split across stages
+
+    def counts(fn, b):
+        b = jax.tree.map(lambda l: jax.device_put(l, stage_sh), b)
+        txt = jax.jit(fn).lower(b).compile().as_text()
+        return sum(txt.count(op) for op in
+                   ("collective-permute", "all-gather", "all-to-all"))
+
+    n_log = counts(lambda b: pipeline_transformer_interleaved(
+        b, x, cfg, mesh=mesh, num_microbatches=2, num_chunks=2), blocks)
+    n_pre = counts(lambda b: pipeline_transformer_interleaved(
+        b, x, cfg, mesh=mesh, num_microbatches=2, num_chunks=2,
+        prearranged=True), vpp_arrange(blocks, 2, 2))
+    assert n_pre < n_log, (n_pre, n_log)

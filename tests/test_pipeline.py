@@ -501,3 +501,45 @@ def test_joint_clip_vpp_prearranged_and_ckpt_layout(devices8, tmp_path):
     for a, b in zip(jax.tree.leaves(r2.state.params),
                     jax.tree.leaves(r2b.state.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pipeline_bf16_compiles_and_matches(devices8):
+    """bf16 activations through both schedules, forward AND gradient.
+
+    Regression: XLA CPU's AllReducePromotion pass CHECK-failed ("Invalid
+    binary instruction opcode copy") cloning the bf16 psum_invariant
+    all-reduces that shard_map's pvary transposes emit — which killed every
+    bf16-compute pipelined train step on the virtual-device mesh (the
+    branch CLI path among them). The pipeline now carries its scan
+    state/buffers in f32 on the CPU backend (compute stays bf16)."""
+    from megatron_clip_tpu.parallel.pipeline import (
+        pipeline_transformer, pipeline_transformer_interleaved)
+
+    cfg = TransformerCfg(layers=4, width=64, heads=2)
+    blocks = init_transformer(jax.random.PRNGKey(0), cfg)
+    bb = jax.tree.map(lambda l: l.astype(jnp.bfloat16), blocks)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 8, 64)
+                          ).astype(jnp.bfloat16)
+    mesh = build_mesh(ParallelCfg(dp=2, pp=2))
+
+    want = apply_transformer(bb, x, cfg)
+    got = pipeline_transformer(bb, x, cfg, mesh=mesh, num_microbatches=2)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=0.05, atol=0.05)
+    got_i = pipeline_transformer_interleaved(
+        bb, x, cfg, mesh=mesh, num_microbatches=2, num_chunks=2)
+    np.testing.assert_allclose(np.asarray(got_i, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=0.05, atol=0.05)
+
+    # gradients compile and are finite under bf16 (the crashing graphs)
+    for fn in (lambda b: pipeline_transformer(
+                   b, x, cfg, mesh=mesh, num_microbatches=2),
+               lambda b: pipeline_transformer_interleaved(
+                   b, x, cfg, mesh=mesh, num_microbatches=2, num_chunks=2)):
+        g = jax.jit(jax.grad(
+            lambda b: jnp.sum(fn(b).astype(jnp.float32) ** 2)))(bb)
+        assert all(np.isfinite(np.asarray(l, np.float32)).all()
+                   for l in jax.tree.leaves(g))
