@@ -146,11 +146,6 @@ def apply_vit(params, images, cfg: VisionCfg, embed_dim: int, *,
     x = jnp.concatenate([cls, x], axis=1)
     rel_index = None
     if cfg.rel_pos_bias:
-        if layers_fn is not None:
-            raise NotImplementedError(
-                "rel_pos_bias towers do not run under the pipeline "
-                "layers_fn (per-layer bias is not threaded through the "
-                "stage schedule)")
         if patch_dropout_rng is not None and cfg.patch_dropout > 0.0:
             raise NotImplementedError(
                 "rel_pos_bias + patch_dropout: dropping patches would "
@@ -187,6 +182,12 @@ def apply_vit(params, images, cfg: VisionCfg, embed_dim: int, *,
     if layers_fn is None:
         x = apply_transformer(params["blocks"], x, tcfg, causal=False,
                               rel_index=rel_index)
+    elif rel_index is not None:
+        # the per-layer rel_pos tables ride the stacked blocks (already
+        # stage-sharded); only the layer-independent [S, S] gather map
+        # crosses into the schedule
+        x = layers_fn(params["blocks"], x, tcfg, causal=False,
+                      rel_index=rel_index)
     else:
         x = layers_fn(params["blocks"], x, tcfg, causal=False)
 

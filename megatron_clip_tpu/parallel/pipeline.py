@@ -170,7 +170,8 @@ def _local_rope(rope_tabs, cp_size: int, s_global: int):
 
 def pipeline_transformer(blocks, x, cfg: TransformerCfg, *, mesh: Mesh,
                          num_microbatches: int, causal: bool = False,
-                         bias=None, rng=None, position_ids=None):
+                         bias=None, rng=None, position_ids=None,
+                         rel_index=None):
     """Run the stacked transformer blocks pipelined over the mesh's `stage`
     axis. blocks leaves: [L, ...] with L % n_stages == 0; x: [B, S, W] with
     B % num_microbatches == 0. `bias` (additive attention mask, e.g. BERT
@@ -189,7 +190,8 @@ def pipeline_transformer(blocks, x, cfg: TransformerCfg, *, mesh: Mesh,
     n_stages = mesh.shape[STAGE]
     if n_stages == 1:
         return apply_transformer(blocks, x, cfg, causal=causal, bias=bias,
-                                 rng=rng, position_ids=position_ids)
+                                 rng=rng, position_ids=position_ids,
+                                 rel_index=rel_index)
 
     n_layers = jax.tree.leaves(blocks)[0].shape[0]
     if n_layers % n_stages:
@@ -226,11 +228,12 @@ def pipeline_transformer(blocks, x, cfg: TransformerCfg, *, mesh: Mesh,
         stage = jax.lax.axis_index(STAGE)
         if cp_size > 1:
             fwd = partial(apply_transformer, stage_blocks, cfg=cfg,
-                          causal=causal,
+                          causal=causal, rel_index=rel_index,
                           rope=_local_rope(rope_tabs, cp_size, s_global))
         else:
             fwd = partial(apply_transformer, stage_blocks, cfg=cfg,
-                          causal=causal, position_ids=position_ids)
+                          causal=causal, position_ids=position_ids,
+                          rel_index=rel_index)
         ticks = m + n_stages - 1
         shift = [(i, i + 1) for i in range(n_stages - 1)]
 
@@ -316,16 +319,18 @@ def make_pipelined_layers_fn(mesh: Mesh, num_microbatches: int,
     the interleaved docstring — skips the per-step cross-stage weight
     permute)."""
     def layers_fn(blocks, x, cfg, *, causal=False, bias=None, rng=None,
-                  position_ids=None):
+                  position_ids=None, rel_index=None):
         if num_chunks > 1:
             return pipeline_transformer_interleaved(
                 blocks, x, cfg, mesh=mesh, num_microbatches=num_microbatches,
                 num_chunks=num_chunks, causal=causal, bias=bias, rng=rng,
-                position_ids=position_ids, prearranged=vpp_prearranged)
+                position_ids=position_ids, rel_index=rel_index,
+                prearranged=vpp_prearranged)
         return pipeline_transformer(blocks, x, cfg, mesh=mesh,
                                     num_microbatches=num_microbatches,
                                     causal=causal, bias=bias, rng=rng,
-                                    position_ids=position_ids)
+                                    position_ids=position_ids,
+                                    rel_index=rel_index)
     return layers_fn
 
 
@@ -369,6 +374,7 @@ def pipeline_transformer_interleaved(blocks, x, cfg: TransformerCfg, *,
                                      mesh: Mesh, num_microbatches: int,
                                      num_chunks: int, causal: bool = False,
                                      bias=None, rng=None, position_ids=None,
+                                     rel_index=None,
                                      prearranged: bool = False):
     """Interleaved (virtual-pipeline) schedule — megatron's
     `forward_backward_pipelining_with_interleaving` (schedules.py:370-935)
@@ -512,11 +518,12 @@ def pipeline_transformer_interleaved(blocks, x, cfg: TransformerCfg, *,
                                         causal=causal,
                                         bias=cur_bias if bias_dt is None
                                         else cur_bias.astype(bias_dt),
+                                        rel_index=rel_index,
                                         rope=local_rope, **kw)
                 state_bias = jax.lax.ppermute(cur_bias, STAGE, shift)
             else:
                 out = apply_transformer(chunk_blocks, x_in, cfg,
-                                        causal=causal,
+                                        causal=causal, rel_index=rel_index,
                                         rope=local_rope, **kw)
             if moe:
                 y, aux_t = out

@@ -332,7 +332,8 @@ def run(args):
                        val_iter_factory=val_batches,
                        eval_loss_fn=lambda p, b: loss_fn(p, b, None, _tcfg=tcfg_eval),
                        args_ns=args, ckpt_transforms=ckpt_transforms)
-    r = {"loss": out["loss"], "history": out["history"]}
+    r = {"loss": out["loss"], "history": out["history"],
+         "last_step": out.get("last_step")}
     if "val_loss" in out:
         r["val_loss"] = out["val_loss"]
     return r

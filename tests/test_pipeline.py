@@ -543,3 +543,28 @@ def test_pipeline_bf16_compiles_and_matches(devices8):
             lambda b: jnp.sum(fn(b).astype(jnp.float32) ** 2)))(bb)
         assert all(np.isfinite(np.asarray(l, np.float32)).all()
                    for l in jax.tree.leaves(g))
+
+
+def test_relpos_tower_pipelines(devices8):
+    """relpos-ViT (BEiT-style per-layer learned attention bias) under pp2
+    == single-device: the per-layer bias tables ride the stage-sharded
+    stacked blocks; only the layer-independent [S, S] gather map enters
+    the schedule (reference pipelines all towers uniformly,
+    megatron/model/transformer.py:1402)."""
+    from megatron_clip_tpu.config import VisionCfg
+    from megatron_clip_tpu.models.vit import init_vit, apply_vit
+    from megatron_clip_tpu.parallel.pipeline import make_pipelined_layers_fn
+
+    cfg = VisionCfg(layers=4, width=64, head_width=32, patch_size=8,
+                    image_size=32, rel_pos_bias=True)
+    params = init_vit(jax.random.PRNGKey(0), cfg, embed_dim=64)
+    images = jax.random.normal(jax.random.PRNGKey(1), (4, 32, 32, 3))
+
+    want = apply_vit(params, images, cfg, 64, compute_dtype=jnp.float32)
+    mesh = build_mesh(ParallelCfg(dp=2, pp=2))
+    for chunks in (1, 2):
+        lf = make_pipelined_layers_fn(mesh, 2, chunks)
+        got = apply_vit(params, images, cfg, 64, compute_dtype=jnp.float32,
+                        layers_fn=lf)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5, err_msg=f"v{chunks}")

@@ -53,6 +53,12 @@ def parse_args(argv=None):
                    help="IVF coarse centroids; 0 = exact MIPS over the "
                         "full db (small corpora)")
     p.add_argument("--nprobe", type=int, default=8)
+    p.add_argument("--measure-recall", type=int, default=0, metavar="N",
+                   help="with --stage recall (or after query): sample N "
+                        "query chunks, compare the probed IVF top-k "
+                        "against exact MIPS and print recall@k (the "
+                        "reference validates its FAISS IVF config the "
+                        "same way)")
     p.add_argument("--kmeans-iters", type=int, default=10)
     p.add_argument("--load", default=None, help="biencoder checkpoint root")
     p.add_argument("--seed", type=int, default=0)
