@@ -39,7 +39,7 @@ def parse_args(argv=None):
     p.add_argument("--data-path", required=True)
     p.add_argument("--out", required=True)
     p.add_argument("--stage", choices=["chunks", "embed", "index", "query",
-                                       "all"], default="all")
+                                       "recall", "all"], default="all")
     p.add_argument("--chunk-length", type=int, default=64)
     p.add_argument("--num-neighbors", type=int, default=2)
     p.add_argument("--embed-dim", type=int, default=64)
@@ -52,7 +52,11 @@ def parse_args(argv=None):
     p.add_argument("--num-centroids", type=int, default=0,
                    help="IVF coarse centroids; 0 = exact MIPS over the "
                         "full db (small corpora)")
-    p.add_argument("--nprobe", type=int, default=8)
+    p.add_argument("--nprobe", type=int, default=64,
+                   help="IVF lists probed per query. Default measured at "
+                        "100k chunks / 1024 centroids: recall@2 vs exact "
+                        "MIPS = 0.83 @8, 0.90 @16, 0.95 @32, 0.98 @64 "
+                        "(still ~10x exact-search qps); see README")
     p.add_argument("--measure-recall", type=int, default=0, metavar="N",
                    help="with --stage recall (or after query): sample N "
                         "query chunks, compare the probed IVF top-k "
@@ -181,6 +185,84 @@ def stage_index(args):
     return centroids, a
 
 
+def _load_ivf(args):
+    """(centroids, inverted lists) or (None, None) in exact mode."""
+    cen_path = args.out + "_centroids.npy"
+    if not (os.path.exists(cen_path) and args.num_centroids):
+        return None, None
+    centroids = np.load(cen_path)
+    assign = np.load(args.out + "_assign.npy")
+    lists = [np.nonzero(assign == ci)[0] for ci in range(len(centroids))]
+    return centroids, lists
+
+
+def _ivf_topk(emb, queries, centroids, lists, kq, nprobe):
+    """Probed IVF max-inner-product top-kq ids for each query row.
+
+    queries: [Q, d] (rows of emb or arbitrary vectors). Probes the nprobe
+    nearest centroids and searches their inverted lists exactly — the
+    IVF*,Flat behavior of the reference's FAISS index
+    (tools/retro/index/indexes/faiss_base.py)."""
+    q = np.asarray(queries, np.float32)
+    probe = np.argsort(-(q @ centroids.T), axis=1)[:, :nprobe]
+    out = np.zeros((len(q), kq), np.int64)
+    for i in range(len(q)):
+        cand = np.concatenate([lists[ci] for ci in probe[i]])
+        scores = emb[cand] @ q[i]
+        top = cand[np.argsort(-scores)[:kq]]
+        out[i, : len(top)] = top
+        if len(top) < kq:
+            out[i, len(top):] = top[-1] if len(top) else i
+    return out
+
+
+def stage_recall(args):
+    """Measure probed-IVF recall@k against exact MIPS on sampled queries.
+
+    The reference validates its FAISS IVF configs the same way (query the
+    index, compare with brute force). Prints one JSON line with
+    recall@k / recall@kq and the sampled query count."""
+    import json
+    import time
+    emb = np.load(args.out + "_emb.npy")
+    n = len(emb)
+    centroids, lists = _load_ivf(args)
+    if centroids is None:
+        print("[recall] exact-MIPS mode: recall is 1.0 by construction",
+              flush=True)
+        return {"recall_at_k": 1.0}
+    k = args.num_neighbors
+    kq = k + 8
+    nq = min(args.measure_recall or 1024, n)
+    rng = np.random.RandomState(args.seed + 1)
+    qidx = rng.choice(n, nq, replace=False)
+
+    from megatron_clip_tpu.indexer import MIPSIndex
+    index = MIPSIndex(emb)
+    t0 = time.time()
+    _, exact = index.search(emb[qidx], k=min(kq, n))
+    t_exact = time.time() - t0
+    t0 = time.time()
+    probed = _ivf_topk(emb, emb[qidx], centroids, lists, kq, args.nprobe)
+    t_ivf = time.time() - t0
+
+    def recall(at):
+        hits = 0
+        for r in range(nq):
+            hits += len(set(exact[r, :at].tolist())
+                        & set(probed[r, :at].tolist()))
+        return hits / (nq * at)
+
+    res = {"num_chunks": int(n), "num_queries": int(nq),
+           "num_centroids": int(len(centroids)), "nprobe": int(args.nprobe),
+           "recall_at_k": round(recall(k), 4),
+           "recall_at_kq": round(recall(kq), 4),
+           "exact_qps": round(nq / max(t_exact, 1e-9), 1),
+           "ivf_qps": round(nq / max(t_ivf, 1e-9), 1)}
+    print("[recall] " + json.dumps(res), flush=True)
+    return res
+
+
 def stage_query(args):
     from megatron_clip_tpu.indexer import MIPSIndex
     chunks = np.load(args.out + "_chunks.npy")
@@ -190,20 +272,9 @@ def stage_query(args):
     k = args.num_neighbors
     kq = k + 8                  # over-query so doc filtering leaves k
 
-    cen_path = args.out + "_centroids.npy"
-    if os.path.exists(cen_path) and args.num_centroids:
-        centroids = np.load(cen_path)
-        assign = np.load(args.out + "_assign.npy")
-        lists = [np.nonzero(assign == ci)[0] for ci in range(len(centroids))]
-        probe = np.argsort(-(emb @ centroids.T), axis=1)[:, :args.nprobe]
-        nbr_idx = np.zeros((n, kq), np.int64)
-        for i in range(n):
-            cand = np.concatenate([lists[ci] for ci in probe[i]])
-            scores = emb[cand] @ emb[i]
-            top = cand[np.argsort(-scores)[:kq]]
-            nbr_idx[i, : len(top)] = top
-            if len(top) < kq:
-                nbr_idx[i, len(top):] = top[-1] if len(top) else i
+    centroids, lists = _load_ivf(args)
+    if centroids is not None:
+        nbr_idx = _ivf_topk(emb, emb, centroids, lists, kq, args.nprobe)
     else:
         index = MIPSIndex(emb)
         _, nbr_idx = index.search(emb, k=min(kq, n))
@@ -253,6 +324,9 @@ def run(args):
         stage_index(args)
     if args.stage in ("query", "all"):
         res = stage_query(args)
+    if args.stage == "recall" or (args.stage == "all"
+                                  and args.measure_recall):
+        res = dict(res, **stage_recall(args))
     return res
 
 
