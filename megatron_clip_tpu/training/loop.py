@@ -150,11 +150,11 @@ def _run_training(args, term) -> dict:
     model = dataclasses.replace(model, remat=args.recompute_granularity,
                                 sequence_parallel=args.sequence_parallel)
     if model.is_coca:
-        # the captioning head trains in the joint contrastive step; the
-        # feature-cache accum path, branch split, pipeline and distill are
-        # contrastive-tower-only machinery
-        for flag, bad in [("accum_freq", max(1, args.accum_freq) > 1),
-                          ("extra_world_size", extra > 0),
+        # the captioning head trains in the joint contrastive step
+        # (--accum-freq composes since round 4: contrastive via the
+        # feature cache, caption CE per-block / M); the branch split,
+        # pipeline and distill remain contrastive-tower-only machinery
+        for flag, bad in [("extra_world_size", extra > 0),
                           ("pipeline_model_parallel_size", pp > 1),
                           ("distill_model",
                            bool(getattr(args, "distill_model", None)))]:

@@ -147,6 +147,8 @@ def make_train_step(model, tx, *, loss_obj: Optional[Callable] = None,
                     dist_logit_scale=jax.lax.stop_gradient(tls[-1]),
                     output_dict=True)
 
+            is_coca = getattr(model, "is_coca", False)
+
             def block_loss(params, im, tx_, i):
                 # the same (step, i) dropout key as the cache pass: the
                 # recomputed block-i features must equal the cached ones
@@ -155,24 +157,42 @@ def make_train_step(model, tx, *, loss_obj: Optional[Callable] = None,
                     all_fi, out["image_features"], i, 0)
                 ft = jax.lax.dynamic_update_index_in_dim(
                     all_ft, out["text_features"], i, 0)
+                if is_coca:
+                    # CoCa under accum: the contrastive term uses the
+                    # feature-cache scheme (exact full-batch negatives);
+                    # the captioning CE is per-sample decomposable, so
+                    # block i contributes its own caption loss / M — the
+                    # blocks sum to the exact full-batch CoCaLoss gradient
+                    ld = loss_obj(fi.reshape(-1, d), ft.reshape(-1, d),
+                                  out["logits"], out["labels"],
+                                  out["logit_scale"], output_dict=True)
+                    cap = ld.get("caption_loss", 0.0) / microbatches
+                    return ld["contrastive_loss"] + cap, \
+                        (out["logit_scale"], cap)
                 loss = loss_obj(fi.reshape(-1, d), ft.reshape(-1, d),
                                 out["logit_scale"], **dist_kw)
                 if isinstance(loss, dict):
                     loss = sum(loss.values())
-                return loss, out["logit_scale"]
+                return loss, (out["logit_scale"],
+                              jnp.zeros((), jnp.float32))
 
             block_grad = jax.value_and_grad(block_loss, has_aux=True)
 
             def mb(carry, xs):
                 i, im, tx_ = xs
-                (l, s), g = block_grad(state.params, im, tx_, i)
-                acc_g, _ = carry
-                return (jax.tree.map(jnp.add, acc_g, g), l), s
+                (l, (s, cap)), g = block_grad(state.params, im, tx_, i)
+                acc_g, _, acc_cap = carry
+                return (jax.tree.map(jnp.add, acc_g, g), l - cap,
+                        acc_cap + cap), s
 
             zeros = jax.tree.map(jnp.zeros_like, state.params)
-            (grads, loss), scales = jax.lax.scan(
-                mb, (zeros, jnp.zeros((), jnp.float32)),
+            (grads, loss, cap_total), scales = jax.lax.scan(
+                mb, (zeros, jnp.zeros((), jnp.float32),
+                     jnp.zeros((), jnp.float32)),
                 (jnp.arange(microbatches), ims, txs))
+            # metric: full contrastive (any block carries it whole) + the
+            # block-summed caption mean
+            loss = loss + cap_total
             scale = scales[-1]
             # every block's loss contains the FULL dL/d(logit_scale), so the
             # sum is M x the true gradient — rescale to keep the summed

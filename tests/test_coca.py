@@ -90,3 +90,39 @@ def test_coca_loss_trains():
     assert float(jnp.abs(g["mm_blocks"]["cross"]["wq"]).sum()) > 0
     assert float(jnp.abs(g["visual"]["attn_pool"]["query"]).sum()) > 0
     assert float(jnp.abs(g["lm_head"]["w"]).sum()) > 0
+
+
+def test_coca_accum_freq_matches_full_batch():
+    """CoCa under --accum-freq == the full-batch CoCa step: contrastive via
+    the feature cache (full negative pool), caption CE accumulated
+    per-block / M — summed block gradients reconstruct the exact full-batch
+    CoCaLoss gradient (round-4 lift of the accum gate)."""
+    from megatron_clip_tpu.factory import CLIPModel
+    from megatron_clip_tpu.config import Precision
+    from megatron_clip_tpu.training import (make_train_step, make_optimizer,
+                                            cosine_lr)
+    from megatron_clip_tpu.training.train_step import TrainState
+
+    model = CLIPModel(cfg=TINY, precision=Precision("float32", "float32"))
+    assert model.is_coca
+    loss_obj = CoCaLoss(caption_loss_weight=2.0, clip_loss_weight=1.0)
+    images, texts = _batch(8)
+
+    results = []
+    for mb in (1, 2):
+        params = init_coca(jax.random.PRNGKey(0), TINY)
+        tx = make_optimizer(params, cosine_lr(1e-3, 2, 100))
+        state = TrainState.create(params, tx)
+        step = make_train_step(model, tx, loss_obj=loss_obj,
+                               microbatches=mb)
+        losses = []
+        for _ in range(2):
+            state, m = step(state, images, texts)
+            losses.append(float(m["loss"]))
+        results.append((losses, state.params))
+
+    (l1, p1), (l2, p2) = results
+    np.testing.assert_allclose(l1, l2, rtol=2e-5, atol=2e-5)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=2e-4)
