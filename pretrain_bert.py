@@ -84,7 +84,17 @@ def run(args):
           flush=True)
 
     rc = runtime_cfg_from_args(args, "bert")
-    mesh, layers_fn = build_workload_mesh(rc)
+    mesh, layers_fn = build_workload_mesh(rc, vpp_prearranged=True)
+    ckpt_transforms = None
+    if mesh is not None and rc.pp > 1 and rc.vpp > 1:
+        # interleaved pipeline: zero-copy vpp_arrange physical placement
+        # (same scheme as pretrain_gpt; checkpoints stay logical)
+        from megatron_clip_tpu.parallel.pipeline import vpp_arrange
+        from megatron_clip_tpu.training.workload import vpp_ckpt_transforms
+        ckpt_transforms = vpp_ckpt_transforms(params, "blocks", rc.pp,
+                                              rc.vpp)
+        params = dict(params,
+                      blocks=vpp_arrange(params["blocks"], rc.pp, rc.vpp))
     specs = generic_param_specs(
         params, stage_axis=STAGE if rc.pp > 1 else None)
 
@@ -160,7 +170,8 @@ def run(args):
                        # real data: the --split valid doc range; synthetic:
                        # a held-out seeded stream
                        val_iter_factory=lambda: masked_batches(
-                           args.seed + 7919, split_index=1), args_ns=args)
+                           args.seed + 7919, split_index=1), args_ns=args,
+                       ckpt_transforms=ckpt_transforms)
     return {"loss": out["loss"]}
 
 
