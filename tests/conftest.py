@@ -89,6 +89,88 @@ SLOW_TESTS = (
     "test_finetune_improves_in_batch_accuracy",  # orqa eval e2e stays
     # round-3 additions
     "test_bhsd_projection_path_matches_packed",  # s2048 interpret-mode grads
+    # round-4 re-tiering: everything measured >=13s on the idle 1-core box
+    # (full default tier had crept to 58 min; now ~14 min — VERDICT r3 #5).
+    # Representatives kept quick: test_synthetic_one_epoch (app e2e),
+    # test_interleaved_prearranged_matches_logical (vpp layout),
+    # test_branch_eval_params_runs_eval (branch runner), plus every file's
+    # sub-13s tests. Full coverage runs under --runslow.
+    "test_bert_resume_equivalence",
+    "test_bert_sharded_with_pipeline_and_dropout",
+    "test_branch_accum_freq_matches_full_batch",
+    "test_branch_vpp_prearranged_matches_joint",
+    "test_branch_vpp_prearranged_no_weight_permute",
+    "test_coca_accum_freq_matches_full_batch",
+    "test_coca_generate_sampling_modes",
+    "test_coca_through_training_app",
+    "test_dcn_dp_train_step_matches_flat_dp",
+    "test_dino_aux_state_resume",
+    "test_dino_knn_monitor_e2e",
+    "test_dino_loss_and_ema",
+    "test_dino_no_load_optim_keeps_teacher",
+    "test_dino_schedules",
+    "test_distill_composes_with_accum_freq",
+    "test_distill_step_runs_and_teacher_fixed",
+    "test_dropout_changes_loss_and_grads_flow",
+    "test_exit_interval_ends_run_not_epoch",
+    "test_factory_end_to_end_tiny_convnext",
+    "test_force_image_size_model_and_transforms",
+    "test_gpt_cp_with_pipeline",
+    "test_gpt_load_finetune_semantics",
+    "test_gpt_resume_equivalence_nu_bf16",
+    "test_gpt_resume_equivalence_sharded",
+    "test_gpt_three_axis_parity",
+    "test_gpt_three_axis_with_moe_and_dropout",
+    "test_gpt_use_checkpoint_args",
+    "test_gpt_vpp_resume_equivalence",
+    "test_gpt_zigzag_cp_training_matches_serial",
+    "test_grad_parity",                     # loss_parity siblings stay
+    "test_inpaint_reconstruction_learns",   # masked-loss sibling stays
+    "test_interleaved_dropout_matches_microbatched",
+    "test_interleaved_moe_aux_matches_microbatched",
+    "test_interleaved_prearranged_gradients_match",
+    "test_joint_clip_pipeline_matches_single_device",
+    "test_joint_clip_vpp_prearranged_and_ckpt_layout",
+    "test_lock_text_freezes_text_only",     # unlocked_groups sibling stays
+    "test_lr_warmup_fraction",
+    "test_mlp_proj_head",
+    "test_no_save_optim_no_load_optim",
+    "test_optimizer_flags",
+    "test_patch_dropout_active_in_train_step",
+    "test_pipeline_bf16_compiles_and_matches",
+    "test_pipeline_dropout_gradients_match",
+    "test_pipeline_dropout_matches_microbatched",
+    "test_pipeline_moe_aux_matches_microbatched",
+    "test_pipeline_per_row_position_ids",
+    "test_pretrain_bert_on_sentence_corpus",
+    "test_pretrained_init_and_image_only",
+    "test_relpos_tower_pipelines",
+    "test_relpos_vit_tower",                # relpos_zoo_model_builds stays
+    "test_resize_pos_embed_on_load",
+    "test_resume_explicit_path",
+    "test_retro_learns_retrieval_task",
+    "test_rn50_factory_geometry",
+    "test_save_most_recent_and_delete_previous",
+    "test_skip_train_and_wd_schedule",
+    "test_steps_per_epoch_bounds_epochs",
+    "test_swin_and_gap_vit_towers_forward",
+    "test_t5_e2e_on_generated_corpus",
+    "test_t5_encoder_decoder",
+    "test_t5_encoder_matches_transformers",
+    "test_t5_sharded",
+    "test_train_step_reduces_coca_loss",
+    "test_vision_segment_cityscapes",       # segment_learns sibling... both
+    "test_vision_segment_learns",           # heavy; setr variant stays
+    "test_vocab_padding_and_bert_no_nsp",
+    # 7-13s band with cheaper siblings covering the same feature
+    "test_ragged_prompts_match_unpadded",   # pp-serving ragged test stays
+    "test_clip_with_t5_text_tower",         # factory_hf_text_clip stays
+    "test_lambada_accuracy_counts_model_argmax",  # wikitext eval stays
+    "test_generate_runs",                   # coca generate beam stays
+    "test_generation_under_tp_mesh",        # pp-serving mesh decode stays
+    "test_capacity_one_expert_collapse",    # moe swiglu/switch tests stay
+    "test_moe_transformer_runs_and_trains",
+    "test_tensorboard_dir",                 # TB covered by the CLIP app
 )
 
 
