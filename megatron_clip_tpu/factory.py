@@ -482,9 +482,17 @@ def create_model(model_name: str, precision: str = "bf16", *, seed: int = 0,
     cfg_dict = get_model_config(model_name)
     if cfg_dict is None:
         if model_name.startswith(_UNSUPPORTED_PREFIXES):
+            # a tower-family NAME with no JSON config: point at the config
+            # registry rather than "not found" (every shipped open_CLIP
+            # config resolves; ResNet/ConvNeXt/Swin/HF-text families are
+            # all implemented — arbitrary timm/HF archs outside them need
+            # a model_configs entry mapping onto the native towers)
             raise NotImplementedError(
-                f"model tower family of {model_name!r} (ResNet/ConvNeXt/timm/HF) "
-                "is not yet implemented in megatron_clip_tpu; see README roadmap")
+                f"no model config named {model_name!r}; the native tower "
+                "families (ViT/ResNet/ConvNeXt/Swin, BERT/RoBERTa/mT5 "
+                "text) are selected via model_configs/*.json — add a "
+                "config (MCT_MODEL_CONFIG_DIR) mapping this name onto "
+                "them")
         raise RuntimeError(f"model config for {model_name!r} not found; "
                            f"available: {list_models()}")
     if force_quick_gelu:

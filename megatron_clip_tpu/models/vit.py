@@ -146,10 +146,6 @@ def apply_vit(params, images, cfg: VisionCfg, embed_dim: int, *,
     x = jnp.concatenate([cls, x], axis=1)
     rel_index = None
     if cfg.rel_pos_bias:
-        if patch_dropout_rng is not None and cfg.patch_dropout > 0.0:
-            raise NotImplementedError(
-                "rel_pos_bias + patch_dropout: dropping patches would "
-                "require gathering the bias map per kept token")
         g_in = int(round((x.shape[1] - 1) ** 0.5))
         rel_index, _ = relative_position_index(g_in, cfg.grid)
     else:
@@ -176,6 +172,19 @@ def apply_vit(params, images, cfg: VisionCfg, embed_dim: int, *,
         ids = jnp.argsort(noise, axis=1)[:, :keep]
         patches = jnp.take_along_axis(x[:, 1:], ids[..., None], axis=1)
         x = jnp.concatenate([x[:, :1], patches], axis=1)
+        if rel_index is not None:
+            # relpos + patch dropout: gather the bias map per KEPT token —
+            # each example keeps different patches, so the [S, S] relative-
+            # position index becomes per-example [B, S', S'] (apply_block
+            # then builds a [B, H, S', S'] logits bias)
+            if layers_fn is not None:
+                raise NotImplementedError(
+                    "rel_pos_bias + patch_dropout under the pipeline: the "
+                    "per-example bias map is not threaded through the "
+                    "stage schedule")
+            tok = jnp.concatenate(
+                [jnp.zeros((b, 1), ids.dtype), ids + 1], axis=1)
+            rel_index = rel_index[tok[:, :, None], tok[:, None, :]]
 
     if "ln_pre" in params:
         x = layer_norm(x, params["ln_pre"]["scale"], params["ln_pre"]["bias"])

