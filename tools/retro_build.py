@@ -202,17 +202,76 @@ def _ivf_topk(emb, queries, centroids, lists, kq, nprobe):
     queries: [Q, d] (rows of emb or arbitrary vectors). Probes the nprobe
     nearest centroids and searches their inverted lists exactly — the
     IVF*,Flat behavior of the reference's FAISS index
-    (tools/retro/index/indexes/faiss_base.py)."""
+    (tools/retro/index/indexes/faiss_base.py).
+
+    Device-batched: the inverted lists are padded to a fixed [C, Lmax]
+    matrix so each query block's candidate scoring is one gather + one
+    batched matvec on the accelerator (at 100k chunks this takes the
+    query stage from ~8 min of host loops to seconds); a numpy fallback
+    covers tiny corpora and hosts without a usable device."""
     q = np.asarray(queries, np.float32)
     probe = np.argsort(-(q @ centroids.T), axis=1)[:, :nprobe]
+    try:
+        return _ivf_topk_device(emb, q, probe, lists, kq)
+    except Exception:  # noqa: BLE001 — fall back to the host loop
+        import traceback
+        traceback.print_exc()
+        out = np.zeros((len(q), kq), np.int64)
+        for i in range(len(q)):
+            cand = np.concatenate([lists[ci] for ci in probe[i]])
+            scores = emb[cand] @ q[i]
+            top = cand[np.argsort(-scores)[:kq]]
+            out[i, : len(top)] = top
+            if len(top) < kq:
+                out[i, len(top):] = top[-1] if len(top) else i
+        return out
+
+
+def _ivf_topk_device(emb, q, probe, lists, kq):
+    """Fixed-shape candidate scoring on the device: pad the inverted lists
+    to [C, Lmax] (pad id = 0, masked to -inf), gather each query's probed
+    lists, one batched matvec, lax.top_k."""
+    import jax
+    import jax.numpy as jnp
+
+    lmax = max(1, max(len(l) for l in lists))
+    c = len(lists)
+    lm = np.zeros((c, lmax), np.int32)
+    mask = np.zeros((c, lmax), bool)
+    for ci, l in enumerate(lists):
+        lm[ci, : len(l)] = l
+        mask[ci, : len(l)] = True
+    e = jnp.asarray(emb, jnp.float32)
+    lm_d, mask_d = jnp.asarray(lm), jnp.asarray(mask)
+
+    @jax.jit
+    def block(qb, pb):
+        cand = lm_d[pb]                       # [Q, nprobe, Lmax]
+        cm = mask_d[pb]
+        qq = cand.reshape(qb.shape[0], -1)    # [Q, P*Lmax]
+        sc = jnp.einsum("qcd,qd->qc", e[qq], qb)
+        sc = jnp.where(cm.reshape(qb.shape[0], -1), sc, -jnp.inf)
+        k = min(kq, qq.shape[1])
+        top_sc, top_ix = jax.lax.top_k(sc, k)
+        ids = jnp.take_along_axis(qq, top_ix, axis=1)
+        return ids, top_sc
+
     out = np.zeros((len(q), kq), np.int64)
-    for i in range(len(q)):
-        cand = np.concatenate([lists[ci] for ci in probe[i]])
-        scores = emb[cand] @ q[i]
-        top = cand[np.argsort(-scores)[:kq]]
-        out[i, : len(top)] = top
-        if len(top) < kq:
-            out[i, len(top):] = top[-1] if len(top) else i
+    bs = max(1, min(len(q), int(2 ** 28 // max(1, probe.shape[1] * lmax
+                                               * emb.shape[1]))))
+    for lo in range(0, len(q), bs):
+        ids, sc = block(jnp.asarray(q[lo:lo + bs]),
+                        jnp.asarray(probe[lo:lo + bs]))
+        ids, sc = np.asarray(ids), np.asarray(sc)
+        n_in = ids.shape[1]
+        out[lo:lo + bs, :n_in] = ids
+        if n_in < kq:
+            out[lo:lo + bs, n_in:] = ids[:, -1:]
+        # -inf rows (fewer live candidates than kq): repeat the best id
+        dead = ~np.isfinite(sc)
+        if dead.any():
+            rows, cols = np.nonzero(dead)
+            out[lo + rows, cols] = out[lo + rows, 0]
     return out
 
 
