@@ -62,12 +62,15 @@ class MIPSIndex:
         self.emb = np.ascontiguousarray(embeddings, np.float32)
         self.n, self.d = self.emb.shape
         self.shard_rows = shard_rows
+        import functools
 
-        @jax.jit
-        def _scores(q, block):
-            return q @ block.T
+        @functools.partial(jax.jit, static_argnums=(2,))
+        def _topk(q, block, k):
+            # per-shard top-k ON THE DEVICE: a host argsort over the full
+            # [Q, n] score matrix dominated search time at 100k+ rows
+            return jax.lax.top_k(q @ block.T, k)
 
-        self._scores = _scores
+        self._topk = _topk
 
     @classmethod
     def load(cls, prefix: str, **kw) -> "MIPSIndex":
@@ -77,19 +80,18 @@ class MIPSIndex:
                ) -> Tuple[np.ndarray, np.ndarray]:
         """queries [Q, D] -> (scores [Q, k], indices [Q, k])."""
         q = jnp.asarray(queries, jnp.float32)
-        best_s = np.full((q.shape[0], k), -np.inf, np.float32)
-        best_i = np.zeros((q.shape[0], k), np.int64)
+        parts_s, parts_i = [], []
         for lo in range(0, self.n, self.shard_rows):
             block = jnp.asarray(self.emb[lo:lo + self.shard_rows])
-            s = np.asarray(self._scores(q, block))
-            cat_s = np.concatenate([best_s, s], axis=1)
-            cat_i = np.concatenate(
-                [best_i, np.arange(lo, lo + s.shape[1])[None].repeat(
-                    q.shape[0], 0)], axis=1)
-            top = np.argsort(-cat_s, axis=1)[:, :k]
-            best_s = np.take_along_axis(cat_s, top, axis=1)
-            best_i = np.take_along_axis(cat_i, top, axis=1)
-        return best_s, best_i
+            kk = min(k, block.shape[0])
+            s, i = self._topk(q, block, kk)
+            parts_s.append(np.asarray(s))
+            parts_i.append(np.asarray(i, np.int64) + lo)
+        cat_s = np.concatenate(parts_s, axis=1)   # [Q, k * n_shards]
+        cat_i = np.concatenate(parts_i, axis=1)
+        top = np.argsort(-cat_s, axis=1, kind="stable")[:, :k]
+        return (np.take_along_axis(cat_s, top, axis=1),
+                np.take_along_axis(cat_i, top, axis=1))
 
     def add(self, embeddings: np.ndarray):
         self.emb = np.concatenate(
