@@ -173,3 +173,39 @@ def sampled_batches(dataset, batch_size: int, *,
             yield {k: np.stack([r[k] for r in rows]) for k in rows[0]}
         else:
             yield np.stack(rows)
+
+
+def build_pretraining_data_loader(dataset, consumed_samples: int, *,
+                                  micro_batch_size: int,
+                                  data_parallel_rank: int = 0,
+                                  data_parallel_size: int = 1,
+                                  dataloader_type: str = "single",
+                                  data_sharding: bool = True,
+                                  seed: int = 0,
+                                  collate=None) -> Iterator:
+    """Reference-shaped entry point (megatron data_samplers.py:14
+    build_pretraining_data_loader): an iterator of THIS RANK's
+    micro-batches under either sampler law, resumed at consumed_samples.
+
+    The global-batch generators above yield rank-major concatenations;
+    this slices out rank r's micro_batch_size rows — rank r of a megatron
+    run and rank r here draw the same sample ids."""
+    if not 0 <= data_parallel_rank < data_parallel_size:
+        raise ValueError(
+            f"data_parallel_rank should be smaller than data size: "
+            f"{data_parallel_rank}, {data_parallel_size}")
+    idx_it = batch_indices_iterator(
+        len(dataset), micro_batch_size * data_parallel_size,
+        dataloader_type=dataloader_type, consumed_samples=consumed_samples,
+        micro_batch_size=micro_batch_size,
+        data_parallel_size=data_parallel_size, data_sharding=data_sharding,
+        seed=seed)
+    lo = data_parallel_rank * micro_batch_size
+    for idx in idx_it:
+        rows = [dataset[int(i)] for i in idx[lo:lo + micro_batch_size]]
+        if collate is not None:
+            yield collate(rows)
+        elif isinstance(rows[0], dict):
+            yield {k: np.stack([r[k] for r in rows]) for k in rows[0]}
+        else:
+            yield np.stack(rows)

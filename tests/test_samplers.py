@@ -265,3 +265,36 @@ def test_entry_synthetic_streams_seek_exactly():
     full = [next(it) for _ in range(6)]
     it5 = gpt_stream(5)
     np.testing.assert_array_equal(next(it5), full[5])
+
+
+def test_build_pretraining_data_loader_rank_slices():
+    """The reference-shaped per-rank loader (data_samplers.py:14): rank r
+    draws exactly the r-th micro-slice of each rank-major global batch,
+    for both laws, resumed at consumed_samples."""
+    from megatron_clip_tpu.data.samplers import build_pretraining_data_loader
+
+    class DS:
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, i):
+            return np.full((3,), i, np.int32)
+
+    for dlt in ("single", "cyclic"):
+        glob = _take(batch_indices_iterator(
+            64, 8, dataloader_type=dlt, consumed_samples=16,
+            micro_batch_size=4, data_parallel_size=2, seed=2,
+            data_sharding=True), 4)
+        for rank in (0, 1):
+            it = build_pretraining_data_loader(
+                DS(), 16, micro_batch_size=4, data_parallel_rank=rank,
+                data_parallel_size=2, dataloader_type=dlt, seed=2,
+                data_sharding=True)
+            for g, got in zip(glob, _take(it, 4)):
+                np.testing.assert_array_equal(
+                    got[:, 0], g[rank * 4:(rank + 1) * 4])
+
+    with pytest.raises(ValueError, match="smaller than"):
+        next(build_pretraining_data_loader(DS(), 0, micro_batch_size=4,
+                                           data_parallel_rank=2,
+                                           data_parallel_size=2))
