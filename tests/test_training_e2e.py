@@ -314,8 +314,15 @@ def test_val_and_zeroshot_eval(tmp_path):
         for i in range(2):
             Image.fromarray(rng.randint(0, 255, (40, 40, 3), np.uint8)).save(
                 d / f"{i}.png")
+    import json
     import os
-    os.environ["MCT_IMAGENET_METADATA"] = "/nonexistent"  # force folder names
+    # r3 review fix: an explicit-but-unreadable metadata path RAISES
+    # instead of silently degrading — supply real metadata matching the
+    # two folder classes instead
+    meta = tmp_path / "imagenet_meta.json"
+    meta.write_text(json.dumps({"classnames": ["cat", "dog"],
+                                "templates": ["a photo of a {}."]}))
+    os.environ["MCT_IMAGENET_METADATA"] = str(meta)
     try:
         m = run_training(parse_args([
             "--train-data", str(tmp_path / "train.tsv"),
