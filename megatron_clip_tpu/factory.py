@@ -151,7 +151,8 @@ _BUILTIN["mt5-xl-ViT-H-14"] = _hf_pair(
     1024, _VITH14, "google/mt5-xl", 2048, 32, 24, 250112)
 
 # CoCa with an HF RoBERTa unimodal text tower (reference
-# model_configs/coca_roberta-ViT-B-32.json)
+# model_configs/coca_roberta-ViT-B-32.json; arch dims added so offline
+# init builds roberta-base shapes)
 _BUILTIN["coca_roberta-ViT-B-32"] = {
     "embed_dim": 512,
     "vision_cfg": {"image_size": 224, "layers": 12, "width": 768,
@@ -189,37 +190,58 @@ _BUILTIN["vit_relpos_medium_patch16_cls_224"] = {
                  "heads": 8, "layers": 12},
 }
 
-# CoCa variants
+# CoCa variants (vision/text flags verbatim from the reference JSONs:
+# coca_ViT-B-32/L-14 pool the vision tokens attentionally; coca_base feeds
+# the raw patch tokens; every text tower uses embed_cls + output_tokens)
 _BUILTIN["coca_base"] = {
     "embed_dim": 512,
     "vision_cfg": {"image_size": 288, "layers": 12, "width": 768,
-                   "patch_size": 18},
+                   "patch_size": 18, "output_tokens": True},
     "text_cfg": {"context_length": 76, "vocab_size": 64000, "width": 768,
-                 "heads": 12, "layers": 12},
-    "multimodal_cfg": {"context_length": 76, "width": 768, "heads": 12,
-                       "layers": 12, "attn_pooler_heads": 8},
+                 "heads": 12, "layers": 12, "embed_cls": True,
+                 "output_tokens": True},
+    "multimodal_cfg": {"context_length": 76, "vocab_size": 64000,
+                       "width": 768, "heads": 12, "layers": 12,
+                       "attn_pooler_heads": 8},
     "custom_text": True,
 }
 _BUILTIN["coca_test-tiny"] = {
     "embed_dim": 64,
     "vision_cfg": {"image_size": 32, "layers": 2, "width": 64,
-                   "head_width": 32, "patch_size": 8},
+                   "head_width": 32, "patch_size": 8,
+                   "attentional_pool": True, "attn_pooler_heads": 2,
+                   "attn_pooler_queries": 16, "output_tokens": True},
     "text_cfg": {"context_length": 32, "vocab_size": 49408, "width": 64,
-                 "heads": 2, "layers": 2},
-    "multimodal_cfg": {"context_length": 31, "width": 64, "heads": 2,
+                 "heads": 2, "layers": 2, "embed_cls": True,
+                 "output_tokens": True},
+    "multimodal_cfg": {"context_length": 32, "width": 64, "heads": 2,
                        "layers": 2, "attn_pooler_heads": 2},
     "custom_text": True,
 }
 _BUILTIN["coca_ViT-B-32"] = {
-    **_vit(512, 12, 768, 32, 512, 8, 12),
-    "multimodal_cfg": {"context_length": 76, "width": 512, "heads": 8,
-                       "layers": 12, "attn_pooler_heads": 8},
+    "embed_dim": 512,
+    "vision_cfg": {"image_size": 224, "layers": 12, "width": 768,
+                   "patch_size": 32, "attentional_pool": True,
+                   "attn_pooler_heads": 8, "output_tokens": True},
+    "text_cfg": {"context_length": 76, "vocab_size": 49408, "width": 512,
+                 "heads": 8, "layers": 12, "embed_cls": True,
+                 "output_tokens": True},
+    "multimodal_cfg": {"context_length": 76, "vocab_size": 49408,
+                       "width": 512, "heads": 8, "layers": 12,
+                       "attn_pooler_heads": 8},
     "custom_text": True,
 }
 _BUILTIN["coca_ViT-L-14"] = {
-    **_vit(768, 24, 1024, 14, 768, 12, 12),
-    "multimodal_cfg": {"context_length": 76, "width": 768, "heads": 12,
-                       "layers": 12, "attn_pooler_heads": 12},
+    "embed_dim": 768,
+    "vision_cfg": {"image_size": 224, "layers": 24, "width": 1024,
+                   "patch_size": 14, "attentional_pool": True,
+                   "attn_pooler_heads": 8, "output_tokens": True},
+    "text_cfg": {"context_length": 76, "vocab_size": 49408, "width": 768,
+                 "heads": 12, "layers": 12, "embed_cls": True,
+                 "output_tokens": True},
+    "multimodal_cfg": {"context_length": 76, "vocab_size": 49408,
+                       "width": 768, "heads": 12, "layers": 12,
+                       "attn_pooler_heads": 12},
     "custom_text": True,
 }
 
@@ -446,6 +468,10 @@ class CLIPModel:
                             compute_dtype=self.precision.compute_jnp)
 
     def encode_text(self, params, text_ids, normalize=True):
+        if self.is_coca:
+            # CoCa.encode_text (coca_model.py:147, embed_cls=True): the
+            # caption loses its last slot to the appended CLS token
+            text_ids = text_ids[:, :-1]
         return encode_text(params, text_ids, self.cfg, normalize=normalize,
                            compute_dtype=self.precision.compute_jnp)
 

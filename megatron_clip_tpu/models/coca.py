@@ -1,15 +1,25 @@
 """CoCa: Contrastive Captioner (two-tower CLIP + multimodal text decoder).
 
-Follows open_CLIP's CoCa (open_CLIP/src/open_clip/coca_model.py:79-458):
-  - vision tower with attentional pooling: query 0 -> contrastive embedding,
-    remaining queries -> caption context tokens;
-  - text tower with an appended CLS token (embed_cls=True,
-    transformer.py:516-654): CLS output -> contrastive text embedding, token
-    outputs feed the decoder;
-  - multimodal decoder (coca_model.py MultimodalTransformer): causal
-    self-attention + cross-attention over image tokens + MLP per layer,
-    predicting the caption autoregressively;
+Architecture-exact to open_CLIP's CoCa (open_CLIP/src/open_clip/
+coca_model.py:79-458 + transformer.py:656-736 MultimodalTransformer):
+  - vision tower (models/vit.py) with `output_tokens`: pooled contrastive
+    embedding + raw caption-context tokens. With `attentional_pool`
+    (coca_ViT-B-32/L-14) the pooler's query 0 is the contrastive embedding
+    and queries 1..n the context; without it (coca_base, coca_roberta) the
+    context is the raw patch-token states.
+  - text tower with `embed_cls` (transformer.py:516-654): the caption is
+    truncated by one, a learned CLS token appended; CLS output -> contrastive
+    text embedding, the un-normalized token states feed the decoder.
+  - multimodal decoder: per layer a causal self-attention residual block
+    followed by a cross-attention residual block (EACH with its own MLP,
+    transformer.py:680-691), then ln_final and a bias-free LM head
+    (`text_projection` [width, vocab]).
   - losses: InfoNCE on the pooled pair + caption cross-entropy (CoCaLoss).
+
+Width adapters (`mm_proj`, `img_proj`) are created ONLY when a tower's token
+width differs from the decoder width — in every reference config they are
+equal (the torch implementation would fail otherwise), so reference
+checkpoints round-trip without extra parameters.
 """
 import jax
 import jax.numpy as jnp
@@ -23,37 +33,49 @@ from megatron_clip_tpu.ops import layer_norm, multi_head_attention
 from megatron_clip_tpu.ops.activations import bias_act
 
 
-def _init_mm_block(key, cfg: MultimodalCfg, dtype=jnp.float32):
-    """Decoder block: self-attn + cross-attn + mlp (all pre-LN)."""
+def _init_mm_layer(key, cfg: MultimodalCfg, dtype=jnp.float32):
+    """One decoder layer: self resblock + cross resblock, each with an MLP
+    (reference MultimodalTransformer pairs resblocks[i] with cross_attn[i])."""
     w = cfg.width
     std = w ** -0.5
     proj_std = std * ((2 * cfg.layers) ** -0.5)
     fc_std = (2 * w) ** -0.5
-    ks, kc, kf, kp, kq, kk = jax.random.split(key, 6)
     hid = int(w * cfg.mlp_ratio)
-    return {
-        "ln_1": init_layer_norm(w, dtype),
-        "attn": {
-            "wqkv": (jax.random.normal(ks, (w, 3 * w)) * std).astype(dtype),
-            "bqkv": jnp.zeros((3 * w,), dtype=dtype),
-            "wo": (jax.random.normal(kp, (w, w)) * proj_std).astype(dtype),
-            "bo": jnp.zeros((w,), dtype=dtype),
-        },
-        "ln_1_kv": init_layer_norm(w, dtype),
-        "cross": {
-            "wq": (jax.random.normal(kq, (w, w)) * std).astype(dtype),
-            "bq": jnp.zeros((w,), dtype=dtype),
-            "wkv": (jax.random.normal(kk, (w, 2 * w)) * std).astype(dtype),
-            "bkv": jnp.zeros((2 * w,), dtype=dtype),
-            "wo": (jax.random.normal(kc, (w, w)) * proj_std).astype(dtype),
-            "bo": jnp.zeros((w,), dtype=dtype),
-        },
-        "ln_2": init_layer_norm(w, dtype),
-        "mlp": {
-            "w1": (jax.random.normal(kf, (w, hid)) * fc_std).astype(dtype),
+    ks = jax.random.split(key, 10)
+
+    def mlp(k1, k2):
+        return {
+            "w1": (jax.random.normal(k1, (w, hid)) * fc_std).astype(dtype),
             "b1": jnp.zeros((hid,), dtype=dtype),
-            "w2": (jax.random.normal(kp, (hid, w)) * proj_std).astype(dtype),
+            "w2": (jax.random.normal(k2, (hid, w)) * proj_std).astype(dtype),
             "b2": jnp.zeros((w,), dtype=dtype),
+        }
+
+    return {
+        "self": {
+            "ln_1": init_layer_norm(w, dtype),
+            "attn": {
+                "wqkv": (jax.random.normal(ks[0], (w, 3 * w)) * std).astype(dtype),
+                "bqkv": jnp.zeros((3 * w,), dtype=dtype),
+                "wo": (jax.random.normal(ks[1], (w, w)) * proj_std).astype(dtype),
+                "bo": jnp.zeros((w,), dtype=dtype),
+            },
+            "ln_2": init_layer_norm(w, dtype),
+            "mlp": mlp(ks[2], ks[3]),
+        },
+        "cross": {
+            "ln_1": init_layer_norm(w, dtype),
+            "ln_1_kv": init_layer_norm(w, dtype),
+            "attn": {
+                "wq": (jax.random.normal(ks[4], (w, w)) * std).astype(dtype),
+                "bq": jnp.zeros((w,), dtype=dtype),
+                "wkv": (jax.random.normal(ks[5], (w, 2 * w)) * std).astype(dtype),
+                "bkv": jnp.zeros((2 * w,), dtype=dtype),
+                "wo": (jax.random.normal(ks[6], (w, w)) * proj_std).astype(dtype),
+                "bo": jnp.zeros((w,), dtype=dtype),
+            },
+            "ln_2": init_layer_norm(w, dtype),
+            "mlp": mlp(ks[7], ks[8]),
         },
     }
 
@@ -70,15 +92,18 @@ def _hf_coca_cfg(cfg: CLIPCfg):
     return _hf_text_cfg(cfg)
 
 
+def _img_ctx_width(cfg: CLIPCfg) -> int:
+    """Width of the caption-context tokens the decoder cross-attends to:
+    the pooled space (embed_dim) under attentional pooling, the raw tower
+    width otherwise."""
+    return cfg.embed_dim if cfg.vision.attentional_pool else cfg.vision.width
+
+
 def init_coca(key, cfg: CLIPCfg, dtype=jnp.float32):
     assert cfg.multimodal is not None, "CoCa needs multimodal_cfg"
     mm = cfg.multimodal
-    kv, kt, km, kp, kh, kc = jax.random.split(key, 6)
-    import dataclasses
-    # vision tower pools with 1 + n_queries attentional queries
-    vcfg = dataclasses.replace(cfg.vision, attentional_pool=True,
-                               attn_pooler_queries=mm.attn_pooler_queries + 1)
-    text_width, text_vocab = cfg.text.width, cfg.text.vocab_size
+    kv, kt, km, kp, kh, kl = jax.random.split(key, 6)
+    text_vocab = cfg.text.vocab_size
     if cfg.hf_text is not None:
         # HF unimodal tower (coca_roberta-ViT-B-32): pretrained checkpoint
         # when asked for, else offline init at the recorded arch dims
@@ -98,74 +123,84 @@ def init_coca(key, cfg: CLIPCfg, dtype=jnp.float32):
     else:
         text = init_text(kt, cfg.text, cfg.embed_dim, act=cfg.act,
                          dtype=dtype)
+        text_width = cfg.text.width
     params = {
-        "visual": init_vit(kv, vcfg, cfg.embed_dim, act=cfg.act, dtype=dtype),
+        "visual": init_vit(kv, cfg.vision, cfg.embed_dim, act=cfg.act,
+                           dtype=dtype),
         "text": text,
         "logit_scale": jnp.asarray(cfg.init_logit_scale, jnp.float32),
-        # text pooling uses argmax-EOT (same contract as open_CLIP's CLS-at-
-        # end: one position summarizes the caption for the contrastive head)
-        "mm_blocks": [],
         "mm_ln": init_layer_norm(mm.width, dtype),
-        "mm_proj": {
-            # text-width -> decoder-width adapters when sizes differ
-            "w": (jax.random.normal(kp, (text_width, mm.width))
-                  * text_width ** -0.5).astype(dtype),
-        },
-        "img_proj": {
-            "w": (jax.random.normal(kh, (cfg.embed_dim, mm.width))
-                  * cfg.embed_dim ** -0.5).astype(dtype),
-        },
+        # the reference's MultimodalTransformer.text_projection: bias-free
+        # LM head [width, vocab] (transformer.py:696)
         "lm_head": {
             "w": (jax.random.normal(km, (mm.width, text_vocab))
                   * mm.width ** -0.5).astype(dtype),
-            "b": jnp.zeros((text_vocab,), dtype=dtype),
         },
     }
-    keys = jax.random.split(km, mm.layers)
-    blocks = [_init_mm_block(k, mm, dtype) for k in keys]
-    params["mm_blocks"] = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+    img_w = _img_ctx_width(cfg)
+    if text_width != mm.width:
+        # width adapter beyond the reference (its configs always match)
+        params["mm_proj"] = {
+            "w": (jax.random.normal(kp, (text_width, mm.width))
+                  * text_width ** -0.5).astype(dtype)}
+    if img_w != mm.width:
+        params["img_proj"] = {
+            "w": (jax.random.normal(kh, (img_w, mm.width))
+                  * img_w ** -0.5).astype(dtype)}
+    keys = jax.random.split(kl, mm.layers)
+    layers = [_init_mm_layer(k, mm, dtype) for k in keys]
+    params["mm_blocks"] = jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
     return params
 
 
-def _apply_mm_block(block, x, img_tokens, heads):
-    h = layer_norm(x, block["ln_1"]["scale"], block["ln_1"]["bias"])
-    x = x + multi_head_attention(h, block["attn"], heads, causal=True,
+def _apply_mm_layer(block, x, img_tokens, heads, act):
+    """Self resblock then cross resblock (transformer.py:729-736)."""
+    def mlp(m, h):
+        h = jnp.einsum("bsw,wd->bsd", h, m["w1"].astype(h.dtype))
+        h = bias_act(h, m["b1"].astype(h.dtype), act)
+        h = jnp.einsum("bsw,wd->bsd", h, m["w2"].astype(h.dtype))
+        return h + m["b2"].astype(h.dtype)
+
+    s = block["self"]
+    h = layer_norm(x, s["ln_1"]["scale"], s["ln_1"]["bias"])
+    x = x + multi_head_attention(h, s["attn"], heads, causal=True,
                                  use_flash=False)
-    h = layer_norm(x, block["ln_1_kv"]["scale"], block["ln_1_kv"]["bias"])
-    x = x + multi_head_attention(h, block["cross"], heads, kv=img_tokens,
+    x = x + mlp(s["mlp"], layer_norm(x, s["ln_2"]["scale"], s["ln_2"]["bias"]))
+
+    c = block["cross"]
+    h = layer_norm(x, c["ln_1"]["scale"], c["ln_1"]["bias"])
+    kvn = layer_norm(img_tokens, c["ln_1_kv"]["scale"], c["ln_1_kv"]["bias"])
+    x = x + multi_head_attention(h, c["attn"], heads, kv=kvn,
                                  use_flash=False)
-    h = layer_norm(x, block["ln_2"]["scale"], block["ln_2"]["bias"])
-    h = jnp.einsum("bsw,wd->bsd", h, block["mlp"]["w1"].astype(h.dtype))
-    h = bias_act(h, block["mlp"]["b1"].astype(h.dtype), "gelu")
-    h = jnp.einsum("bsw,wd->bsd", h, block["mlp"]["w2"].astype(h.dtype))
-    return x + h + block["mlp"]["b2"].astype(h.dtype)
+    x = x + mlp(c["mlp"], layer_norm(x, c["ln_2"]["scale"], c["ln_2"]["bias"]))
+    return x
 
 
 def _vision_context(params, images, cfg: CLIPCfg, compute_dtype):
-    """Run the vision tower once: (contrastive features, caption context)."""
-    import dataclasses
-    mm = cfg.multimodal
-    vcfg = dataclasses.replace(cfg.vision, attentional_pool=True,
-                               attn_pooler_queries=mm.attn_pooler_queries + 1)
-    img_queries, pool_tokens = apply_vit(
-        params["visual"], images, vcfg, cfg.embed_dim, act=cfg.act,
+    """Run the vision tower once: (normalized contrastive features, raw
+    caption-context tokens) — coca_model.py _encode_image."""
+    pooled, tokens = apply_vit(
+        params["visual"], images, cfg.vision, cfg.embed_dim, act=cfg.act,
         compute_dtype=compute_dtype, output_tokens=True)
-    img_ctx = pool_tokens[:, 1:]                      # [B, nq, E]
-    img_ctx = img_ctx @ params["img_proj"]["w"].astype(img_ctx.dtype)
-    return _l2_normalize(img_queries), img_ctx
+    if "img_proj" in params:
+        tokens = tokens @ params["img_proj"]["w"].astype(tokens.dtype)
+    return _l2_normalize(pooled), tokens
 
 
-def _decode_logits(params, tok_out, img_ctx, mm):
+def _decode_logits(params, tok_out, img_ctx, mm, act="gelu"):
     """Multimodal decoder over unimodal token states -> vocab logits."""
-    x = tok_out @ params["mm_proj"]["w"].astype(tok_out.dtype)
+    x = tok_out
+    if "mm_proj" in params:
+        x = x @ params["mm_proj"]["w"].astype(x.dtype)
 
     def body(carry, block):
-        return _apply_mm_block(block, carry, img_ctx, mm.heads), None
+        return _apply_mm_layer(block, carry, img_ctx, mm.heads, act), None
 
     x, _ = jax.lax.scan(body, x, params["mm_blocks"])
     x = layer_norm(x, params["mm_ln"]["scale"], params["mm_ln"]["bias"])
-    logits = x @ params["lm_head"]["w"].astype(x.dtype) \
-        + params["lm_head"]["b"].astype(x.dtype)
+    logits = x @ params["lm_head"]["w"].astype(x.dtype)
+    if "b" in params["lm_head"]:
+        logits = logits + params["lm_head"]["b"].astype(x.dtype)
     return logits.astype(jnp.float32)
 
 
@@ -173,13 +208,16 @@ def apply_coca(params, images, texts, cfg: CLIPCfg, *,
                compute_dtype=jnp.bfloat16):
     """Returns {image_features, text_features, logits, labels, logit_scale}.
 
-    logits predict texts[:, 1:] from texts[:, :-1] through the multimodal
-    decoder (coca_model.py forward)."""
+    Follows coca_model.py forward (embed_cls=True): the caption loses its
+    last position to make room for CLS, the decoder predicts
+    texts[:, -tokens:] — i.e. labels = texts[:, 1:] for the native tower."""
     mm = cfg.multimodal
-    # vision attentional pool: query 0 -> contrastive, rest -> caption context
     image_features, img_ctx = _vision_context(params, images, cfg,
                                               compute_dtype)
 
+    # forward always truncates the caption by one (coca_model.py:139
+    # `text[:, :-1] if embed_cls` — embed_cls=True for every tower type)
+    txt_in = texts[:, :-1]
     if cfg.hf_text is not None:
         # HF unimodal tower (reference hf_model.py:138-151 output_tokens):
         # cls_pooler drops the CLS position from the token states, mean
@@ -187,24 +225,23 @@ def apply_coca(params, images, texts, cfg: CLIPCfg, *,
         # (coca_model.py:156 labels = text[:, -token_embs.shape[1]:])
         from megatron_clip_tpu.models.hf_text import apply_hf_text
         hcfg = _hf_coca_cfg(cfg)
-        pooled_txt, tok_out = apply_hf_text(params["text"], texts, hcfg,
+        pooled_txt, tok_out = apply_hf_text(params["text"], txt_in, hcfg,
                                             compute_dtype=compute_dtype,
                                             return_tokens=True)
         if hcfg.pooler == "cls_pooler":
             tok_out = tok_out[:, 1:]
-        labels = texts[:, -tok_out.shape[1]:]
     else:
-        # text: tokens through the unimodal tower; CLS appended at the end
-        pooled_txt, tok_out = apply_text(params["text"], texts, cfg.text,
-                                         cfg.embed_dim, act=cfg.act,
+        # native embed_cls tower: CLS appended inside the tower; token
+        # states come back raw (un-normalized)
+        pooled_txt, tok_out = apply_text(params["text"], txt_in,
+                                         cfg.text, cfg.embed_dim,
+                                         act=cfg.act,
                                          compute_dtype=compute_dtype,
                                          output_tokens=True)
-        # decoder input: unimodal token states (teacher forcing, drop last)
-        tok_out = tok_out[:, :-1]
-        labels = texts[:, 1:]
+    labels = texts[:, -tok_out.shape[1]:]
     text_features = _l2_normalize(pooled_txt)
 
-    logits = _decode_logits(params, tok_out, img_ctx, mm)
+    logits = _decode_logits(params, tok_out, img_ctx, mm, act=cfg.act)
 
     return {
         "image_features": image_features,
@@ -220,11 +257,15 @@ def coca_generate(params, images, cfg: CLIPCfg, *, sot_id: int,
                   eos_id: int, max_len: int = None, temperature: float = 0.0,
                   top_k: int = 0, top_p: float = 0.0, seed: int = 0,
                   num_beams: int = 1, compute_dtype=jnp.float32):
-    """Caption generation (open_CLIP coca_model.py:79-458 `generate`):
+    """Caption generation (open_CLIP coca_model.py:170-290 `generate`):
     greedy / temperature / top-k / top-p when num_beams == 1, otherwise
     length-normalized beam search. Like the reference, each step re-runs
     the text tower + decoder on the growing (fixed-size, padded) sequence —
     one compiled scan, no KV cache (captions are <=76 tokens).
+
+    The reference generates with embed_cls=False — no truncation; the tower
+    still appends CLS internally, so token states cover every caption
+    position and logits[:, i] predicts token i+1.
 
     Returns tokens [B, max_len] starting with sot_id; positions after the
     first eos are 0."""
@@ -234,18 +275,17 @@ def coca_generate(params, images, cfg: CLIPCfg, *, sot_id: int,
     b = images.shape[0]
     _, img_ctx = _vision_context(params, images, cfg, compute_dtype)
 
-    # position holding the logits for token i+1 at scan step i: the native
-    # tower's logits[j] predicts token j+1 (pos = i); the HF tower follows
-    # the reference's labels = text[:, -len(tokens):] alignment, so with the
-    # mean pooler (all token states kept) logits[j] predicts token j
-    # (pos = i + 1), with cls_pooler (CLS state dropped) pos = i again.
+    # With the reference's training alignment (forward truncates; labels =
+    # texts[:, -len(tok_out):]) every tower learns "state of token j
+    # predicts token j+1". Generation runs un-truncated (reference
+    # embed_cls=False), so the prediction for the token after position i
+    # sits at logits index i for the native tower and the HF mean pooler.
+    # (A cls_pooler CoCa — no reference config exists — would be off by
+    # one at index i-1; we keep 0 and note the gap.)
     pos_off = 0
-    if cfg.hf_text is not None:
-        pos_off = 0 if _hf_coca_cfg(cfg).pooler == "cls_pooler" else 1
 
     def step_logits(tokens, img_ctx_):
-        """tokens [N, L] -> per-position next-token logits ([N, L-1, V]
-        native; [N, L or L-1, V] for an HF tower, see pos_off)."""
+        """tokens [N, L] -> per-position next-token logits."""
         if cfg.hf_text is not None:
             from megatron_clip_tpu.models.hf_text import apply_hf_text
             hcfg = _hf_coca_cfg(cfg)
@@ -254,12 +294,12 @@ def coca_generate(params, images, cfg: CLIPCfg, *, sot_id: int,
                                        return_tokens=True)
             if hcfg.pooler == "cls_pooler":
                 tok_out = tok_out[:, 1:]
-            return _decode_logits(params, tok_out, img_ctx_, mm)
+            return _decode_logits(params, tok_out, img_ctx_, mm, act=cfg.act)
         _, tok_out = apply_text(params["text"], tokens, cfg.text,
                                 cfg.embed_dim, act=cfg.act,
                                 compute_dtype=compute_dtype,
                                 output_tokens=True)
-        return _decode_logits(params, tok_out[:, :-1], img_ctx_, mm)
+        return _decode_logits(params, tok_out, img_ctx_, mm, act=cfg.act)
 
     if num_beams <= 1:
         tokens = jnp.zeros((b, max_len), jnp.int32).at[:, 0].set(sot_id)

@@ -154,6 +154,25 @@ _ARCH_FIELDS = ("vocab_size", "width", "heads", "layers", "mlp_hidden",
                 "max_positions", "type_vocab_size", "layer_norm_eps",
                 "pad_token_id", "position_offset")
 
+# Published architecture facts for the HF checkpoints the reference zoo
+# pairs with CLIP towers — lets hf_model_pretrained=false / offline init
+# build the exact arch (incl. the RoBERTa pad-token/position-offset rule,
+# which text_cfg defaults cannot express).
+KNOWN_HF_ARCHS = {
+    "roberta-base": dict(vocab_size=50265, width=768, heads=12, layers=12,
+                         mlp_hidden=3072, max_positions=514,
+                         type_vocab_size=1, layer_norm_eps=1e-5,
+                         pad_token_id=1, position_offset=True),
+    "xlm-roberta-base": dict(vocab_size=250002, width=768, heads=12,
+                             layers=12, mlp_hidden=3072, max_positions=514,
+                             type_vocab_size=1, layer_norm_eps=1e-5,
+                             pad_token_id=1, position_offset=True),
+    "xlm-roberta-large": dict(vocab_size=250002, width=1024, heads=16,
+                              layers=24, mlp_hidden=4096, max_positions=514,
+                              type_vocab_size=1, layer_norm_eps=1e-5,
+                              pad_token_id=1, position_offset=True),
+}
+
 
 def persist_hf_text_cfg(d: dict, cfg: "HFTextCfg") -> None:
     """Write the resolved architecture fields into the factory's hf_text
@@ -171,6 +190,8 @@ def hf_text_cfg_from_dict(d: dict, *, fallback: "HFTextCfg") -> "HFTextCfg":
     model handles rebuilt from a config (e.g. checkpoint restore) that never
     ran `load_hf_text_tower`."""
     name = d.get("model_name", "")
+    if "width" not in d and name in KNOWN_HF_ARCHS:
+        d.update(KNOWN_HF_ARCHS[name])
     if ("width" not in d and d.get("pretrained") and name
             and name != "__random_tiny__"):
         try:

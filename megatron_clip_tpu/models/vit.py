@@ -71,10 +71,19 @@ def init_vit(key, cfg: VisionCfg, embed_dim: int, act: str = "gelu",
         "patch_embed": {"w": (jax.random.normal(keys[0], (patch_dim, w))
                               * patch_dim ** -0.5).astype(dtype)},
         "cls": (scale * jax.random.normal(keys[1], (w,))).astype(dtype),
-        "ln_post": init_layer_norm(w, dtype),
-        "proj": (scale * jax.random.normal(keys[4], (w, embed_dim))).astype(dtype),
         "blocks": init_transformer(keys[3], cfg.transformer(act=act), dtype),
     }
+    if cfg.attentional_pool:
+        # open_CLIP attn-pool layout (transformer.py:387-390): ln_post and
+        # the final projection live in the pooled space (output_dim), the
+        # proj init std still derives from the tower width
+        params["ln_post"] = init_layer_norm(embed_dim, dtype)
+        params["proj"] = (scale * jax.random.normal(
+            keys[4], (embed_dim, embed_dim))).astype(dtype)
+    else:
+        params["ln_post"] = init_layer_norm(w, dtype)
+        params["proj"] = (scale * jax.random.normal(
+            keys[4], (w, embed_dim))).astype(dtype)
     if cfg.rel_pos_bias:
         # per-layer learned relative-position bias table replaces the
         # absolute position embedding (timm vit_relpos; trunc-normal .02
@@ -201,18 +210,21 @@ def apply_vit(params, images, cfg: VisionCfg, embed_dim: int, *,
         x = layers_fn(params["blocks"], x, tcfg, causal=False)
 
     if "attn_pool" in params:
-        # the pooler already projects to embed_dim (its queries live there);
-        # no extra projection is applied (open_CLIP attentional-pool path)
-        x = layer_norm(x, params["ln_post"]["scale"], params["ln_post"]["bias"])
+        # open_CLIP attentional-pool order (transformer.py:498-508): pool the
+        # raw token sequence (the pooler ln_k-normalizes internally), ln_post
+        # over the pooled queries, split query 0 / rest, project query 0.
+        # CoCa reads query 0 as the contrastive embedding and queries 1..n
+        # as the caption context (coca_model.py _encode_image).
         x = apply_attentional_pooler(params["attn_pool"], x, cfg.attn_pooler_heads)
-        pooled, tokens = x[:, 0], x
-    elif cfg.final_ln_after_pool:
-        pooled, tokens = _global_pool(x, cfg.pool_type)
-        pooled = layer_norm(pooled, params["ln_post"]["scale"], params["ln_post"]["bias"])
+        x = layer_norm(x, params["ln_post"]["scale"], params["ln_post"]["bias"])
+        pooled, tokens = x[:, 0], x[:, 1:]
         pooled = pooled @ params["proj"].astype(pooled.dtype)
     else:
-        x = layer_norm(x, params["ln_post"]["scale"], params["ln_post"]["bias"])
+        # reference order (transformer.py:502-508): pool, then ln_post on the
+        # pooled vector only; `tokens` stays un-normalized (CoCa's caption
+        # context for the no-attn-pool configs, e.g. coca_base/coca_roberta)
         pooled, tokens = _global_pool(x, cfg.pool_type)
+        pooled = layer_norm(pooled, params["ln_post"]["scale"], params["ln_post"]["bias"])
         pooled = pooled @ params["proj"].astype(pooled.dtype)
 
     if output_tokens:

@@ -10,10 +10,12 @@ from megatron_clip_tpu.losses import CoCaLoss
 TINY = CLIPCfg(
     embed_dim=64,
     vision=VisionCfg(layers=2, width=64, head_width=32, patch_size=8,
-                     image_size=32, attn_pooler_heads=2),
-    text=TextCfg(context_length=16, vocab_size=512, width=64, heads=2, layers=2),
-    multimodal=MultimodalCfg(context_length=15, width=64, heads=2, layers=2,
-                             attn_pooler_queries=8),
+                     image_size=32, attentional_pool=True,
+                     attn_pooler_heads=2, attn_pooler_queries=8,
+                     output_tokens=True),
+    text=TextCfg(context_length=16, vocab_size=512, width=64, heads=2,
+                 layers=2, embed_cls=True),
+    multimodal=MultimodalCfg(context_length=16, width=64, heads=2, layers=2),
 )
 
 
@@ -87,7 +89,7 @@ def test_coca_loss_trains():
     loss, g = jax.value_and_grad(loss_fn)(params)
     assert np.isfinite(float(loss))
     # both branches receive gradient
-    assert float(jnp.abs(g["mm_blocks"]["cross"]["wq"]).sum()) > 0
+    assert float(jnp.abs(g["mm_blocks"]["cross"]["attn"]["wq"]).sum()) > 0
     assert float(jnp.abs(g["visual"]["attn_pool"]["query"]).sum()) > 0
     assert float(jnp.abs(g["lm_head"]["w"]).sum()) > 0
 

@@ -25,8 +25,10 @@ def test_config_resolves_full_size():
 
 
 def test_forward_reference_label_alignment():
-    """mean pooler keeps every token state, so labels are the full text
-    (coca_model.py:156 labels = text[:, -token_embs.shape[1]:])."""
+    """CoCa.forward truncates the caption by one for EVERY tower type
+    (coca_model.py:139 text[:, :-1], embed_cls=True); the mean pooler keeps
+    every remaining token state, so labels = text[:, -len(tokens):] =
+    text[:, 1:] (coca_model.py:156)."""
     m, p = create_model("coca_roberta-ViT-B-32", precision="fp32", seed=0,
                         **TINY)
     imgs = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 3),
@@ -34,8 +36,8 @@ def test_forward_reference_label_alignment():
     txts = jax.random.randint(jax.random.PRNGKey(1), (2, 16), 2,
                               500).astype(jnp.int32)
     out = m(p, imgs, txts)
-    assert out["logits"].shape == (2, 16, 512)
-    assert np.array_equal(np.asarray(out["labels"]), np.asarray(txts))
+    assert out["logits"].shape == (2, 15, 512)
+    assert np.array_equal(np.asarray(out["labels"]), np.asarray(txts[:, 1:]))
     assert np.isfinite(np.asarray(out["logits"])).all()
     assert out["image_features"].shape == (2, 64)
     assert out["text_features"].shape == (2, 64)

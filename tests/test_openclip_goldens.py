@@ -2,13 +2,22 @@
 
 The fixtures in tests/goldens/ were produced by tools/make_openclip_goldens.py
 from the reference torch implementation (open_CLIP/src/open_clip/model.py
-CLIP): a torch zip checkpoint + seeded inputs + the reference's
-encode_image/encode_text outputs. This replaces self-referential goldens:
-feature parity here means the two implementations agree numerically
+CLIP / CustomTextCLIP, coca_model.py CoCa): inputs + the reference's encode
+outputs. This replaces self-referential goldens: feature parity here means
+the two implementations agree numerically
 (open_CLIP/tests/util_test.py:12-50 discipline, applied across frameworks).
 
-Also exercises the torch-free .pt reader end to end.
+Two fixture families:
+  - tiny: a committed 2-layer torch checkpoint (also exercises the
+    torch-free .pt reader end to end);
+  - full-size (goldens/full/*.npz): real zoo configs — ViT-B-32-quickgelu
+    at 224px and at force_image_size=160 (reference resize_pos_embed),
+    coca_ViT-B-32, roberta-ViT-B-32. Weights are regenerated on both sides
+    from the fixture's (key, shape) manifest via
+    megatron_clip_tpu/utils/det_weights.py (bit-stable numpy Philox), so
+    no 600 MB checkpoints need committing.
 """
+import json
 import os
 
 import jax
@@ -17,12 +26,27 @@ import numpy as np
 import pytest
 
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
+FULL_DIR = os.path.join(GOLDEN_DIR, "full")
 PT = os.path.join(GOLDEN_DIR, "openclip_tiny.pt")
 NPZ = os.path.join(GOLDEN_DIR, "openclip_tiny_expected.npz")
 
 pytestmark = pytest.mark.skipif(
     not (os.path.isfile(PT) and os.path.isfile(NPZ)),
     reason="golden fixtures missing")
+
+
+def _load_full(name):
+    path = os.path.join(FULL_DIR, f"{name}.npz")
+    if not os.path.isfile(path):
+        pytest.skip(f"full-size golden {name} missing")
+    z = np.load(path)
+    manifest = json.loads(bytes(z["manifest"]).decode())
+    return manifest, z
+
+
+def _det_sd(tag, manifest):
+    from megatron_clip_tpu.utils.det_weights import det_state_dict
+    return det_state_dict(tag, [(k, tuple(s)) for k, s in manifest])
 
 
 def _tiny_cfg():
@@ -69,3 +93,117 @@ def test_encode_matches_reference_openclip():
     np.testing.assert_allclose(float(np.exp(params["logit_scale"]) /
                                      np.exp(exp["logit_scale"])), 1.0,
                                rtol=1e-6)
+
+
+# ------------------------- full-size goldens --------------------------------
+
+def _fp32_model(name, **kw):
+    from megatron_clip_tpu.config import Precision
+    from megatron_clip_tpu.factory import create_model
+    model, _ = create_model(name, precision="fp32", init_params=False, **kw)
+    return model
+
+
+def test_full_vitb32_quickgelu_matches_reference():
+    """Full-size ViT-B-32-quickgelu: 12-layer QuickGELU towers, 224px,
+    49408-vocab argmax-EOT pooling — vs the reference CLIP's encode outputs
+    (open_CLIP model.py:178-243)."""
+    from megatron_clip_tpu.checkpoints.torch_interop import (
+        params_from_openclip_state_dict)
+    from megatron_clip_tpu.utils.det_weights import det_images, det_texts
+
+    manifest, z = _load_full("vitb32")
+    model = _fp32_model("ViT-B-32-quickgelu")
+    params = params_from_openclip_state_dict(_det_sd("vitb32", manifest),
+                                             model.cfg)
+    images = jnp.asarray(det_images("vitb32", 4, 224))
+    texts = jnp.asarray(det_texts("vitb32", 4, 77, 49408, sot=49406,
+                                  eot=49407, pad_tail=2).astype(np.int32))
+    img = np.asarray(model.encode_image(params, images))
+    txt = np.asarray(model.encode_text(params, texts))
+    np.testing.assert_allclose(img, z["image_features"], atol=2e-5)
+    np.testing.assert_allclose(txt, z["text_features"], atol=2e-5)
+
+
+def test_full_vitb32_force_image_size_matches_reference():
+    """force_image_size=160 on a 224px checkpoint: our torch-exact bicubic
+    resize of the position table (ops/image_resize.py) vs the reference's
+    resize_pos_embed (model.py:417, F.interpolate bicubic antialias)."""
+    from megatron_clip_tpu.checkpoints.torch_interop import (
+        params_from_openclip_state_dict)
+    from megatron_clip_tpu.utils.det_weights import det_images
+
+    manifest, z = _load_full("vitb32_fis160")
+    model = _fp32_model("ViT-B-32-quickgelu", force_image_size=160)
+    params = params_from_openclip_state_dict(_det_sd("vitb32", manifest),
+                                             model.cfg)
+    images = jnp.asarray(det_images("vitb32_fis160", 4, 160))
+    img = np.asarray(model.encode_image(params, images))
+    np.testing.assert_allclose(img, z["image_features"], atol=2e-5)
+
+
+def test_full_coca_vitb32_matches_reference():
+    """coca_ViT-B-32: attentional pool (256 queries), embed_cls text tower
+    with the reference's pad-mask quirk, and the self+cross multimodal
+    decoder — features exact and decoder logits checked through a dense
+    64-dim random projection of the full 49408-way distribution plus argmax
+    token ids (coca_model.py forward)."""
+    from megatron_clip_tpu.checkpoints.torch_interop import (
+        params_from_openclip_coca_state_dict)
+    from megatron_clip_tpu.utils.det_weights import (det_images, det_texts,
+                                                     det_tensor)
+
+    manifest, z = _load_full("coca_vitb32")
+    model = _fp32_model("coca_ViT-B-32")
+    params = params_from_openclip_coca_state_dict(
+        _det_sd("coca_vitb32", manifest), model.cfg)
+    images = jnp.asarray(det_images("coca_vitb32", 4, 224))
+    texts = jnp.asarray(det_texts("coca_vitb32", 4, 76, 49408, sot=49406,
+                                  eot=49407, pad_tail=2).astype(np.int32))
+    out = model(params, images, texts)
+    np.testing.assert_allclose(np.asarray(out["image_features"]),
+                               z["image_features"], atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out["text_features"]),
+                               z["text_features"], atol=2e-5)
+    np.testing.assert_array_equal(np.asarray(out["labels"]), z["labels"])
+    logits = np.asarray(out["logits"])
+    proj = det_tensor("coca_vitb32", "__logit_proj__",
+                      (logits.shape[-1], 64))
+    # compare on the positions the caption CE trains on (label != pad):
+    # measured fp32 cross-library noise is ~0.015 per logit there; pad-tail
+    # positions (ignored by the loss) drift up to ~0.14 through saturated
+    # attention and are excluded
+    valid = z["labels"] != 0
+    np.testing.assert_allclose((logits @ proj)[valid],
+                               z["logits_proj"][valid], atol=5e-2)
+    assert (logits.argmax(-1) == z["logits_argmax"])[valid].mean() > 0.999
+
+
+def test_full_roberta_vitb32_matches_reference():
+    """roberta-ViT-B-32: HF RoBERTa text tower (posts-LN encoder, RoBERTa
+    position-id rule, mean pooler, bias-free mlp proj) + QuickGELU vision
+    tower — vs the reference CustomTextCLIP + HFTextEncoder
+    (hf_model.py:83-151)."""
+    from megatron_clip_tpu.checkpoints.torch_interop import (
+        params_from_openclip_hf_state_dict)
+    from megatron_clip_tpu.config import Precision
+    from megatron_clip_tpu.factory import (CLIPModel, get_model_config,
+                                           parse_model_cfg)
+    from megatron_clip_tpu.models.clip import _l2_normalize
+    from megatron_clip_tpu.utils.det_weights import det_images, det_texts
+
+    manifest, z = _load_full("roberta_vitb32")
+    cfg_dict = get_model_config("roberta-ViT-B-32")
+    cfg_dict["text_cfg"]["hf_model_pretrained"] = False
+    cfg = parse_model_cfg(cfg_dict)
+    model = CLIPModel(cfg=cfg, precision=Precision("float32", "float32"))
+    params = params_from_openclip_hf_state_dict(
+        _det_sd("roberta_vitb32", manifest), cfg)
+    images = jnp.asarray(det_images("roberta_vitb32", 4, 224))
+    texts = jnp.asarray(det_texts("roberta_vitb32", 4, 64, 50265, sot=0,
+                                  eot=2, pad_tail=4, pad_id=1,
+                                  low=3).astype(np.int32))
+    img = np.asarray(model.encode_image(params, images))
+    txt = np.asarray(model.encode_text(params, texts))
+    np.testing.assert_allclose(img, z["image_features"], atol=2e-5)
+    np.testing.assert_allclose(txt, z["text_features"], atol=2e-5)

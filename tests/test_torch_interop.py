@@ -57,3 +57,26 @@ def test_torch_file_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(back["visual"]["blocks"]["mlp"]["w1"]),
                                np.asarray(params["visual"]["blocks"]["mlp"]["w1"]),
                                rtol=1e-6)
+
+
+def test_bicubic_resize_matches_torch_exactly():
+    """ops/image_resize reproduces torch F.interpolate bicubic bit-for-bit:
+    antialias=True (the reference resize_pos_embed default, model.py:417)
+    and antialias=False, up- and down-scaling, on the grid sizes the ViT
+    ladder actually hits."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+
+    from megatron_clip_tpu.ops.image_resize import resize_grid_bicubic
+
+    rng = np.random.RandomState(0)
+    for (h, oh) in [(7, 5), (7, 8), (7, 16), (14, 7), (16, 10), (5, 7)]:
+        x = rng.randn(h, h, 3).astype(np.float32)
+        t = torch.from_numpy(x.transpose(2, 0, 1))[None].double()
+        for aa in (True, False):
+            ref = F.interpolate(t, size=(oh, oh), mode="bicubic",
+                                antialias=aa, align_corners=False)
+            ref = ref[0].numpy().transpose(1, 2, 0)
+            ours = np.asarray(resize_grid_bicubic(x, oh, oh, antialias=aa))
+            np.testing.assert_allclose(ours, ref, atol=2e-6,
+                                       err_msg=f"{h}->{oh} aa={aa}")
