@@ -195,6 +195,17 @@ def _run_leg(leg: str) -> None:
                "vit_l14_images_per_sec": round(r["images_per_sec"], 1),
                "vit_l14_step_ms": round(r["step_ms"], 2),
                "vit_l14_vs_baseline": round(r["mfu"] / 0.50, 4)}
+    elif leg == "vith":
+        # the scale rung of the north-star family (~1B params): pure-bf16
+        # weights + optimizer state fit bs24 on one 16G v5e with no remat;
+        # recompute-bwd attention (MCT_MHA_SAVE_PROBS=0) like the L leg
+        os.environ["MCT_MHA_SAVE_PROBS"] = "0"
+        r = bench_clip("ViT-H-14", batch=24, iters=10, warmup=2,
+                       precision="pure_bf16")
+        out = {"vit_h14_mfu": round(r["mfu"], 4),
+               "vit_h14_images_per_sec": round(r["images_per_sec"], 1),
+               "vit_h14_step_ms": round(r["step_ms"], 2),
+               "vit_h14_vs_baseline": round(r["mfu"] / 0.50, 4)}
     elif leg == "gpt":
         # the megatron-workload rung (gpt-345m seq2048, pure-bf16 state,
         # no remat, fused flash backward)
@@ -290,10 +301,18 @@ def main():
         return
     deadline = start + float(os.environ.get("BENCH_DEADLINE", "560"))
     extra = {}
+    # secondary legs in priority order (VERDICT r4: the ViT-H scale rung
+    # outranks GPT-345m, which has a measured roofline on record); each is
+    # a hard-killed subprocess, so a slow cold compile only costs its own
+    # budget, never the artifact
     if os.environ.get("MCT_BENCH_SKIP_VITL") != "1":
-        budget = min(float(os.environ.get("MCT_BENCH_VITL_BUDGET", "300")),
+        budget = min(float(os.environ.get("MCT_BENCH_VITL_BUDGET", "240")),
                      deadline - time.monotonic())
         extra.update(_budgeted_leg("vitl", budget))
+    if os.environ.get("MCT_BENCH_SKIP_VITH") != "1":
+        budget = min(float(os.environ.get("MCT_BENCH_VITH_BUDGET", "300")),
+                     deadline - time.monotonic())
+        extra.update(_budgeted_leg("vith", budget))
     if os.environ.get("MCT_BENCH_SKIP_GPT") != "1":
         budget = min(float(os.environ.get("MCT_BENCH_GPT_BUDGET", "240")),
                      deadline - time.monotonic())

@@ -12,8 +12,10 @@ Kept semantics: the tracker file name, iteration-numbered directories
 (`iter_0000100/`), consumed-samples metadata driving dataloader resume
 (megatron/training.py:1031-1038), and `--finetune`-style model-only loads.
 """
+import atexit
 import json
 import os
+import threading
 from typing import Any, Optional, Tuple
 
 import jax
@@ -30,27 +32,98 @@ def _checkpointer():
     return ocp.StandardCheckpointer()
 
 
-def save_checkpoint(root: str, step: int, state: Any,
-                    metadata: Optional[dict] = None) -> str:
-    """Write `root/iter_XXXXXXX/` + tracker file. `state` is any pytree
-    (TrainState, BranchState, raw params)."""
-    os.makedirs(root, exist_ok=True)
-    path = os.path.abspath(_iter_dir(root, step))
-    ckptr = _checkpointer()
-    ckptr.save(os.path.join(path, "state"), state, force=True)
-    ckptr.wait_until_finished()
-    if metadata is not None:
-        with open(os.path.join(path, "metadata.json"), "w") as f:
-            json.dump(metadata, f, indent=1)
+def _write_tracker(root: str, step: int) -> None:
     tmp = os.path.join(root, TRACKER_FILENAME + ".tmp")
     with open(tmp, "w") as f:
         f.write(str(step))
     os.replace(tmp, os.path.join(root, TRACKER_FILENAME))  # atomic, like
     # open_CLIP --save-most-recent tmp->replace (main.py:481-486)
-    return path
+
+
+class AsyncSaver:
+    """Non-blocking checkpoint writes (the reference hides checkpoint cost
+    behind a background remote-sync process, open_CLIP main.py:176-196;
+    at ViT-H scale an inline save stalls the step loop for the full
+    serialization).
+
+    - `save(..., block=False)` returns once the device->host snapshot is
+      taken (Orbax AsyncCheckpointer); serialization runs in background.
+    - Crash consistency: `metadata.json` and the tracker file are written
+      by the finalize thread only AFTER the array write commits, so the
+      tracker never points at a torn checkpoint.
+    - One save in flight at a time: a new save (or `wait()`, called on
+      load/exit/SIGTERM paths) barriers on the previous one first.
+    """
+
+    def __init__(self):
+        self._ckptr = None
+        self._thread: Optional[threading.Thread] = None
+        self._lock = threading.Lock()
+
+    def _ensure(self):
+        import orbax.checkpoint as ocp
+        if self._ckptr is None:
+            self._ckptr = ocp.AsyncCheckpointer(
+                ocp.StandardCheckpointHandler())
+        return self._ckptr
+
+    def save(self, root: str, step: int, state: Any,
+             metadata: Optional[dict] = None, block: bool = True) -> str:
+        with self._lock:
+            self.wait()
+            os.makedirs(root, exist_ok=True)
+            path = os.path.abspath(_iter_dir(root, step))
+            ckptr = self._ensure()
+            ckptr.save(os.path.join(path, "state"), state, force=True)
+
+            def finalize():
+                ckptr.wait_until_finished()
+                if metadata is not None:
+                    os.makedirs(path, exist_ok=True)
+                    with open(os.path.join(path, "metadata.json"), "w") as f:
+                        json.dump(metadata, f, indent=1)
+                _write_tracker(root, step)
+
+            if block:
+                finalize()
+            else:
+                self._thread = threading.Thread(
+                    target=finalize, name=f"ckpt-finalize-{step}",
+                    daemon=False)
+                self._thread.start()
+            return path
+
+    def wait(self) -> None:
+        """Barrier: block until any in-flight save has committed."""
+        t, self._thread = self._thread, None
+        if t is not None:
+            t.join()
+
+    @property
+    def in_flight(self) -> bool:
+        return self._thread is not None and self._thread.is_alive()
+
+
+_SAVER = AsyncSaver()
+atexit.register(_SAVER.wait)
+
+
+def global_saver() -> AsyncSaver:
+    return _SAVER
+
+
+def save_checkpoint(root: str, step: int, state: Any,
+                    metadata: Optional[dict] = None,
+                    block: bool = True) -> str:
+    """Write `root/iter_XXXXXXX/` + tracker file. `state` is any pytree
+    (TrainState, BranchState, raw params). With block=False the write
+    commits in background (see AsyncSaver); the tracker appears only after
+    commit, and the next save/load/exit barriers on it."""
+    return _SAVER.save(root, step, state, metadata, block=block)
 
 
 def latest_checkpoint_step(root: str) -> Optional[int]:
+    _SAVER.wait()  # an in-flight async save may be about to move the tracker
     tracker = os.path.join(root, TRACKER_FILENAME)
     if not os.path.isfile(tracker):
         return None
@@ -62,6 +135,7 @@ def load_checkpoint(root: str, abstract_state: Any,
                     step: Optional[int] = None) -> Tuple[Any, dict, int]:
     """Restore (state, metadata, step). `abstract_state` provides the pytree
     structure/shardings (pass the freshly-initialized state)."""
+    _SAVER.wait()
     if step is None:
         step = latest_checkpoint_step(root)
         if step is None:

@@ -344,6 +344,9 @@ def _run_training(args, term) -> dict:
              f"every {args.remote_sync_frequency}s")
 
     def _finish():
+        from megatron_clip_tpu.checkpoints.io import global_saver
+        global_saver().wait()  # barrier on any in-flight async save —
+        # remote-sync below must see the committed checkpoint files
         if syncer is not None:
             n = syncer.final()
             _log(f"remote-sync final: {n} files")
@@ -419,7 +422,10 @@ def _run_training(args, term) -> dict:
                 t_window = time.perf_counter()
                 window_samples = 0
             if save_root and args.save_interval and step % args.save_interval == 0:
-                runner.save(save_root, step, consumed)
+                # async: the step loop continues while Orbax serializes;
+                # SIGTERM/exit/epoch saves barrier on the in-flight write
+                # (checkpoints/io.AsyncSaver)
+                runner.save(save_root, step, consumed, block=False)
                 if args.delete_previous_checkpoint:
                     _prune_older_checkpoints(save_root, step)
             if term["flag"]:
@@ -641,9 +647,9 @@ class _JointRunner:
         return self._map_blocks(
             state, lambda leaf: leaf[vpp_layer_order(leaf.shape[0], pp, vpp)])
 
-    def save(self, root, step, consumed):
+    def save(self, root, step, consumed, block=True):
         save_checkpoint(root, step, self._to_logical(self.state)._asdict(),
-                        {"consumed_samples": consumed})
+                        {"consumed_samples": consumed}, block=block)
 
     def load(self, root):
         tree, meta, step = load_checkpoint(root, self.state._asdict())
@@ -688,12 +694,12 @@ class _BranchRunner:
         towers + logit scale gathered onto the vision mesh."""
         return self.model, self.runner.eval_params(self.state)
 
-    def save(self, root, step, consumed):
+    def save(self, root, step, consumed, block=True):
         # checkpoints stay in LOGICAL layer order (vpp_arrange is an
         # in-memory placement detail, same contract as the joint runner)
         save_checkpoint(root, step,
                         self.runner.to_logical_state(self.state)._asdict(),
-                        {"consumed_samples": consumed})
+                        {"consumed_samples": consumed}, block=block)
 
     def load(self, root):
         from megatron_clip_tpu.parallel.branch import BranchState

@@ -1214,7 +1214,12 @@ def run_workload(params, loss_fn: Callable, batch_iter: Iterator,
                     writer.add_scalar("train/samples-per-s", ips, i)
                 t0 = time.perf_counter()
             if rc.save and rc.save_interval and i % rc.save_interval == 0:
-                save_checkpoint(rc.save, i, _ckpt_state(), _meta(i))
+                # async: training proceeds while Orbax serializes (device->
+                # host snapshot happens inside the call); the tracker file
+                # appears only after commit, and SIGTERM/exit/final saves
+                # barrier on it (checkpoints/io.AsyncSaver)
+                save_checkpoint(rc.save, i, _ckpt_state(), _meta(i),
+                                block=False)
             if (rc.eval_interval and eval_step is not None
                     and i % rc.eval_interval == 0):
                 vals = []
@@ -1277,6 +1282,8 @@ def run_workload(params, loss_fn: Callable, batch_iter: Iterator,
                             _meta(last_step))
     if writer is not None:
         writer.close()
+    from megatron_clip_tpu.checkpoints.io import global_saver
+    global_saver().wait()  # run_workload's contract: checkpoints durable
     return {"loss": float(loss) if loss is not None else None,
             "params": params, "aux": aux, "history": history,
             "last_step": last_step,
