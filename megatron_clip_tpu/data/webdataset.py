@@ -103,8 +103,16 @@ def iterate_tar_samples(path: str) -> Iterator[dict]:
             yield sample
 
 
-def decode_sample(sample: dict):
-    """-> (PIL image, caption str) or None if incomplete."""
+def decode_sample(sample: dict, draft_size: int = None):
+    """-> (PIL image, caption str) or None if incomplete.
+
+    `draft_size`: JPEG DCT-domain downscale-on-decode (PIL draft mode).
+    libjpeg picks the largest 1/1..1/8 scale whose result still covers
+    draft_size, so the decoded image is always >= the training resolution —
+    the RandomResizedCrop then works on relative geometry. Measured 2.2x
+    (512px sources) to 4.6x (1024px) fewer decode ms/img at 224px targets
+    (tools/bench_loader.py table in README); the standard DALI/FFCV decode
+    trick, disable with MCT_JPEG_DRAFT=0."""
     from PIL import Image
     img_bytes = txt = None
     for ext, val in sample.items():
@@ -124,6 +132,8 @@ def decode_sample(sample: dict):
         return None
     try:
         img = Image.open(io.BytesIO(img_bytes))
+        if draft_size and img.format == "JPEG":
+            img.draft("RGB", (draft_size, draft_size))
         img.load()
     except Exception:
         return None
@@ -169,7 +179,7 @@ def _qput(out_q, item, stop):
 
 def _worker_loop(shards, seed, shuffle, shuffle_buffer, preprocess,
                  tokenizer, context_length, batch_size, out_q,
-                 skip_samples: int = 0, stop=None):
+                 skip_samples: int = 0, stop=None, draft_size=None):
     """Decode worker: stream its shard slice, emit ready (images, texts)
     batches. Runs in a separate process (real decode parallelism — PIL is
     CPU-bound) or inline. `skip_samples` raw samples are skipped BEFORE
@@ -186,7 +196,7 @@ def _worker_loop(shards, seed, shuffle, shuffle_buffer, preprocess,
                 if skip_samples > 0:
                     skip_samples -= 1
                     continue
-                decoded = decode_sample(raw)
+                decoded = decode_sample(raw, draft_size)
                 if decoded is None:
                     continue
                 if shuffle:
@@ -304,6 +314,10 @@ class WdsData:
         self.shuffle_buffer = shuffle_buffer
         self.workers = max(1, workers)
         self.resampled = resampled
+        # JPEG decode-time downscale hint (see decode_sample): decode at the
+        # smallest libjpeg DCT scale still covering the training resolution
+        self.draft_size = (None if os.environ.get("MCT_JPEG_DRAFT", "1") == "0"
+                           else getattr(preprocess, "image_size", None))
         self._skip_batches = 0
 
     def skip_batches(self, n: int) -> None:
@@ -368,7 +382,8 @@ class WdsData:
                 target=_worker_loop,
                 args=(shards, base_seed, self.shuffle, self.shuffle_buffer,
                       self.preprocess, self.tokenizer, self.context_length,
-                      self.batch_size, q, skips[0], stop_evt),
+                      self.batch_size, q, skips[0], stop_evt,
+                      self.draft_size),
                 daemon=True)
             t.start()
             queues, live = [q], 1
@@ -385,7 +400,7 @@ class WdsData:
                           max(1, self.shuffle_buffer // n_workers),
                           self.preprocess, self.tokenizer,
                           self.context_length, self.batch_size, wq,
-                          skips[w]),
+                          skips[w], None, self.draft_size),
                     daemon=True)
                 p.start()
                 queues.append(wq)

@@ -432,6 +432,9 @@ class CLIPModel:
     layers_fn: Any = None  # pipeline schedule adapter for BOTH towers
     # (parallel/pipeline.make_pipelined_layers_fn) — set via
     # dataclasses.replace when pp > 1 on the joint mesh
+    mm_layers_fn: Any = None  # CoCa decoder pipeline adapter (PLAIN
+    # schedule: the self+cross blocks stage-shard with the image context as
+    # the per-microbatch side input) — set alongside layers_fn when pp > 1
 
     @property
     def is_coca(self) -> bool:
@@ -446,11 +449,13 @@ class CLIPModel:
     def __call__(self, params, images, text_ids, **kw):
         if self.is_coca:
             # CoCa forward: adds {logits, labels} for the captioning loss
-            # (open_CLIP coca_model.py forward); execution knobs
-            # (remat/sp/pipeline) are contrastive-tower features
+            # (open_CLIP coca_model.py forward); under pp > 1 both towers
+            # AND the multimodal decoder run stage-sharded
             from megatron_clip_tpu.models.coca import apply_coca
             return apply_coca(params, images, text_ids, self.cfg,
-                              compute_dtype=self.precision.compute_jnp)
+                              compute_dtype=self.precision.compute_jnp,
+                              layers_fn=self.layers_fn,
+                              mm_layers_fn=self.mm_layers_fn)
         kw.setdefault("remat", self.remat)
         kw.setdefault("sequence_parallel", self.sequence_parallel)
         kw.setdefault("scan_layers", self.scan_layers)

@@ -176,27 +176,56 @@ def _apply_mm_layer(block, x, img_tokens, heads, act):
     return x
 
 
-def _vision_context(params, images, cfg: CLIPCfg, compute_dtype):
+def _vision_context(params, images, cfg: CLIPCfg, compute_dtype,
+                    layers_fn=None):
     """Run the vision tower once: (normalized contrastive features, raw
     caption-context tokens) — coca_model.py _encode_image."""
     pooled, tokens = apply_vit(
         params["visual"], images, cfg.vision, cfg.embed_dim, act=cfg.act,
-        compute_dtype=compute_dtype, output_tokens=True)
+        compute_dtype=compute_dtype, output_tokens=True,
+        layers_fn=layers_fn)
     if "img_proj" in params:
         tokens = tokens @ params["img_proj"]["w"].astype(tokens.dtype)
     return _l2_normalize(pooled), tokens
 
 
-def _decode_logits(params, tok_out, img_ctx, mm, act="gelu"):
-    """Multimodal decoder over unimodal token states -> vocab logits."""
+def _mm_stage_apply(act: str):
+    """Per-stage layer runner for the pipelined decoder
+    (parallel/pipeline.pipeline_transformer apply_fn contract): scan the
+    stage's local slice of the self+cross block pairs; `extra` carries the
+    microbatch's image context (stage-resident, indexed per tick)."""
+    def apply(stage_blocks, x, cfg=None, *, causal=True, bias=None,
+              rng=None, layer_keys=None, position_ids=None, rel_index=None,
+              extra=None):
+        def body(carry, block):
+            return _apply_mm_layer(block, carry, extra, cfg.heads, act), None
+
+        x, _ = jax.lax.scan(body, x, stage_blocks)
+        return x
+    return apply
+
+
+def _decode_logits(params, tok_out, img_ctx, mm, act="gelu",
+                   layers_fn=None):
+    """Multimodal decoder over unimodal token states -> vocab logits.
+    `layers_fn` (pipeline adapter, plain schedule) runs the self+cross
+    block pairs stage-sharded with the image context as the per-microbatch
+    side input."""
     x = tok_out
     if "mm_proj" in params:
         x = x @ params["mm_proj"]["w"].astype(x.dtype)
 
-    def body(carry, block):
-        return _apply_mm_layer(block, carry, img_ctx, mm.heads, act), None
+    if layers_fn is not None:
+        from megatron_clip_tpu.config import TransformerCfg
+        dcfg = TransformerCfg(layers=mm.layers, width=mm.width,
+                              heads=mm.heads, mlp_ratio=mm.mlp_ratio)
+        x = layers_fn(params["mm_blocks"], x, dcfg, causal=True,
+                      apply_fn=_mm_stage_apply(act), extra=img_ctx)
+    else:
+        def body(carry, block):
+            return _apply_mm_layer(block, carry, img_ctx, mm.heads, act), None
 
-    x, _ = jax.lax.scan(body, x, params["mm_blocks"])
+        x, _ = jax.lax.scan(body, x, params["mm_blocks"])
     x = layer_norm(x, params["mm_ln"]["scale"], params["mm_ln"]["bias"])
     logits = x @ params["lm_head"]["w"].astype(x.dtype)
     if "b" in params["lm_head"]:
@@ -205,15 +234,22 @@ def _decode_logits(params, tok_out, img_ctx, mm, act="gelu"):
 
 
 def apply_coca(params, images, texts, cfg: CLIPCfg, *,
-               compute_dtype=jnp.bfloat16):
+               compute_dtype=jnp.bfloat16, layers_fn=None,
+               mm_layers_fn=None):
     """Returns {image_features, text_features, logits, labels, logit_scale}.
 
     Follows coca_model.py forward (embed_cls=True): the caption loses its
     last position to make room for CLS, the decoder predicts
-    texts[:, -tokens:] — i.e. labels = texts[:, 1:] for the native tower."""
+    texts[:, -tokens:] — i.e. labels = texts[:, 1:] for the native tower.
+
+    `layers_fn` pipelines the two contrastive towers over the stage axis
+    (same adapter as apply_clip); `mm_layers_fn` (a PLAIN-schedule pipeline
+    adapter) stage-shards the multimodal decoder with the image context as
+    its per-microbatch side input."""
     mm = cfg.multimodal
     image_features, img_ctx = _vision_context(params, images, cfg,
-                                              compute_dtype)
+                                              compute_dtype,
+                                              layers_fn=layers_fn)
 
     # forward always truncates the caption by one (coca_model.py:139
     # `text[:, :-1] if embed_cls` — embed_cls=True for every tower type)
@@ -223,6 +259,10 @@ def apply_coca(params, images, texts, cfg: CLIPCfg, *,
         # cls_pooler drops the CLS position from the token states, mean
         # pooler keeps all; labels are the last len(tokens) text positions
         # (coca_model.py:156 labels = text[:, -token_embs.shape[1]:])
+        if layers_fn is not None:
+            raise ValueError("pipeline parallelism is not supported for HF "
+                             "CoCa text towers (post-LN stack outside the "
+                             "stacked-pytree layer format)")
         from megatron_clip_tpu.models.hf_text import apply_hf_text
         hcfg = _hf_coca_cfg(cfg)
         pooled_txt, tok_out = apply_hf_text(params["text"], txt_in, hcfg,
@@ -237,11 +277,13 @@ def apply_coca(params, images, texts, cfg: CLIPCfg, *,
                                          cfg.text, cfg.embed_dim,
                                          act=cfg.act,
                                          compute_dtype=compute_dtype,
-                                         output_tokens=True)
+                                         output_tokens=True,
+                                         layers_fn=layers_fn)
     labels = texts[:, -tok_out.shape[1]:]
     text_features = _l2_normalize(pooled_txt)
 
-    logits = _decode_logits(params, tok_out, img_ctx, mm, act=cfg.act)
+    logits = _decode_logits(params, tok_out, img_ctx, mm, act=cfg.act,
+                            layers_fn=mm_layers_fn)
 
     return {
         "image_features": image_features,

@@ -121,6 +121,10 @@ class BranchParallelCLIP:
     remat: str = "none"
     devices: Optional[list] = None
     accum_freq: int = 1   # open_CLIP --accum-freq: chunked tower backward
+    local_loss: bool = True  # per-shard logit rows with offset labels in the
+    # join (open_CLIP loss.py:95-121) instead of the full [N, N] matrix —
+    # at a 32k global batch the full fp32 logit matrix is ~4 GB; local rows
+    # are 1/shards of that. False = the plain global join (parity oracle).
 
     def __post_init__(self):
         devices = list(self.devices if self.devices is not None else jax.devices())
@@ -179,7 +183,8 @@ class BranchParallelCLIP:
         self._text = None
         self._vision_fwd = vision_fwd
         self._text_fwd = text_fwd
-        self._join = jax.jit(self._join_impl)
+        self._join = jax.jit(self._join_local_impl if self.local_loss
+                             else self._join_impl)
 
     # ---- join: global-batch InfoNCE + feature/head gradients --------------
     @staticmethod
@@ -192,6 +197,42 @@ class BranchParallelCLIP:
             head_params, img_feats, txt_feats)
         d_head, d_img, d_txt = grads
         return loss, d_head, d_img, d_txt
+
+    def _join_local_impl(self, head_params, img_feats, txt_feats):
+        """local_loss join (open_CLIP loss.py:95-121 semantics, shard_map
+        form): each (data, fsdp) shard of the vision mesh all-gathers the
+        features (differentiable gather == --gather-with-grad), computes
+        only ITS logit rows [n_local, N] with labels offset by
+        shard_index * n_local, and pmeans the loss. The full [N, N] logit
+        matrix never materializes on any device — per-device logits are
+        1/shards of it. Gradients are exact: the all-gather's transpose is
+        reduce-scatter, so d_img/d_txt come back shard-local."""
+        from megatron_clip_tpu.losses import ClipLoss
+        axes = (DATA, FSDP)
+        loss_obj = ClipLoss(local_loss=True, gather_with_grad=True,
+                            axis_name=axes)
+        spec = P(axes)
+
+        def shard_fn(hp, fi, ft):
+            def loss_fn(hp, fi, ft):
+                scale = jnp.exp(jnp.minimum(hp["logit_scale"],
+                                            LOGIT_SCALE_MAX))
+                return loss_obj(fi, ft, scale)
+
+            loss, grads = jax.value_and_grad(loss_fn, argnums=(0, 1, 2))(
+                hp, fi, ft)
+            d_head, d_img, d_txt = grads
+            # hp is replicated; the pmean'd loss's hp-grad arrives as this
+            # shard's contribution — psum makes it the replicated global
+            # gradient (and /n is already inside the pmean)
+            d_head = jax.tree.map(lambda g: jax.lax.psum(g, axes), d_head)
+            return loss, d_head, d_img, d_txt
+
+        return jax.shard_map(
+            shard_fn, mesh=self.vision_mesh,
+            in_specs=(P(), spec, spec),
+            out_specs=(P(), P(), spec, spec))(head_params, img_feats,
+                                              txt_feats)
 
     # ---- state -------------------------------------------------------------
     def init_state(self, rng, tx_factory: Callable[[Any], Any]) -> BranchState:

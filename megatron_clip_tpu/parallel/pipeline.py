@@ -171,7 +171,7 @@ def _local_rope(rope_tabs, cp_size: int, s_global: int):
 def pipeline_transformer(blocks, x, cfg: TransformerCfg, *, mesh: Mesh,
                          num_microbatches: int, causal: bool = False,
                          bias=None, rng=None, position_ids=None,
-                         rel_index=None):
+                         rel_index=None, apply_fn=None, extra=None):
     """Run the stacked transformer blocks pipelined over the mesh's `stage`
     axis. blocks leaves: [L, ...] with L % n_stages == 0; x: [B, S, W] with
     B % num_microbatches == 0. `bias` (additive attention mask, e.g. BERT
@@ -181,6 +181,15 @@ def pipeline_transformer(blocks, x, cfg: TransformerCfg, *, mesh: Mesh,
     layer-summed aux). Numerically identical to a microbatched
     apply_transformer.
 
+    `apply_fn` replaces apply_transformer as the per-stage layer runner for
+    non-standard block structures (the CoCa multimodal decoder's self+cross
+    pairs, models/coca.py _mm_stage_apply) — same keyword contract, applied
+    to the stage's local slice of the stacked blocks. `extra` [B, ...] is a
+    per-sample side input every stage needs in full (the decoder's
+    cross-attention image context): microbatched alongside x, resident on
+    every stage (it does NOT travel the ring), indexed by the tick's
+    microbatch and passed through as extra=.
+
     Memory profile: with the fixed global batch B, per-stage activation
     residuals total ~B * (1 + (S-1)/M) block-inputs regardless of M —
     GPipe's storage, bounded by jax.checkpoint at block granularity
@@ -189,9 +198,10 @@ def pipeline_transformer(blocks, x, cfg: TransformerCfg, *, mesh: Mesh,
     """
     n_stages = mesh.shape[STAGE]
     if n_stages == 1:
-        return apply_transformer(blocks, x, cfg, causal=causal, bias=bias,
-                                 rng=rng, position_ids=position_ids,
-                                 rel_index=rel_index)
+        kw = {} if extra is None else {"extra": extra}
+        return (apply_fn or apply_transformer)(
+            blocks, x, cfg, causal=causal, bias=bias, rng=rng,
+            position_ids=position_ids, rel_index=rel_index, **kw)
 
     n_layers = jax.tree.leaves(blocks)[0].shape[0]
     if n_layers % n_stages:
@@ -204,6 +214,12 @@ def pipeline_transformer(blocks, x, cfg: TransformerCfg, *, mesh: Mesh,
     xm = x.reshape(m, b // m, *x.shape[1:])
     bm = _microbatch_bias(bias, m, b)
     km = _microbatch_keys(rng, cfg, m, n_layers)
+    em = None
+    if extra is not None:
+        if extra.shape[0] != b:
+            raise ValueError(f"extra side input batch {extra.shape[0]} != "
+                             f"x batch {b}")
+        em = extra.reshape(m, b // m, *extra.shape[1:])
     moe = cfg.num_experts > 0
     cp_size, axis_names, seq_axis, rope_tabs = _context_setup(
         mesh, cfg, x, bias, position_ids)
@@ -220,19 +236,19 @@ def pipeline_transformer(blocks, x, cfg: TransformerCfg, *, mesh: Mesh,
         pm = position_ids.reshape(m, b // m, position_ids.shape[1])
         position_ids = None   # the per-tick kw carries them instead
 
-    def staged(stage_blocks, xm, bm, km, pm, rope_tabs):
+    def staged(stage_blocks, xm, bm, km, pm, em, rope_tabs):
         # under _cpu_promotes the scan state/buffers stay f32 (any bf16
         # pvary/psum_invariant CHECK-fails XLA CPU's AllReducePromotion);
         # the per-tick compute is cast back to the model dtype below
-        mdt, bias_dt = _boundary_dts
+        mdt, bias_dt, extra_dt = _boundary_dts
         stage = jax.lax.axis_index(STAGE)
         if cp_size > 1:
             fwd = partial(apply_transformer, stage_blocks, cfg=cfg,
                           causal=causal, rel_index=rel_index,
                           rope=_local_rope(rope_tabs, cp_size, s_global))
         else:
-            fwd = partial(apply_transformer, stage_blocks, cfg=cfg,
-                          causal=causal, position_ids=position_ids,
+            fwd = partial(apply_fn or apply_transformer, stage_blocks,
+                          cfg=cfg, causal=causal, position_ids=position_ids,
                           rel_index=rel_index)
         ticks = m + n_stages - 1
         shift = [(i, i + 1) for i in range(n_stages - 1)]
@@ -256,6 +272,12 @@ def pipeline_transformer(blocks, x, cfg: TransformerCfg, *, mesh: Mesh,
             if pm is not None:
                 kw["position_ids"] = jax.lax.dynamic_index_in_dim(
                     pm, mb_idx, 0, keepdims=False)
+            if em is not None:
+                # per-microbatch side input (decoder cross-attn context):
+                # stage-resident, indexed — never rides the ring
+                ex = jax.lax.dynamic_index_in_dim(em, mb_idx, 0,
+                                                  keepdims=False)
+                kw["extra"] = ex if extra_dt is None else ex.astype(extra_dt)
             x_in = cur if mdt is None else cur.astype(mdt)
             if bm is not None:
                 bias_in = jax.lax.dynamic_index_in_dim(
@@ -298,13 +320,13 @@ def pipeline_transformer(blocks, x, cfg: TransformerCfg, *, mesh: Mesh,
         return _output_psum(outs * mask), acc_aux
 
     xspec = P(None, None, seq_axis)       # [M, mb, S(/cp), W]
-    (xm, bm), _boundary_dts = _cpu_promotes(xm, bm)
+    (xm, bm, em), _boundary_dts = _cpu_promotes(xm, bm, em)
     out, aux = jax.shard_map(
         staged, mesh=mesh,
-        in_specs=(P(STAGE), xspec, P(), P(), P(), P()),
+        in_specs=(P(STAGE), xspec, P(), P(), P(), P(), P()),
         out_specs=(xspec, P()),
         axis_names=axis_names,
-    )(blocks, xm, bm, km, pm, rope_tabs)
+    )(blocks, xm, bm, km, pm, em, rope_tabs)
     out = out.reshape(b, *x.shape[1:]).astype(x.dtype)
     return (out, aux) if moe else out
 
@@ -319,8 +341,15 @@ def make_pipelined_layers_fn(mesh: Mesh, num_microbatches: int,
     the interleaved docstring — skips the per-step cross-stage weight
     permute)."""
     def layers_fn(blocks, x, cfg, *, causal=False, bias=None, rng=None,
-                  position_ids=None, rel_index=None):
+                  position_ids=None, rel_index=None, apply_fn=None,
+                  extra=None):
         if num_chunks > 1:
+            if apply_fn is not None or extra is not None:
+                raise NotImplementedError(
+                    "custom apply_fn/extra (CoCa decoder) is supported by "
+                    "the plain pipeline schedule only — build the decoder's "
+                    "layers_fn with num_chunks=1 (the towers may still "
+                    "interleave)")
             return pipeline_transformer_interleaved(
                 blocks, x, cfg, mesh=mesh, num_microbatches=num_microbatches,
                 num_chunks=num_chunks, causal=causal, bias=bias, rng=rng,
@@ -330,7 +359,8 @@ def make_pipelined_layers_fn(mesh: Mesh, num_microbatches: int,
                                     num_microbatches=num_microbatches,
                                     causal=causal, bias=bias, rng=rng,
                                     position_ids=position_ids,
-                                    rel_index=rel_index)
+                                    rel_index=rel_index, apply_fn=apply_fn,
+                                    extra=extra)
     return layers_fn
 
 

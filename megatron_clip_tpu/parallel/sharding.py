@@ -88,6 +88,11 @@ def clip_param_specs(params: Any, *, stage_axis: Optional[str] = None) -> Any:
         if "/blocks/" in p or p.startswith("blocks/"):
             return transformer_block_specs(p, nd, stacked=True,
                                            stage_axis=stage_axis)
+        if "mm_blocks/" in p:
+            # CoCa decoder (self+cross block pairs): same TP rules; the
+            # stacked layer axis stage-shards under pp like the towers
+            return transformer_block_specs(p, nd, stacked=True,
+                                           stage_axis=stage_axis)
         if p.endswith("tok_embed"):
             return P(TENSOR, FSDP)          # vocab-parallel embedding
         if "patch_embed" in p and nd == 2:

@@ -152,15 +152,19 @@ def _run_training(args, term) -> dict:
     if model.is_coca:
         # the captioning head trains in the joint contrastive step
         # (--accum-freq composes since round 4: contrastive via the
-        # feature cache, caption CE per-block / M); the branch split,
-        # pipeline and distill remain contrastive-tower-only machinery
+        # feature cache, caption CE per-block / M; the pipeline composes
+        # since round 5: towers + decoder stage-shard, _JointRunner);
+        # the branch split and distill remain contrastive-tower-only
         for flag, bad in [("extra_world_size", extra > 0),
-                          ("pipeline_model_parallel_size", pp > 1),
                           ("distill_model",
                            bool(getattr(args, "distill_model", None)))]:
             if bad:
                 raise SystemExit(f"CoCa training does not support --{flag}"
                                  .replace("_", "-"))
+        if pp > 1 and model.cfg.hf_text is not None:
+            raise SystemExit("CoCa with an HF text tower does not support "
+                             "--pipeline-model-parallel-size > 1 (post-LN "
+                             "stack outside the stacked-pytree format)")
     n_params = sum(x.size for x in jax.tree.leaves(params))
     _log(f"model {args.model}: {n_params/1e6:.1f}M params | devices="
          f"{len(devices)} dp={dp} fsdp={fsdp} tp={tp} pp={pp} extra={extra}")
@@ -554,10 +558,19 @@ class _JointRunner:
                                  "more than one device")
             from megatron_clip_tpu.parallel.pipeline import (
                 make_pipelined_layers_fn, vpp_arrange)
+            mm_fn = None
+            if model.is_coca:
+                # the CoCa multimodal decoder stage-shards under the PLAIN
+                # schedule (its self+cross pairs + image-context side input
+                # ride pipeline_transformer's apply_fn/extra path) even
+                # when the towers interleave
+                mm_fn = make_pipelined_layers_fn(
+                    self.mesh, max(1, pcfg.microbatches), 1)
             model = dataclasses.replace(
                 model, layers_fn=make_pipelined_layers_fn(
                     self.mesh, max(1, pcfg.microbatches), pcfg.vpp,
-                    vpp_prearranged=pcfg.vpp > 1))
+                    vpp_prearranged=pcfg.vpp > 1),
+                mm_layers_fn=mm_fn)
             if pcfg.vpp > 1:
                 # interleaved schedule: place BOTH towers' stacked layers in
                 # vpp_arrange physical order once (stage s's contiguous

@@ -200,3 +200,35 @@ def test_branch_vpp_prearranged_no_weight_permute(devices8):
         b, x, cfg, mesh=mesh, num_microbatches=2, num_chunks=2,
         prearranged=True), vpp_arrange(blocks, 2, 2))
     assert n_pre < n_log, (n_pre, n_log)
+
+
+def test_branch_local_loss_join_matches_global(devices8):
+    """The local_loss join (per-shard logit rows + offset labels, shard_map —
+    open_CLIP loss.py:95-121) must train bit-for-bit like the full-matrix
+    join: same losses, same logit_scale, same tower params after steps."""
+    bp = BranchParallelCfg(vision=ParallelCfg(dp=2, fsdp=2),
+                           text=ParallelCfg(dp=4))
+    images, texts = _data()
+    results = []
+    for ll in (True, False):
+        runner = BranchParallelCLIP(cfg=TINY, bp=bp,
+                                    compute_dtype=jnp.float32, local_loss=ll)
+        state = runner.init_state(jax.random.PRNGKey(0), _tx_factory)
+        losses = []
+        for _ in range(2):
+            state, m = runner.train_step(state, images, texts)
+            losses.append(float(m["loss"]))
+        results.append((losses, state))
+    (l_loc, s_loc), (l_glob, s_glob) = results
+    np.testing.assert_allclose(l_loc, l_glob, rtol=1e-6, atol=1e-6)
+    np.testing.assert_allclose(float(s_loc.head[0]["logit_scale"]),
+                               float(s_glob.head[0]["logit_scale"]),
+                               rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(s_loc.vision[0]),
+                    jax.tree.leaves(s_glob.vision[0])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)
+    for a, b in zip(jax.tree.leaves(s_loc.text[0]),
+                    jax.tree.leaves(s_glob.text[0])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=2e-5)

@@ -128,3 +128,47 @@ def test_coca_accum_freq_matches_full_batch():
     for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p2)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_coca_pipeline_matches_unpipelined(devices8):
+    """CoCa under pp2 (round-5 gate removal): both contrastive towers ride
+    the stage schedule AND the multimodal decoder stage-shards through
+    pipeline_transformer's apply_fn/extra path (self+cross pairs, image
+    context as the per-microbatch side input). Outputs and parameter
+    gradients must match the unpipelined forward."""
+    from megatron_clip_tpu.config import ParallelCfg
+    from megatron_clip_tpu.losses import CoCaLoss
+    from megatron_clip_tpu.parallel.mesh import build_mesh
+    from megatron_clip_tpu.parallel.pipeline import make_pipelined_layers_fn
+
+    mesh = build_mesh(ParallelCfg(dp=2, tp=2, pp=2, microbatches=2))
+    params = init_coca(jax.random.PRNGKey(0), TINY)
+    images, texts = _batch(8)
+    lf = make_pipelined_layers_fn(mesh, 2, 1)
+
+    ref = apply_coca(params, images, texts, TINY, compute_dtype=jnp.float32)
+    got = apply_coca(params, images, texts, TINY, compute_dtype=jnp.float32,
+                     layers_fn=lf, mm_layers_fn=lf)
+    for k in ("image_features", "text_features", "logits"):
+        np.testing.assert_allclose(np.asarray(got[k]), np.asarray(ref[k]),
+                                   rtol=2e-5, atol=2e-5, err_msg=k)
+    np.testing.assert_array_equal(np.asarray(got["labels"]),
+                                  np.asarray(ref["labels"]))
+
+    loss_obj = CoCaLoss(caption_loss_weight=2.0, clip_loss_weight=1.0)
+
+    def loss(p, **kw):
+        o = apply_coca(p, images, texts, TINY, compute_dtype=jnp.float32,
+                       **kw)
+        d = loss_obj(o["image_features"], o["text_features"], o["logits"],
+                     o["labels"], o["logit_scale"], output_dict=True)
+        return d["contrastive_loss"] + d["caption_loss"]
+
+    g_ref = jax.grad(loss)(params)
+    g_pp = jax.grad(lambda p: loss(p, layers_fn=lf, mm_layers_fn=lf))(params)
+    flat_ref = jax.tree_util.tree_leaves_with_path(g_ref)
+    flat_pp = jax.tree.leaves(g_pp)
+    for (path, a), b in zip(flat_ref, flat_pp):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-4, atol=5e-4,
+                                   err_msg=jax.tree_util.keystr(path))
