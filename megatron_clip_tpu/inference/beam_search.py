@@ -3,11 +3,19 @@
 Replaces megatron's beam_search (megatron/text_generation/api.py:184 +
 generation.py beam loop with per-step host sync): static beam width, scan
 over decode steps, KV cache reindexed with the beam parents each step.
+
+`pp_beam_search` runs the same beam program with the layer stack sharded
+over the mesh's `stage` axis (the reference's beam loop runs through its PP
+forward/communication path, generation.py + communication.py:185): the
+staged cached forward from pp_generation powers the per-step logits, the
+psum-broadcast hidden states make every stage pick identical beams, and the
+stage-local KV shards are reindexed with the same parent map.
 """
 from functools import partial
 
 import jax
 import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
 
 from megatron_clip_tpu.models.gpt import GPTCfg
 from megatron_clip_tpu.inference.generation import KVCache, _forward_cached
@@ -15,22 +23,18 @@ from megatron_clip_tpu.inference.generation import KVCache, _forward_cached
 NEG = -1e9
 
 
-@partial(jax.jit, static_argnames=("cfg", "beam_size", "max_new_tokens",
-                                   "eos_id", "length_penalty"))
-def beam_search(params, prompt, cfg: GPTCfg, *, beam_size: int = 4,
-                max_new_tokens: int = 32, eos_id: int = 0,
-                length_penalty: float = 1.0):
-    """prompt: [B, P] (fixed length). Returns (tokens [B, K, P+N], scores [B, K])
-    sorted best-first per row."""
+def _beam_program(fwd, params, prompt, cache, *, beam_size: int,
+                  max_new_tokens: int, eos_id: int, length_penalty: float):
+    """The beam loop over a cached forward `fwd(params, tokens, pos, cache)
+    -> (logits, cache)`. cache rows are beam-flattened [.., B*K, ..];
+    returns (tokens [B, K, P+N], scores [B, K]) sorted best-first."""
     b, p = prompt.shape
     k = beam_size
     max_len = p + max_new_tokens
-    compute = jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
 
     # expand prompt to beams: [B*K, P]
     prompt_k = jnp.repeat(prompt, k, axis=0)
-    cache = KVCache.create(cfg, b * k, max_len)
-    logits, cache = _forward_cached(params, prompt_k, 0, cache, cfg, compute)
+    logits, cache = fwd(params, prompt_k, 0, cache)
     logp = jax.nn.log_softmax(logits[:, -1].astype(jnp.float32), axis=-1)
     logp = logp.reshape(b, k, -1)
 
@@ -44,7 +48,7 @@ def beam_search(params, prompt, cfg: GPTCfg, *, beam_size: int = 4,
     finished = tok == eos_id
 
     def reindex_cache(cache, parents):
-        """parents: [B, K] beam indices; cache arrays [L, B*K, H, S, D]."""
+        """parents: [B, K] beam indices; cache arrays [L(/S), B*K, H, S, D]."""
         flat = (jnp.arange(b)[:, None] * k + parents).reshape(-1)  # [B*K]
         return KVCache(cache.k[:, flat], cache.v[:, flat])
 
@@ -52,8 +56,7 @@ def beam_search(params, prompt, cfg: GPTCfg, *, beam_size: int = 4,
 
     def step(carry, i):
         out, scores, cache, finished, gen_len, last_tok = carry
-        logits, cache = _forward_cached(
-            params, last_tok.reshape(b * k, 1), p + i, cache, cfg, compute)
+        logits, cache = fwd(params, last_tok.reshape(b * k, 1), p + i, cache)
         logp = jax.nn.log_softmax(logits[:, 0].astype(jnp.float32), axis=-1)
         logp = logp.reshape(b, k, v)
         # finished beams only extend with eos at zero extra cost
@@ -87,3 +90,67 @@ def beam_search(params, prompt, cfg: GPTCfg, *, beam_size: int = 4,
     scores = jnp.take_along_axis(scores, order, axis=1)
     out = jnp.take_along_axis(out, order[..., None], axis=1)
     return out, scores
+
+
+@partial(jax.jit, static_argnames=("cfg", "beam_size", "max_new_tokens",
+                                   "eos_id", "length_penalty"))
+def beam_search(params, prompt, cfg: GPTCfg, *, beam_size: int = 4,
+                max_new_tokens: int = 32, eos_id: int = 0,
+                length_penalty: float = 1.0):
+    """prompt: [B, P] (fixed length). Returns (tokens [B, K, P+N], scores [B, K])
+    sorted best-first per row."""
+    b, p = prompt.shape
+    max_len = p + max_new_tokens
+    compute = jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
+    cache = KVCache.create(cfg, b * beam_size, max_len)
+    fwd = lambda prm, toks, pos, c: _forward_cached(prm, toks, pos, c, cfg,
+                                                    compute)
+    return _beam_program(fwd, params, prompt, cache, beam_size=beam_size,
+                         max_new_tokens=max_new_tokens, eos_id=eos_id,
+                         length_penalty=length_penalty)
+
+
+@partial(jax.jit, static_argnames=("cfg", "mesh", "beam_size",
+                                   "max_new_tokens", "eos_id",
+                                   "length_penalty"))
+def pp_beam_search(params, prompt, cfg: GPTCfg, mesh: jax.sharding.Mesh, *,
+                   beam_size: int = 4, max_new_tokens: int = 32,
+                   eos_id: int = 0, length_penalty: float = 1.0):
+    """beam_search with the layer stack pipelined over mesh's `stage` axis
+    (params placed like pp_generate: blocks [L, ...] stage-sharded on the
+    layer dim; tp specs compose). Token-for-token identical to the
+    single-program beam_search."""
+    from megatron_clip_tpu.inference.pp_generation import (
+        _staged_forward, stage_in_specs)
+    from megatron_clip_tpu.parallel.mesh import STAGE
+
+    n_stages = mesh.shape[STAGE]
+    tcfg = cfg.transformer()
+    if tcfg.layers % n_stages:
+        raise ValueError(f"{tcfg.layers} layers not divisible by "
+                         f"{n_stages} stages")
+    b, p = prompt.shape
+    max_len = p + max_new_tokens
+    compute = jnp.bfloat16 if jax.default_backend() != "cpu" else jnp.float32
+
+    def staged(params, prompt):
+        hkv = tcfg.kv_heads or tcfg.heads
+        shape = (tcfg.layers // n_stages, b * beam_size, hkv, max_len,
+                 tcfg.head_dim)
+        # bf16 cache on every backend — KVCache.create parity (see
+        # pp_generation.pp_generate)
+        cache = KVCache(jnp.zeros(shape, jnp.bfloat16),
+                        jnp.zeros(shape, jnp.bfloat16))
+        fwd = lambda prm, toks, pos, c: _staged_forward(
+            prm, toks, pos, c, cfg, compute, n_stages, max_len)
+        return _beam_program(fwd, params, prompt, cache,
+                             beam_size=beam_size,
+                             max_new_tokens=max_new_tokens, eos_id=eos_id,
+                             length_penalty=length_penalty)
+
+    return jax.shard_map(
+        staged, mesh=mesh,
+        in_specs=(stage_in_specs(params), P()),
+        out_specs=(P(), P()),
+        axis_names={STAGE}, check_vma=False,
+    )(params, prompt)

@@ -195,9 +195,6 @@ class GenerationService:
         ids = self.tokenizer.encode(prompts[0])
         if not ids:
             raise ValueError("empty prompt (tokenizes to zero tokens)")
-        if self._pp_stages() > 1:
-            raise ValueError("beam search is not supported under "
-                             "pipeline-parallel serving; use a tp-only mesh")
         with self._lock:
             import contextlib
             ctx = contextlib.nullcontext()
@@ -211,12 +208,26 @@ class GenerationService:
             # into the returned text
             eff_eos = self.eos_id if self.eos_id >= 0 else 0
             with ctx:
-                toks, scores = beam_search(
-                    self.params, jnp.asarray([ids], jnp.int32), self.cfg,
-                    beam_size=int(beam_width),
-                    max_new_tokens=tokens_to_generate,
-                    eos_id=eff_eos,
-                    length_penalty=float(length_penalty))
+                if self._pp_stages() > 1:
+                    # staged beam decode (the reference's beam loop runs
+                    # through its PP forward path, api.py:184); token-exact
+                    # vs the single-program beam — tests/test_pp_serving.py
+                    from megatron_clip_tpu.inference.beam_search import \
+                        pp_beam_search
+                    toks, scores = pp_beam_search(
+                        self.params, jnp.asarray([ids], jnp.int32),
+                        self.cfg, self.mesh,
+                        beam_size=int(beam_width),
+                        max_new_tokens=tokens_to_generate,
+                        eos_id=eff_eos,
+                        length_penalty=float(length_penalty))
+                else:
+                    toks, scores = beam_search(
+                        self.params, jnp.asarray([ids], jnp.int32), self.cfg,
+                        beam_size=int(beam_width),
+                        max_new_tokens=tokens_to_generate,
+                        eos_id=eff_eos,
+                        length_penalty=float(length_penalty))
         best = list(np.asarray(toks)[0, 0, len(ids):])
         if eff_eos in best:
             best = best[:best.index(eff_eos)]

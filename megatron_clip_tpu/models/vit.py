@@ -185,12 +185,8 @@ def apply_vit(params, images, cfg: VisionCfg, embed_dim: int, *,
             # relpos + patch dropout: gather the bias map per KEPT token —
             # each example keeps different patches, so the [S, S] relative-
             # position index becomes per-example [B, S', S'] (apply_block
-            # then builds a [B, H, S', S'] logits bias)
-            if layers_fn is not None:
-                raise NotImplementedError(
-                    "rel_pos_bias + patch_dropout under the pipeline: the "
-                    "per-example bias map is not threaded through the "
-                    "stage schedule")
+            # builds a [B, H, S', S'] logits bias; the pipeline schedules
+            # microbatch the per-example map and index it per tick)
             tok = jnp.concatenate(
                 [jnp.zeros((b, 1), ids.dtype), ids + 1], axis=1)
             rel_index = rel_index[tok[:, :, None], tok[:, None, :]]

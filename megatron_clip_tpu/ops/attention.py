@@ -111,10 +111,6 @@ def multi_head_attention(x, params, heads: int, *, causal: bool = False,
     b, s, w = x.shape
     hkv = kv_heads or heads
     if context_parallel:
-        if bias is not None:
-            raise ValueError("context_parallel attention does not support "
-                             "additive bias masks (megatron CP has the same "
-                             "restriction: causal/full only)")
         if dropout_rate > 0.0 and dropout_rng is not None:
             raise ValueError("context_parallel attention does not support "
                              "attention-prob dropout")
@@ -205,7 +201,8 @@ def multi_head_attention(x, params, heads: int, *, causal: bool = False,
             rep = heads // hkv
             kh = jnp.repeat(kh, rep, axis=2)
             vh = jnp.repeat(vh, rep, axis=2)
-        out = ring_attention(qh, kh, vh, causal=causal, layout=cp_layout)
+        out = ring_attention(qh, kh, vh, causal=causal, layout=cp_layout,
+                             bias=bias)
         out = out.reshape(b, s, -1)  # heads*head_dim (== w unless kv_channels)
     elif not flash_path:
         # BSHD layout: no [B,S,H,D]->[B,H,S,D] transposes; head merge after

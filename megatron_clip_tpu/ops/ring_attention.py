@@ -77,13 +77,21 @@ def zigzag_unshard(x, cp, axis=1):
 
 def ring_attention_local(q, k, v, axis_name: str, *, causal: bool = False,
                          scale: Optional[float] = None,
-                         layout: str = "contiguous"):
+                         layout: str = "contiguous", bias=None):
     """Per-device ring attention body — call inside `shard_map`.
 
     q, k, v: local shards [B, Sloc, H, D] (BSHD layout, matching
     ops/attention.py `sdpa_bshd`). The sequence dim is sharded over
     ``axis_name``; batch/head dims may be sharded over other mesh axes
     (they are untouched here). Returns [B, Sloc, H, D].
+
+    `bias` (additive attention mask, e.g. BERT padding / document
+    boundaries): the LOCAL-query-rows slice [B|1, H|1, Sloc, S_global]
+    with the column dim in GLOBAL position order — each ring step gathers
+    the rotating block's columns by its carried global positions, so the
+    full [S, S] matrix still never materializes per device (rows are 1/cp).
+    -inf entries are clamped to the finite NEG_INF and fully-masked rows
+    contribute zero mass (same guard as the causal path).
     """
     cp = jax.lax.axis_size(axis_name)
     rank = jax.lax.axis_index(axis_name)
@@ -108,6 +116,9 @@ def ring_attention_local(q, k, v, axis_name: str, *, causal: bool = False,
         o, m, l, k_blk, v_blk, k_pos = carry
         logits = jnp.einsum("bqhd,bkhd->bhqk", q32,
                             k_blk.astype(jnp.float32)) * scale
+        if bias is not None:
+            blk = jnp.take(bias.astype(jnp.float32), k_pos, axis=-1)
+            logits = logits + jnp.maximum(blk, NEG_INF)
         if causal:
             mask = pos[:, None] >= k_pos[None, :]          # [Sq, Sk]
             logits = jnp.where(mask[None, None], logits, NEG_INF)
@@ -119,6 +130,10 @@ def ring_attention_local(q, k, v, axis_name: str, *, causal: bool = False,
             # zero masked probs explicitly: when an entire row is masked,
             # exp(NEG_INF - NEG_INF) above would contribute spurious mass
             p = jnp.where(mask[None, None], p, 0.0)
+        if bias is not None:
+            # same guard for bias-masked entries (a fully-masked row's
+            # m_new == NEG_INF would otherwise put unit mass everywhere)
+            p = jnp.where(logits > 0.5 * NEG_INF, p, 0.0)
         l = l * corr + p.sum(axis=-1)
         o = o * corr[..., None] + jnp.einsum(
             "bhqk,bkhd->bhqd", p, v_blk.astype(jnp.float32))
@@ -138,26 +153,51 @@ def ring_attention_local(q, k, v, axis_name: str, *, causal: bool = False,
 def ring_attention(q, k, v, *, axis: str = "context", causal: bool = False,
                    scale: Optional[float] = None, layout: str = "contiguous",
                    batch_axes=("data", "fsdp"), head_axis: str = "tensor",
-                   mesh=None):
+                   mesh=None, bias=None):
     """Global-view ring attention: q/k/v [B, S, H, D] with S sharded over
     ``axis``. Works inside `jit` with an active mesh (`jax.sharding.set_mesh`)
     or with an explicit `mesh`. Batch is sharded over `batch_axes` and heads
     over `head_axis` when those axes exist in the mesh.
+
+    `bias` [B|1, H|1, S, S]: additive attention mask. The query-row dim is
+    sharded over `axis` alongside q; columns stay global (each ring step
+    gathers the rotating block's columns). Contiguous layout only — zigzag
+    would need the caller to zigzag-reorder the bias rows, and no caller
+    does; inside a manual region the caller passes the already-local rows.
     """
     from megatron_clip_tpu.parallel.mesh import manual_axes
+    if bias is not None:
+        if layout != "contiguous":
+            raise ValueError("additive bias with ring attention requires "
+                             "the contiguous layout (zigzag rows would "
+                             "need a matching bias-row reorder)")
+        if bias.ndim != 4:
+            raise ValueError("ring-attention bias must be 4-D "
+                             "[B|1, H|1, Sq|1, S] (got "
+                             f"{bias.shape})")
     if axis in manual_axes():
         # already inside a manual region over `axis` (e.g. the pipeline's
         # stage shard_map manualizes context too for cp+pp): inputs are the
         # local seq shards — run the ring body directly
         return ring_attention_local(q, k, v, axis_name=axis, causal=causal,
-                                    scale=scale, layout=layout)
+                                    scale=scale, layout=layout, bias=bias)
     amesh = mesh if mesh is not None else jax.sharding.get_abstract_mesh()
     names = set(amesh.axis_names) if amesh is not None else set()
     bspec = tuple(a for a in batch_axes if a in names) or None
     hspec = head_axis if head_axis in names else None
     spec = P(bspec, axis, hspec, None)
-    fn = partial(ring_attention_local, axis_name=axis, causal=causal,
-                 scale=scale, layout=layout)
     kwargs = {} if mesh is None else {"mesh": mesh}
-    return jax.shard_map(fn, in_specs=(spec, spec, spec), out_specs=spec,
-                         **kwargs)(q, k, v)
+    if bias is None:
+        fn = partial(ring_attention_local, axis_name=axis, causal=causal,
+                     scale=scale, layout=layout)
+        return jax.shard_map(fn, in_specs=(spec, spec, spec),
+                             out_specs=spec, **kwargs)(q, k, v)
+    bias_spec = P(bspec if bias.shape[0] > 1 else None, None,
+                  axis if bias.shape[2] > 1 else None, None)
+
+    def fn(q, k, v, bias):
+        return ring_attention_local(q, k, v, axis_name=axis, causal=causal,
+                                    scale=scale, layout=layout, bias=bias)
+
+    return jax.shard_map(fn, in_specs=(spec, spec, spec, bias_spec),
+                         out_specs=spec, **kwargs)(q, k, v, bias)

@@ -120,9 +120,11 @@ def _context_setup(mesh, cfg: TransformerCfg, x, bias, position_ids):
              and CONTEXT in mesh.shape and mesh.shape[CONTEXT] > 1)
     if not cp_in:
         return 1, {STAGE}, None, None
-    if bias is not None:
-        raise ValueError("additive attention bias is not supported with "
-                         "context parallelism in the pipeline")
+    if bias is not None and getattr(cfg, "context_parallel_layout",
+                                    "contiguous") != "contiguous":
+        raise ValueError("additive attention bias with context parallelism "
+                         "requires the contiguous layout (zigzag would "
+                         "need a matching bias-row reorder)")
     rope_tabs = None
     if cfg.rope:
         if (getattr(cfg, "context_parallel_layout", "contiguous") == "zigzag"
@@ -220,6 +222,13 @@ def pipeline_transformer(blocks, x, cfg: TransformerCfg, *, mesh: Mesh,
             raise ValueError(f"extra side input batch {extra.shape[0]} != "
                              f"x batch {b}")
         em = extra.reshape(m, b // m, *extra.shape[1:])
+    rm = None
+    if rel_index is not None and getattr(rel_index, "ndim", 2) == 3:
+        # per-example relative-position gather map [B, S', S'] (relpos ViT
+        # under patch dropout keeps different patches per example):
+        # microbatched and indexed per tick like the bias
+        rm = rel_index.reshape(m, b // m, *rel_index.shape[1:])
+        rel_index = None
     moe = cfg.num_experts > 0
     cp_size, axis_names, seq_axis, rope_tabs = _context_setup(
         mesh, cfg, x, bias, position_ids)
@@ -236,7 +245,7 @@ def pipeline_transformer(blocks, x, cfg: TransformerCfg, *, mesh: Mesh,
         pm = position_ids.reshape(m, b // m, position_ids.shape[1])
         position_ids = None   # the per-tick kw carries them instead
 
-    def staged(stage_blocks, xm, bm, km, pm, em, rope_tabs):
+    def staged(stage_blocks, xm, bm, km, pm, em, rm, rope_tabs):
         # under _cpu_promotes the scan state/buffers stay f32 (any bf16
         # pvary/psum_invariant CHECK-fails XLA CPU's AllReducePromotion);
         # the per-tick compute is cast back to the model dtype below
@@ -278,6 +287,9 @@ def pipeline_transformer(blocks, x, cfg: TransformerCfg, *, mesh: Mesh,
                 ex = jax.lax.dynamic_index_in_dim(em, mb_idx, 0,
                                                   keepdims=False)
                 kw["extra"] = ex if extra_dt is None else ex.astype(extra_dt)
+            if rm is not None:
+                kw["rel_index"] = jax.lax.dynamic_index_in_dim(
+                    rm, mb_idx, 0, keepdims=False)
             x_in = cur if mdt is None else cur.astype(mdt)
             if bm is not None:
                 bias_in = jax.lax.dynamic_index_in_dim(
@@ -320,13 +332,19 @@ def pipeline_transformer(blocks, x, cfg: TransformerCfg, *, mesh: Mesh,
         return _output_psum(outs * mask), acc_aux
 
     xspec = P(None, None, seq_axis)       # [M, mb, S(/cp), W]
+    # under cp the bias's query-row dim shards with the activations (ring
+    # attention gathers the rotating block's columns by global position);
+    # query-broadcast biases ([.., 1, S]) stay replicated
+    bm_spec = P()
+    if bm is not None and cp_size > 1 and bm.shape[-2] > 1:
+        bm_spec = P(*([None] * (bm.ndim - 2)), CONTEXT, None)
     (xm, bm, em), _boundary_dts = _cpu_promotes(xm, bm, em)
     out, aux = jax.shard_map(
         staged, mesh=mesh,
-        in_specs=(P(STAGE), xspec, P(), P(), P(), P(), P()),
+        in_specs=(P(STAGE), xspec, bm_spec, P(), P(), P(), P(), P()),
         out_specs=(xspec, P()),
         axis_names=axis_names,
-    )(blocks, xm, bm, km, pm, em, rope_tabs)
+    )(blocks, xm, bm, km, pm, em, rm, rope_tabs)
     out = out.reshape(b, *x.shape[1:]).astype(x.dtype)
     return (out, aux) if moe else out
 
@@ -437,7 +455,8 @@ def pipeline_transformer_interleaved(blocks, x, cfg: TransformerCfg, *,
         return pipeline_transformer(blocks, x, cfg, mesh=mesh,
                                     num_microbatches=num_microbatches,
                                     causal=causal, bias=bias, rng=rng,
-                                    position_ids=position_ids)
+                                    position_ids=position_ids,
+                                    rel_index=rel_index)
     m = num_microbatches
     if m % n_stages:
         raise ValueError(f"microbatches {m} must be divisible by "
@@ -453,6 +472,11 @@ def pipeline_transformer_interleaved(blocks, x, cfg: TransformerCfg, *,
     xm = x.reshape(m, b // m, *x.shape[1:])
     bm = _microbatch_bias(bias, m, b)
     km = _microbatch_keys(rng, cfg, m, n_layers)
+    rm = None
+    if rel_index is not None and getattr(rel_index, "ndim", 2) == 3:
+        # per-example gather map (relpos + patch dropout): per-microbatch
+        rm = rel_index.reshape(m, b // m, *rel_index.shape[1:])
+        rel_index = None
     moe = cfg.num_experts > 0
     cp_size, axis_names, seq_axis, rope_tabs = _context_setup(
         mesh, cfg, x, bias, position_ids)
@@ -485,7 +509,7 @@ def pipeline_transformer_interleaved(blocks, x, cfg: TransformerCfg, *,
     sv = n_stages * v
     ticks = m * v + n_stages - 1
 
-    def staged(stage_blocks, xm, bm, km, pm, rope_tabs):
+    def staged(stage_blocks, xm, bm, km, pm, rm, rope_tabs):
         # under _cpu_promotes the scan state/buffers stay f32 (any bf16
         # pvary/psum_invariant CHECK-fails XLA CPU's AllReducePromotion);
         # the per-tick compute is cast back to the model dtype below
@@ -539,6 +563,10 @@ def pipeline_transformer_interleaved(blocks, x, cfg: TransformerCfg, *,
                     pm, m_cur, 0, keepdims=False)
             elif pos_ids is not None:
                 kw["position_ids"] = pos_ids
+            ri = rel_index
+            if rm is not None:
+                ri = jax.lax.dynamic_index_in_dim(rm, m_cur, 0,
+                                                  keepdims=False)
             x_in = cur if mdt is None else cur.astype(mdt)
             if bm is not None:
                 bias_in = jax.lax.dynamic_index_in_dim(bm, m_in, 0,
@@ -548,12 +576,12 @@ def pipeline_transformer_interleaved(blocks, x, cfg: TransformerCfg, *,
                                         causal=causal,
                                         bias=cur_bias if bias_dt is None
                                         else cur_bias.astype(bias_dt),
-                                        rel_index=rel_index,
+                                        rel_index=ri,
                                         rope=local_rope, **kw)
                 state_bias = jax.lax.ppermute(cur_bias, STAGE, shift)
             else:
                 out = apply_transformer(chunk_blocks, x_in, cfg,
-                                        causal=causal, rel_index=rel_index,
+                                        causal=causal, rel_index=ri,
                                         rope=local_rope, **kw)
             if moe:
                 y, aux_t = out
@@ -589,12 +617,15 @@ def pipeline_transformer_interleaved(blocks, x, cfg: TransformerCfg, *,
         return _output_psum(outs * mask), acc_aux
 
     xspec = P(None, None, seq_axis)
+    bm_spec = P()
+    if bm is not None and cp_size > 1 and bm.shape[-2] > 1:
+        bm_spec = P(*([None] * (bm.ndim - 2)), CONTEXT, None)
     (xm, bm), _boundary_dts = _cpu_promotes(xm, bm)
     out, aux = jax.shard_map(
         staged, mesh=mesh,
-        in_specs=(P(STAGE), xspec, P(), P(), P(), P()),
+        in_specs=(P(STAGE), xspec, bm_spec, P(), P(), P(), P()),
         out_specs=(xspec, P()),
         axis_names=axis_names,
-    )(stage_major, xm, bm, km, pm, rope_tabs)
+    )(stage_major, xm, bm, km, pm, rm, rope_tabs)
     out = out.reshape(b, *x.shape[1:]).astype(x.dtype)
     return (out, aux) if moe else out

@@ -118,18 +118,98 @@ def test_gpt_cp_training_matches_serial(devices8):
                                atol=1e-4, rtol=1e-4)
 
 
-def test_cp_rejects_bias_and_dropout():
+def test_cp_rejects_zigzag_bias_and_dropout():
+    """Remaining CP gates: zigzag + additive bias (the bias rows would need
+    a matching reorder no caller performs) and attention-prob dropout.
+    Contiguous additive bias is SUPPORTED since round 5 — see
+    test_ring_attention_bias_matches_sdpa."""
     from megatron_clip_tpu.ops.attention import multi_head_attention
+    from megatron_clip_tpu.ops.ring_attention import ring_attention
 
-    x = jnp.zeros((2, 8, 32), jnp.float32)
+    x = jnp.zeros((2, 8, 4, 8), jnp.float32)
+    with pytest.raises(ValueError, match="zigzag"):
+        ring_attention(x, x, x, layout="zigzag",
+                       bias=jnp.zeros((2, 1, 8, 8)))
+    with pytest.raises(ValueError, match="4-D"):
+        ring_attention(x, x, x, bias=jnp.zeros((8, 8)))
     params = {"wqkv": jnp.zeros((32, 96)), "wo": jnp.zeros((32, 32))}
-    with pytest.raises(ValueError, match="bias"):
-        multi_head_attention(x, params, 4, context_parallel=True,
-                             bias=jnp.zeros((8, 8)))
     with pytest.raises(ValueError, match="dropout"):
-        multi_head_attention(x, params, 4, context_parallel=True,
+        multi_head_attention(jnp.zeros((2, 8, 32)), params, 4,
+                             context_parallel=True,
                              dropout_rate=0.1,
                              dropout_rng=jax.random.PRNGKey(0))
+
+
+@pytest.mark.parametrize("rows", ["full", "broadcast"])
+def test_ring_attention_bias_matches_sdpa(devices8, rows):
+    """Additive bias under CP (round-5 gate removal): the bias's query rows
+    shard with q; each ring step gathers the rotating block's columns by
+    global position. Per-batch padding masks in both the [B,1,S,S] and the
+    query-broadcast [B,1,1,S] forms, forward and backward."""
+    q, k, v = _qkv()
+    b, s = q.shape[0], q.shape[1]
+    lens = jnp.asarray([s, s - 3, s // 2, 5])
+    keymask = jnp.arange(s)[None, :] < lens[:, None]
+    bias = jnp.where(keymask[:, None, None, :], 0.0, -1e30)  # [B,1,1,S]
+    if rows == "full":
+        bias = jnp.broadcast_to(bias, (b, 1, s, s))
+
+    ref = sdpa_bshd(q, k, v, bias=bias)
+    with jax.sharding.set_mesh(_cp_mesh(devices8)):
+        out = jax.jit(lambda q, k, v, bias: ring_attention(
+            q, k, v, bias=bias))(q, k, v, bias)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=2e-5, rtol=2e-5)
+
+    def loss_ref(q):
+        return jnp.sum(sdpa_bshd(q, k, v, bias=bias) ** 2)
+
+    def loss_ring(q):
+        return jnp.sum(ring_attention(q, k, v, bias=bias) ** 2)
+
+    with jax.sharding.set_mesh(_cp_mesh(devices8)):
+        g_ring = jax.jit(jax.grad(loss_ring))(q)
+    np.testing.assert_allclose(np.asarray(g_ring),
+                               np.asarray(jax.grad(loss_ref)(q)),
+                               atol=5e-4, rtol=5e-4)
+
+
+def test_pipeline_bias_with_cp_matches_serial(devices8):
+    """Additive bias threading the pipeline under context parallelism
+    (round-5 gate removal): bias query rows shard over `context` inside the
+    stage region, columns gathered per ring step — pp2 x cp2 with per-row
+    padding == the serial forward."""
+    from megatron_clip_tpu.config import ParallelCfg, TransformerCfg
+    from megatron_clip_tpu.nn.transformer import (apply_transformer,
+                                                  init_transformer)
+    from megatron_clip_tpu.parallel import build_mesh
+    from megatron_clip_tpu.parallel.pipeline import pipeline_transformer
+
+    cfg = TransformerCfg(layers=4, width=64, heads=4,
+                         context_parallel=True, use_flash=False)
+    blocks = init_transformer(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (8, 16, 64))
+    lens = jnp.asarray([16, 11, 8, 16, 5, 16, 13, 7])
+    pad = jnp.arange(16)[None, :] < lens[:, None]
+    bias = jnp.broadcast_to(
+        jnp.where(pad[:, None, None, :], 0.0, -1e30), (8, 1, 16, 16))
+
+    serial_cfg = TransformerCfg(layers=4, width=64, heads=4,
+                                use_flash=False)
+    want = apply_transformer(blocks, x, serial_cfg, bias=bias)
+    mesh = build_mesh(ParallelCfg(dp=2, pp=2, cp=2, microbatches=2))
+    got = pipeline_transformer(blocks, x, cfg, mesh=mesh,
+                               num_microbatches=2, bias=bias)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+    g1 = jax.grad(lambda b_: jnp.sum(apply_transformer(
+        b_, x, serial_cfg, bias=bias) ** 2))(blocks)
+    g2 = jax.grad(lambda b_: jnp.sum(pipeline_transformer(
+        b_, x, cfg, mesh=mesh, num_microbatches=2, bias=bias) ** 2))(blocks)
+    for a, c in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(c), np.asarray(a),
+                                   rtol=5e-4, atol=5e-4)
 
 
 def test_gpt_zigzag_cp_training_matches_serial(devices8):

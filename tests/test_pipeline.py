@@ -568,3 +568,43 @@ def test_relpos_tower_pipelines(devices8):
                         layers_fn=lf)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-5, atol=2e-5, err_msg=f"v{chunks}")
+
+
+def test_relpos_patch_dropout_pipelines(devices8):
+    """relpos + patch dropout under the pipeline (round-5 gate removal):
+    each example keeps different patches, so the relative-position gather
+    map becomes per-example [B, S', S'] — the schedules microbatch it and
+    index it per tick. pp2 (plain and interleaved) == the serial forward
+    with the same dropout rng."""
+    import dataclasses
+    from megatron_clip_tpu.config import VisionCfg
+    from megatron_clip_tpu.models.vit import init_vit, apply_vit
+    from megatron_clip_tpu.parallel.pipeline import make_pipelined_layers_fn
+
+    cfg = VisionCfg(layers=4, width=64, head_width=32, patch_size=8,
+                    image_size=32, rel_pos_bias=True, patch_dropout=0.4)
+    params = init_vit(jax.random.PRNGKey(0), cfg, embed_dim=64)
+    images = jax.random.normal(jax.random.PRNGKey(1), (8, 32, 32, 3))
+    rng = jax.random.PRNGKey(7)
+
+    want = apply_vit(params, images, cfg, 64, compute_dtype=jnp.float32,
+                     patch_dropout_rng=rng)
+    mesh = build_mesh(ParallelCfg(dp=2, pp=2))
+    for chunks in (1, 2):
+        lf = make_pipelined_layers_fn(mesh, 2, chunks)
+        got = apply_vit(params, images, cfg, 64, compute_dtype=jnp.float32,
+                        patch_dropout_rng=rng, layers_fn=lf)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5, err_msg=f"v{chunks}")
+
+    # gradients through the per-example map thread the schedule too
+    lf = make_pipelined_layers_fn(mesh, 2, 1)
+    g1 = jax.grad(lambda p: jnp.sum(apply_vit(
+        p, images, cfg, 64, compute_dtype=jnp.float32,
+        patch_dropout_rng=rng) ** 2))(params)
+    g2 = jax.grad(lambda p: jnp.sum(apply_vit(
+        p, images, cfg, 64, compute_dtype=jnp.float32,
+        patch_dropout_rng=rng, layers_fn=lf) ** 2))(params)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=5e-4, atol=5e-4)

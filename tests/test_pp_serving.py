@@ -69,3 +69,27 @@ def test_pp_decode_rejects_indivisible_layers(devices8):
     with pytest.raises(ValueError, match="divisible"):
         pp_generate(_place(params, mesh), prompt,
                     jnp.full((2,), 4, jnp.int32), cfg, mesh)
+
+
+def test_pp_beam_search_matches_single_program(devices8):
+    """Beam search under PP (round-5 gate removal): the staged cached
+    forward drives the same beam program, every stage picks identical
+    parents off the psum-broadcast logits, and the stage-local KV shards
+    reindex with them — tokens AND scores match the single-program beam
+    (reference: megatron api.py:184 beam through the PP forward path)."""
+    from megatron_clip_tpu.inference.beam_search import (beam_search,
+                                                         pp_beam_search)
+    cfg = GPTCfg(num_layers=4, hidden_size=64, num_heads=4, vocab_size=256,
+                 seq_length=64)
+    params = init_gpt(jax.random.PRNGKey(0), cfg)
+    prompt = jax.random.randint(jax.random.PRNGKey(3), (1, 8), 1,
+                                255).astype(jnp.int32)
+    kw = dict(beam_size=4, max_new_tokens=10, eos_id=2, length_penalty=1.0)
+    want_t, want_s = beam_search(params, prompt, cfg, **kw)
+
+    mesh = build_mesh(ParallelCfg(pp=4, tp=2))
+    got_t, got_s = pp_beam_search(_place(params, mesh), prompt, cfg, mesh,
+                                  **kw)
+    np.testing.assert_array_equal(np.asarray(got_t), np.asarray(want_t))
+    np.testing.assert_allclose(np.asarray(got_s), np.asarray(want_s),
+                               rtol=1e-5, atol=1e-5)
