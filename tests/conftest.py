@@ -172,6 +172,15 @@ SLOW_TESTS = (
     "test_moe_transformer_runs_and_trains",
     "test_tensorboard_dir",                 # TB covered by the CLIP app
     "test_relpos_with_patch_dropout",       # relpos_zoo_model_builds stays
+    # round-5 additions (measured on the idle 1-core box): the multi-minute
+    # pipelined-parity compiles. Quick coverage of the same features stays:
+    # full-size goldens (coca arch + converters), pp-beam token-exactness,
+    # ring-attention-bias fwd/bwd, async-checkpoint ordering, draft decode.
+    "test_coca_pipeline_matches_unpipelined",     # 210s
+    "test_relpos_patch_dropout_pipelines",        # 101s
+    "test_pipeline_bias_with_cp_matches_serial",  # 93s
+    "test_branch_local_loss_join_matches_global",  # 58s; every default-tier
+    # branch test now exercises the local_loss join (it is the default)
 )
 
 
