@@ -182,7 +182,11 @@ def bench_gpt_345m(batch: int = 6, iters: int = 15, warmup: int = 2) -> dict:
 
 
 def _run_leg(leg: str) -> None:
-    """Child-process entry: run one secondary leg, print its JSON fragment."""
+    """Child-process entry: run one leg, print its JSON fragment."""
+    if leg == "primary":
+        r, batch = _primary()
+        _emit(r, batch, {})
+        return
     if leg == "vitl":
         # north-star model: pure_bf16 weights (open_CLIP --precision
         # pure_bf16) halve param/grad/optimizer HBM -> bs64 fits with no
@@ -293,11 +297,49 @@ def _emit(r: dict, batch: int, extra: dict) -> None:
 
 def main():
     start = time.monotonic()
-    r, batch = _primary()
-    # The driver artifact is safe from this point on, whatever follows.
-    _emit(r, batch, {})
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu"):
+        r, batch = _primary()      # smoke mode: no TPU orchestration
+        _emit(r, batch, {})
+        return
 
-    if jax.default_backend() == "cpu":
+    # Run EVERY leg (incl. the primary) in a subprocess: tonight's tunnel
+    # serializes device access per client, so a parent that initialized the
+    # TPU starves every child leg until its budget kills it. The parent
+    # stays a pure orchestrator and never touches the device.
+    primary_line = None
+    budget = min(float(os.environ.get("MCT_BENCH_PRIMARY_BUDGET", "300")),
+                 start + float(os.environ.get("BENCH_DEADLINE", "560"))
+                 - time.monotonic())
+    frag = _budgeted_leg("primary", budget)
+    if frag.get("metric"):
+        primary_line = frag
+        print(json.dumps(primary_line), flush=True)
+        if "cpu" in str(frag.get("device", "")).lower():
+            return      # TPU-less host: the child ran the smoke mode
+    else:
+        # fallback: in-process primary (the pre-round-5 path) — keeps the
+        # artifact alive if subprocess orchestration itself breaks
+        r, batch = _primary()
+        _emit(r, batch, {})
+        if jax.default_backend() == "cpu":
+            return
+        primary_line = None
+        deadline = start + float(os.environ.get("BENCH_DEADLINE", "560"))
+        extra = {}
+        for leg, bvar, bdef, skip in (
+                ("vitl", "MCT_BENCH_VITL_BUDGET", "240",
+                 "MCT_BENCH_SKIP_VITL"),
+                ("vith", "MCT_BENCH_VITH_BUDGET", "300",
+                 "MCT_BENCH_SKIP_VITH"),
+                ("gpt", "MCT_BENCH_GPT_BUDGET", "240",
+                 "MCT_BENCH_SKIP_GPT")):
+            if os.environ.get(skip) == "1":
+                continue
+            b = min(float(os.environ.get(bvar, bdef)),
+                    deadline - time.monotonic())
+            extra.update(_budgeted_leg(leg, b))
+        if extra:
+            _emit(r, batch, extra)
         return
     deadline = start + float(os.environ.get("BENCH_DEADLINE", "560"))
     extra = {}
@@ -318,7 +360,8 @@ def main():
                      deadline - time.monotonic())
         extra.update(_budgeted_leg("gpt", budget))
     if extra:
-        _emit(r, batch, extra)  # final, most complete line (printed last)
+        # final, most complete line (printed last)
+        print(json.dumps({**primary_line, **extra}), flush=True)
 
 
 if __name__ == "__main__":
