@@ -338,6 +338,11 @@ def main():
             b = min(float(os.environ.get(bvar, bdef)),
                     deadline - time.monotonic())
             extra.update(_budgeted_leg(leg, b))
+        for leg, key in (("vitl", "vit_l14_mfu"), ("vith", "vit_h14_mfu"),
+                         ("gpt", "gpt_345m_mfu")):
+            if key not in extra and deadline - time.monotonic() > 60:
+                extra.update(_budgeted_leg(leg,
+                                           deadline - time.monotonic()))
         if extra:
             _emit(r, batch, extra)
         return
@@ -359,6 +364,15 @@ def main():
         budget = min(float(os.environ.get("MCT_BENCH_GPT_BUDGET", "240")),
                      deadline - time.monotonic())
         extra.update(_budgeted_leg("gpt", budget))
+    # the tunnel's device hand-off occasionally starves a child for its
+    # whole budget at random (same leg completes in ~2 min on a retry);
+    # spend any deadline slack re-trying the missing legs once, highest
+    # priority first
+    retry = [("vitl", "vit_l14_mfu"), ("vith", "vit_h14_mfu"),
+             ("gpt", "gpt_345m_mfu")]
+    for leg, key in retry:
+        if key not in extra and deadline - time.monotonic() > 60:
+            extra.update(_budgeted_leg(leg, deadline - time.monotonic()))
     if extra:
         # final, most complete line (printed last)
         print(json.dumps({**primary_line, **extra}), flush=True)
