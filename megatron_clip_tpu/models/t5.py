@@ -15,8 +15,61 @@ import jax.numpy as jnp
 from megatron_clip_tpu.config import TransformerCfg, MultimodalCfg
 from megatron_clip_tpu.nn.transformer import (
     init_transformer, apply_transformer, init_layer_norm, apply_norm)
-from megatron_clip_tpu.models.coca import _init_mm_block, _apply_mm_block
+from megatron_clip_tpu.ops import layer_norm, multi_head_attention
+from megatron_clip_tpu.ops.activations import bias_act
 from megatron_clip_tpu.ops.cross_entropy import cross_entropy
+
+
+def _init_dec_block(key, cfg, dtype=jnp.float32):
+    """T5 decoder block: self-attn + cross-attn + ONE mlp, all pre-LN
+    (megatron t5_model.py decoder layer; formerly shared with the CoCa
+    decoder, which round 5 moved to open_CLIP's self+cross block PAIRS —
+    this single-mlp layout stays the T5 shape, numerics unchanged)."""
+    w = cfg.width
+    std = w ** -0.5
+    proj_std = std * ((2 * cfg.layers) ** -0.5)
+    fc_std = (2 * w) ** -0.5
+    ks, kc, kf, kp, kq, kk = jax.random.split(key, 6)
+    hid = int(w * cfg.mlp_ratio)
+    return {
+        "ln_1": init_layer_norm(w, dtype),
+        "attn": {
+            "wqkv": (jax.random.normal(ks, (w, 3 * w)) * std).astype(dtype),
+            "bqkv": jnp.zeros((3 * w,), dtype=dtype),
+            "wo": (jax.random.normal(kp, (w, w)) * proj_std).astype(dtype),
+            "bo": jnp.zeros((w,), dtype=dtype),
+        },
+        "ln_1_kv": init_layer_norm(w, dtype),
+        "cross": {
+            "wq": (jax.random.normal(kq, (w, w)) * std).astype(dtype),
+            "bq": jnp.zeros((w,), dtype=dtype),
+            "wkv": (jax.random.normal(kk, (w, 2 * w)) * std).astype(dtype),
+            "bkv": jnp.zeros((2 * w,), dtype=dtype),
+            "wo": (jax.random.normal(kc, (w, w)) * proj_std).astype(dtype),
+            "bo": jnp.zeros((w,), dtype=dtype),
+        },
+        "ln_2": init_layer_norm(w, dtype),
+        "mlp": {
+            "w1": (jax.random.normal(kf, (w, hid)) * fc_std).astype(dtype),
+            "b1": jnp.zeros((hid,), dtype=dtype),
+            "w2": (jax.random.normal(kp, (hid, w)) * proj_std).astype(dtype),
+            "b2": jnp.zeros((w,), dtype=dtype),
+        },
+    }
+
+
+def _apply_dec_block(block, x, enc_tokens, heads):
+    h = layer_norm(x, block["ln_1"]["scale"], block["ln_1"]["bias"])
+    x = x + multi_head_attention(h, block["attn"], heads, causal=True,
+                                 use_flash=False)
+    h = layer_norm(x, block["ln_1_kv"]["scale"], block["ln_1_kv"]["bias"])
+    x = x + multi_head_attention(h, block["cross"], heads, kv=enc_tokens,
+                                 use_flash=False)
+    h = layer_norm(x, block["ln_2"]["scale"], block["ln_2"]["bias"])
+    h = jnp.einsum("bsw,wd->bsd", h, block["mlp"]["w1"].astype(h.dtype))
+    h = bias_act(h, block["mlp"]["b1"].astype(h.dtype), "gelu")
+    h = jnp.einsum("bsw,wd->bsd", h, block["mlp"]["w2"].astype(h.dtype))
+    return x + h + block["mlp"]["b2"].astype(h.dtype)
 
 
 @dataclass(frozen=True)
@@ -51,7 +104,7 @@ def init_t5(key, cfg: T5Cfg, dtype=jnp.float32):
     ks = jax.random.split(key, 5)
     w = cfg.hidden_size
     std = cfg.init_std
-    dec_blocks = [_init_mm_block(k, cfg.decoder_cfg(), dtype)
+    dec_blocks = [_init_dec_block(k, cfg.decoder_cfg(), dtype)
                   for k in jax.random.split(ks[2], cfg.num_decoder_layers)]
     return {
         "tok_embed": (std * jax.random.normal(ks[0], (cfg.vocab_size, w))).astype(dtype),
@@ -85,7 +138,7 @@ def apply_t5(params, enc_tokens, dec_tokens, cfg: T5Cfg, *,
     y = y + params["dec_pos"][:sd].astype(compute_dtype)[None]
 
     def body(carry, block):
-        return _apply_mm_block(block, carry, enc, cfg.num_heads), None
+        return _apply_dec_block(block, carry, enc, cfg.num_heads), None
 
     y, _ = jax.lax.scan(body, y, params["dec_blocks"])
     y = apply_norm(params["dec_ln"], y)
