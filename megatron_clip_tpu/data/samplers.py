@@ -19,15 +19,47 @@ dp>1 run's global batch exactly the union megatron's ranks would draw, in
 rank order. Both laws seek O(1): position is pure arithmetic on
 consumed_samples (no batches decoded, no rng stream replayed).
 
-The permutation uses numpy's PCG64 rather than torch's Mersenne generator,
-so sample ORDER differs from a bit-for-bit torch run; every structural
-property (per-epoch reshuffle, offset resume, rank interleave, epoch-tail
-drop) matches the reference law and is tested against a direct
-transcription of the reference algorithm in tests/test_samplers.py.
+The permutation defaults to numpy's PCG64, so sample ORDER differs from a
+bit-for-bit torch run; every structural property (per-epoch reshuffle,
+offset resume, rank interleave, epoch-tail drop) matches the reference law
+and is tested against a direct transcription of the reference algorithm in
+tests/test_samplers.py. For runs resumed FROM a megatron checkpoint (or
+any A/B against the reference), `perm_impl="torch"` (CLI `--sampler-rng
+torch`, env MCT_SAMPLER_RNG=torch) draws each epoch's permutation with
+`torch.Generator().manual_seed(epoch)` + `torch.randperm` — the exact
+generator the reference uses (data_samplers.py:166-175) — making the
+sample order bit-identical to a torch run (asserted against a
+torch-calling transcription in tests/test_samplers.py).
 """
+import os
 from typing import Iterator, Optional
 
 import numpy as np
+
+_PERM_IMPLS = ("numpy", "torch")
+_default_perm_impl = os.environ.get("MCT_SAMPLER_RNG", "numpy")
+
+
+def set_default_perm_impl(impl: str) -> None:
+    """Set the process-wide default permutation generator ("numpy" or
+    "torch"). Entry points call this from --sampler-rng so every stream
+    (gpt/bert/t5/ict) inherits it without threading a parameter."""
+    if impl not in _PERM_IMPLS:
+        raise ValueError(f"perm_impl must be one of {_PERM_IMPLS}: {impl!r}")
+    global _default_perm_impl
+    _default_perm_impl = impl
+
+
+def _permutation(n: int, seed_val: int, impl: Optional[str]) -> np.ndarray:
+    impl = impl or _default_perm_impl
+    if impl == "torch":
+        import torch  # baked into the image; import deferred off hot paths
+        g = torch.Generator()
+        g.manual_seed(int(seed_val))
+        return torch.randperm(int(n), generator=g).numpy().astype(np.int64)
+    if impl != "numpy":
+        raise ValueError(f"perm_impl must be one of {_PERM_IMPLS}: {impl!r}")
+    return np.random.default_rng(seed_val).permutation(n).astype(np.int64)
 
 
 def _check(total_samples: int, micro_batch_size: int, dp: int):
@@ -63,14 +95,19 @@ def random_batch_indices(total_samples: int, micro_batch_size: int,
                          data_parallel_size: int = 1, *,
                          consumed_samples: int = 0,
                          data_sharding: bool = False,
-                         seed: int = 0) -> Iterator[np.ndarray]:
+                         seed: int = 0,
+                         perm_impl: Optional[str] = None
+                         ) -> Iterator[np.ndarray]:
     """MegatronPretrainingRandomSampler law (data_samplers.py:93-190) as an
     infinite stream of rank-major GLOBAL batches.
 
     Per epoch e the permutation is seeded by (seed + e) — megatron seeds
     its torch.Generator with the bare epoch (:167,:173); the added base
     seed generalizes that without changing the law. The epoch tail
-    (total % (micro*dp) samples) is never drawn, matching drop-last."""
+    (total % (micro*dp) samples) is never drawn, matching drop-last.
+    perm_impl="torch" (default: process setting, see set_default_perm_impl)
+    reproduces the reference's torch.randperm stream bit-for-bit at
+    seed=0."""
     _check(total_samples, micro_batch_size, data_parallel_size)
     dp = data_parallel_size
     micro = micro_batch_size
@@ -88,12 +125,12 @@ def random_batch_indices(total_samples: int, micro_batch_size: int,
     while True:
         epoch = consumed // active_total
         current_epoch_samples = consumed % active_total
-        g = np.random.default_rng(seed + epoch)
         if data_sharding:
             # contiguous per-rank buckets (:162-169)
             bucket_size = (total_samples // mbts) * micro
             bucket_offset = current_epoch_samples // dp
-            perm = g.permutation(bucket_size)[bucket_offset:]
+            perm = _permutation(bucket_size, seed + epoch,
+                                perm_impl)[bucket_offset:]
             # rank r draws micro ids per step from ITS bucket
             n_steps = len(perm) // micro
             for b in range(n_steps):
@@ -104,7 +141,8 @@ def random_batch_indices(total_samples: int, micro_batch_size: int,
         else:
             # one shared permutation, rank r strided r::dp (:171-176)
             full_bucket_size = (total_samples // micro) * micro
-            perm = g.permutation(full_bucket_size)[current_epoch_samples:]
+            perm = _permutation(full_bucket_size, seed + epoch,
+                                perm_impl)[current_epoch_samples:]
             per_rank = [perm[r::dp] for r in range(dp)]
             n_steps = min(len(p) for p in per_rank) // micro
             for b in range(n_steps):
@@ -122,7 +160,9 @@ def batch_indices_iterator(total_samples: int, batch_size: int, *,
                            micro_batch_size: Optional[int] = None,
                            data_parallel_size: int = 1,
                            data_sharding: bool = False,
-                           seed: int = 0) -> Iterator[np.ndarray]:
+                           seed: int = 0,
+                           perm_impl: Optional[str] = None
+                           ) -> Iterator[np.ndarray]:
     """Entry-point helper: global batches of `batch_size` ids under either
     --dataloader-type law (build_pretraining_data_loader,
     data_samplers.py:14-46). micro_batch_size defaults to
@@ -143,7 +183,7 @@ def batch_indices_iterator(total_samples: int, batch_size: int, *,
         return random_batch_indices(
             total_samples, micro_batch_size, data_parallel_size,
             consumed_samples=consumed_samples, data_sharding=data_sharding,
-            seed=seed)
+            seed=seed, perm_impl=perm_impl)
     raise ValueError(f"{dataloader_type!r} dataloader type is not supported")
 
 

@@ -389,6 +389,14 @@ def add_megatron_compat_args(p):
                        help="megatron --no-data-sharding: cyclic sampler "
                             "draws from one shared permutation (rank-"
                             "strided) instead of per-rank buckets")
+        g.add_argument("--sampler-rng", choices=["numpy", "torch"],
+                       default=None,
+                       help="permutation generator for the cyclic sampler: "
+                            "'torch' reproduces the reference's "
+                            "torch.Generator(epoch)+randperm stream "
+                            "bit-for-bit (use when resuming a megatron "
+                            "run or A/B-ing data order); default numpy "
+                            "PCG64 (same law, different order)")
     except argparse.ArgumentError:
         pass
 
@@ -466,6 +474,9 @@ def normalize_megatron_compat(ns):
 
 def runtime_cfg_from_args(args, name: str) -> RuntimeCfg:
     normalize_megatron_compat(args)
+    if getattr(args, "sampler_rng", None):
+        from megatron_clip_tpu.data.samplers import set_default_perm_impl
+        set_default_perm_impl(args.sampler_rng)
     steps = args.train_steps
     if getattr(args, "train_samples", None):
         steps = -(-args.train_samples // args.batch_size)
@@ -555,7 +566,7 @@ _RUN_ARG_KEYS = frozenset({
     "log_num_zeros_in_grad", "micro_batch_size",
     # execution-strategy / environment knobs, never architecture
     "profile", "profile_step_start", "profile_step_end", "profile_dir",
-    "dataloader_type", "rampup_batch_size",
+    "dataloader_type", "rampup_batch_size", "sampler_rng", "data_sharding",
     "precision", "params_dtype", "quantize_matmuls", "sequence_parallel",
     "context_parallel_layout", "fused_ce", "loss_seq_chunk",
     "attention_dropout", "hidden_dropout", "eod_token", "eod_mask_loss",
