@@ -311,6 +311,68 @@ def _filter_fields(d: dict, cls) -> dict:
     return known
 
 
+# timm's plain-ViT size vocabulary (timm vision_transformer.py model
+# registry): width / depth / heads; head_width = width // heads. giant and
+# gigantic carry timm's fractional SoViT mlp ratios.
+_TIMM_VIT_SIZES = {
+    "tiny": (192, 12, 3), "small": (384, 12, 6), "medium": (512, 12, 8),
+    "base": (768, 12, 12), "large": (1024, 24, 16), "huge": (1280, 32, 16),
+    "giant": (1408, 40, 16), "gigantic": (1664, 48, 16),
+}
+_TIMM_VIT_MLP_RATIO = {"giant": 48 / 11, "gigantic": 64 / 13}
+
+
+def _parse_timm_vit_name(name: str):
+    """Derive a VisionCfg dict from a timm plain-ViT model name.
+
+    The reference's TimmModel consumes ANY timm arch by name
+    (open_CLIP/src/open_clip/timm_model.py:30-90); the plain-ViT family
+    follows the naming grammar `vit[_relpos]_<size>_patch<P>[_gap|_cls]
+    _<res>` (timm vision_transformer.py / vision_transformer_relpos.py
+    registries), so names outside the explicit table are parsed
+    structurally. Names with modifiers this framework can't honor
+    faithfully (siglip/dinov2/sam/... pretrained-specific variants)
+    return None and fall through to the explicit-table error."""
+    toks = name.split("_")
+    if not toks or toks[0] != "vit":
+        return None
+    toks = toks[1:]
+    rel_pos = False
+    if toks and toks[0] == "relpos":
+        rel_pos = True
+        toks = toks[1:]
+    if not toks or toks[0] not in _TIMM_VIT_SIZES:
+        return None
+    size = toks[0]
+    toks = toks[1:]
+    if not toks or not toks[0].startswith("patch") \
+            or not toks[0][5:].isdigit():
+        return None
+    patch = int(toks[0][5:])
+    toks = toks[1:]
+    if not toks or not toks[-1].isdigit():
+        return None
+    res = int(toks[-1])
+    pool = "tok"
+    for mod in toks[:-1]:
+        if mod == "gap":
+            pool = "avg"       # global-average-pool variant, no CLS token
+        elif mod == "cls":
+            pool = "tok"
+        else:
+            return None        # unknown modifier: don't guess the arch
+    if res % patch:
+        return None
+    width, depth, heads = _TIMM_VIT_SIZES[size]
+    cfg = dict(layers=depth, width=width, head_width=width // heads,
+               patch_size=patch, image_size=res, pool_type=pool)
+    if size in _TIMM_VIT_MLP_RATIO:
+        cfg["mlp_ratio"] = _TIMM_VIT_MLP_RATIO[size]
+    if rel_pos:
+        cfg["rel_pos_bias"] = True
+    return cfg
+
+
 def parse_model_cfg(cfg_dict: dict) -> CLIPCfg:
     vcfg_in = dict(cfg_dict.get("vision_cfg", {}))
     resnet_layers = None
@@ -351,6 +413,10 @@ def parse_model_cfg(cfg_dict: dict) -> CLIPCfg:
     }
     if vcfg_in.get("timm_model_name"):
         timm_name = vcfg_in.pop("timm_model_name")
+        if timm_name not in _TIMM_VIT and timm_name.startswith("vit_"):
+            parsed = _parse_timm_vit_name(timm_name)
+            if parsed is not None:
+                _TIMM_VIT[timm_name] = parsed
         if timm_name in _TIMM_VIT:
             vcfg_in.pop("timm_proj", None)
             vcfg_in.pop("timm_drop_path", None)
@@ -375,8 +441,12 @@ def parse_model_cfg(cfg_dict: dict) -> CLIPCfg:
         else:
             raise NotImplementedError(
                 f"timm tower {timm_name!r} is not implemented (native "
-                "families here: vit_* ViTs, convnext_*, swin_*; plus "
-                "ModifiedResNet via list-typed layers)")
+                "families here: vit_* ViTs — explicit table + the timm "
+                "plain-ViT naming grammar vit[_relpos]_<size>_patch<P>"
+                "[_gap|_cls]_<res> — convnext_*, swin_*; plus "
+                "ModifiedResNet via list-typed layers; pretrained-"
+                "specific variants like siglip/dinov2 need an explicit "
+                "config)")
     v = _filter_fields(vcfg_in, VisionCfg)
     tcfg_in = dict(cfg_dict.get("text_cfg", {}))
     hf_text = None

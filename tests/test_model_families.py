@@ -242,3 +242,37 @@ def test_relpos_with_patch_dropout():
                   if "rel_pos" in str(k)]
     assert rel_leaves and any(float(jnp.abs(l).sum()) > 0
                               for l in rel_leaves)
+
+
+def test_timm_vit_name_grammar_parses():
+    """Names outside the explicit table resolve via the timm plain-ViT
+    naming grammar (reference TimmModel consumes any timm arch,
+    timm_model.py:30-90); unknown modifiers refuse rather than guess."""
+    from megatron_clip_tpu.factory import (_parse_timm_vit_name,
+                                           parse_model_cfg)
+    c = _parse_timm_vit_name("vit_huge_patch14_224")
+    assert c == dict(layers=32, width=1280, head_width=80, patch_size=14,
+                     image_size=224, pool_type="tok")
+    c = _parse_timm_vit_name("vit_giant_patch14_224")
+    assert c["layers"] == 40 and c["width"] == 1408 and c["head_width"] == 88
+    assert abs(c["mlp_ratio"] - 48 / 11) < 1e-9
+    c = _parse_timm_vit_name("vit_small_patch32_gap_384")
+    assert c["pool_type"] == "avg" and c["image_size"] == 384
+    c = _parse_timm_vit_name("vit_relpos_base_patch16_cls_224")
+    assert c["rel_pos_bias"] and c["pool_type"] == "tok"
+    # grammar matches the two explicit-table entries it overlaps with
+    assert _parse_timm_vit_name("vit_medium_patch16_gap_256") == dict(
+        layers=12, width=512, head_width=64, patch_size=16,
+        image_size=256, pool_type="avg")
+    # refusals: unknown modifier / size / misaligned patch grid
+    assert _parse_timm_vit_name("vit_base_patch16_siglip_224") is None
+    assert _parse_timm_vit_name("vit_enormous_patch16_224") is None
+    assert _parse_timm_vit_name("vit_base_patch32_100") is None
+    # end-to-end: a grammar-only name builds through parse_model_cfg
+    cfg = parse_model_cfg({
+        "embed_dim": 512,
+        "vision_cfg": {"timm_model_name": "vit_huge_patch14_224",
+                       "timm_proj": "linear"},
+        "text_cfg": {"context_length": 77, "vocab_size": 49408,
+                     "width": 512, "heads": 8, "layers": 12}})
+    assert cfg.vision.width == 1280 and cfg.vision.layers == 32
