@@ -68,7 +68,8 @@ class AsyncSaver:
         return self._ckptr
 
     def save(self, root: str, step: int, state: Any,
-             metadata: Optional[dict] = None, block: bool = True) -> str:
+             metadata: Optional[dict] = None, block: bool = True,
+             on_commit=None) -> str:
         with self._lock:
             self.wait()
             os.makedirs(root, exist_ok=True)
@@ -83,6 +84,13 @@ class AsyncSaver:
                     with open(os.path.join(path, "metadata.json"), "w") as f:
                         json.dump(metadata, f, indent=1)
                 _write_tracker(root, step)
+                if on_commit is not None:
+                    # post-commit work (e.g. --delete-previous-checkpoint
+                    # pruning) MUST NOT run while this write is the only
+                    # one in flight and the previous checkpoint is still
+                    # the sole durable copy — so it runs here, after the
+                    # tracker points at the committed write
+                    on_commit()
 
             if block:
                 finalize()
@@ -114,12 +122,16 @@ def global_saver() -> AsyncSaver:
 
 def save_checkpoint(root: str, step: int, state: Any,
                     metadata: Optional[dict] = None,
-                    block: bool = True) -> str:
+                    block: bool = True, on_commit=None) -> str:
     """Write `root/iter_XXXXXXX/` + tracker file. `state` is any pytree
     (TrainState, BranchState, raw params). With block=False the write
     commits in background (see AsyncSaver); the tracker appears only after
-    commit, and the next save/load/exit barriers on it."""
-    return _SAVER.save(root, step, state, metadata, block=block)
+    commit, and the next save/load/exit barriers on it. `on_commit` runs
+    after the tracker write (both modes) — destructive follow-ups like
+    previous-checkpoint pruning belong there, never next to an async
+    save call."""
+    return _SAVER.save(root, step, state, metadata, block=block,
+                       on_commit=on_commit)
 
 
 def latest_checkpoint_step(root: str) -> Optional[int]:

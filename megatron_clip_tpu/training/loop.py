@@ -429,9 +429,15 @@ def _run_training(args, term) -> dict:
                 # async: the step loop continues while Orbax serializes;
                 # SIGTERM/exit/epoch saves barrier on the in-flight write
                 # (checkpoints/io.AsyncSaver)
-                runner.save(save_root, step, consumed, block=False)
-                if args.delete_previous_checkpoint:
-                    _prune_older_checkpoints(save_root, step)
+                # pruning rides the post-commit hook: until the async
+                # write's tracker lands, the PREVIOUS checkpoint is the
+                # only durable one — deleting it here would make a crash
+                # mid-serialization lose every checkpoint
+                prune = ((lambda s=step: _prune_older_checkpoints(
+                    save_root, s))
+                    if args.delete_previous_checkpoint else None)
+                runner.save(save_root, step, consumed, block=False,
+                            on_commit=prune)
             if term["flag"]:
                 if save_root:
                     # skip the save when the interval branch above just
@@ -660,9 +666,10 @@ class _JointRunner:
         return self._map_blocks(
             state, lambda leaf: leaf[vpp_layer_order(leaf.shape[0], pp, vpp)])
 
-    def save(self, root, step, consumed, block=True):
+    def save(self, root, step, consumed, block=True, on_commit=None):
         save_checkpoint(root, step, self._to_logical(self.state)._asdict(),
-                        {"consumed_samples": consumed}, block=block)
+                        {"consumed_samples": consumed}, block=block,
+                        on_commit=on_commit)
 
     def load(self, root):
         tree, meta, step = load_checkpoint(root, self.state._asdict())
@@ -707,12 +714,13 @@ class _BranchRunner:
         towers + logit scale gathered onto the vision mesh."""
         return self.model, self.runner.eval_params(self.state)
 
-    def save(self, root, step, consumed, block=True):
+    def save(self, root, step, consumed, block=True, on_commit=None):
         # checkpoints stay in LOGICAL layer order (vpp_arrange is an
         # in-memory placement detail, same contract as the joint runner)
         save_checkpoint(root, step,
                         self.runner.to_logical_state(self.state)._asdict(),
-                        {"consumed_samples": consumed}, block=block)
+                        {"consumed_samples": consumed}, block=block,
+                        on_commit=on_commit)
 
     def load(self, root):
         from megatron_clip_tpu.parallel.branch import BranchState

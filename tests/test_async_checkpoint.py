@@ -113,3 +113,32 @@ def test_mutation_after_async_save_does_not_corrupt(tmp_path):
     restored, _, _ = load_checkpoint(root, {"w": x})
     np.testing.assert_array_equal(np.asarray(restored["w"]),
                                   np.ones((256, 256), np.float32))
+
+
+def test_prune_runs_only_after_commit(tmp_path):
+    """--delete-previous-checkpoint composes with async saves: the previous
+    checkpoint (the only durable copy while the new write is in flight)
+    survives until the tracker points at the committed write — pruning
+    rides the on_commit hook, never the call site."""
+    saver = AsyncSaver()
+    gate = threading.Event()
+    fake = _StallingCkptr(gate)
+    saver._ckptr = fake
+    root = str(tmp_path / "ck")
+    prev = os.path.join(root, "iter_0000001")
+    os.makedirs(prev)
+
+    def prune():
+        import shutil
+        for d in os.listdir(root):
+            if d.startswith("iter_") and d != "iter_0000002":
+                shutil.rmtree(os.path.join(root, d))
+
+    saver.save(root, 2, {"x": 1}, block=False, on_commit=prune)
+    assert saver.in_flight
+    assert os.path.isdir(prev)     # still there mid-serialization
+    gate.set()
+    saver.wait()
+    assert not os.path.isdir(prev)  # pruned only after the tracker landed
+    with open(os.path.join(root, TRACKER_FILENAME)) as f:
+        assert int(f.read()) == 2
