@@ -232,6 +232,14 @@ def pipeline_transformer(blocks, x, cfg: TransformerCfg, *, mesh: Mesh,
     moe = cfg.num_experts > 0
     cp_size, axis_names, seq_axis, rope_tabs = _context_setup(
         mesh, cfg, x, bias, position_ids)
+    if cp_size > 1 and (apply_fn is not None or extra is not None):
+        # the CP branch rebuilds the per-stage forward around the ring-
+        # attention rope slices and would otherwise silently drop a custom
+        # stage runner (CoCa's decoder) — refuse loudly instead
+        raise NotImplementedError(
+            "custom apply_fn/extra (CoCa decoder) is not supported with "
+            "context parallelism in the pipeline — run the decoder with "
+            "--context-parallel-size 1")
     s_global = x.shape[1]
     # per-row [B, S] position ids (--reset-position-ids document packing):
     # microbatched like the bias, indexed by the stage's current microbatch
@@ -255,6 +263,7 @@ def pipeline_transformer(blocks, x, cfg: TransformerCfg, *, mesh: Mesh,
             fwd = partial(apply_transformer, stage_blocks, cfg=cfg,
                           causal=causal, rel_index=rel_index,
                           rope=_local_rope(rope_tabs, cp_size, s_global))
+            assert apply_fn is None  # guarded below before tracing
         else:
             fwd = partial(apply_fn or apply_transformer, stage_blocks,
                           cfg=cfg, causal=causal, position_ids=position_ids,
@@ -339,6 +348,14 @@ def pipeline_transformer(blocks, x, cfg: TransformerCfg, *, mesh: Mesh,
     if bm is not None and cp_size > 1 and bm.shape[-2] > 1:
         bm_spec = P(*([None] * (bm.ndim - 2)), CONTEXT, None)
     (xm, bm, em), _boundary_dts = _cpu_promotes(xm, bm, em)
+    if cp_size > 1:
+        # with context parallelism manualized inside the region, ring
+        # attention's own psums run in the per-tick COMPUTE dtype — casting
+        # back to bf16 re-creates the bf16 all-reduces _cpu_promotes exists
+        # to avoid (XLA CPU AllReducePromotion CHECK-fail, one level
+        # deeper). Keep the whole per-tick compute f32 on CPU; on TPU the
+        # dts are already None and this is a no-op.
+        _boundary_dts = tuple(None for _ in _boundary_dts)
     out, aux = jax.shard_map(
         staged, mesh=mesh,
         in_specs=(P(STAGE), xspec, bm_spec, P(), P(), P(), P(), P()),
@@ -621,6 +638,11 @@ def pipeline_transformer_interleaved(blocks, x, cfg: TransformerCfg, *,
     if bm is not None and cp_size > 1 and bm.shape[-2] > 1:
         bm_spec = P(*([None] * (bm.ndim - 2)), CONTEXT, None)
     (xm, bm), _boundary_dts = _cpu_promotes(xm, bm)
+    if cp_size > 1:
+        # see the plain schedule: ring attention's psums must not run in
+        # bf16 on the CPU backend; f32 per-tick compute under CP (no-op on
+        # TPU where the dts are already None)
+        _boundary_dts = tuple(None for _ in _boundary_dts)
     out, aux = jax.shard_map(
         staged, mesh=mesh,
         in_specs=(P(STAGE), xspec, bm_spec, P(), P(), P(), P()),

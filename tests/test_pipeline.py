@@ -608,3 +608,57 @@ def test_relpos_patch_dropout_pipelines(devices8):
     for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=5e-4, atol=5e-4)
+
+
+def test_apply_fn_refused_under_cp(devices8):
+    """A custom stage runner (CoCa decoder apply_fn/extra) must refuse a
+    context-parallel pipeline loudly — the CP branch rebuilds the forward
+    around ring-attention rope slices and previously dropped apply_fn
+    silently."""
+    import dataclasses
+    mesh = build_mesh(ParallelCfg(dp=1, tp=1, pp=2, cp=2, microbatches=2))
+    cfg = dataclasses.replace(CFG, context_parallel=True)
+    blocks = init_transformer(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 8, 64))
+
+    def custom(stage_blocks, x, cfg, **kw):
+        return apply_transformer(stage_blocks, x, cfg)
+
+    with pytest.raises(NotImplementedError, match="context parallelism"):
+        pipeline_transformer(blocks, x, cfg, mesh=mesh, num_microbatches=2,
+                             apply_fn=custom)
+    with pytest.raises(NotImplementedError, match="context parallelism"):
+        pipeline_transformer(blocks, x, cfg, mesh=mesh, num_microbatches=2,
+                             extra=x)
+
+
+def test_pipeline_bf16_with_context_parallel(devices8):
+    """bf16 compute under pp x cp on the CPU backend (session-2 fix): ring
+    attention's own psums run in the per-tick compute dtype, so casting the
+    promoted f32 carries back to bf16 re-created the XLA CPU
+    AllReducePromotion CHECK-failure one level deeper (the pretrain_gpt
+    --precision bf16 --pipeline 2 --context-parallel-size 2 CLI crashed).
+    Under CP the per-tick compute now stays f32 on CPU; fwd + grad parity
+    vs the unpipelined bf16 forward."""
+    import dataclasses
+    from megatron_clip_tpu.parallel.pipeline import pipeline_transformer
+
+    cfg = dataclasses.replace(CFG, context_parallel=True)
+    blocks = init_transformer(jax.random.PRNGKey(0), cfg)
+    bb = jax.tree.map(lambda l: l.astype(jnp.bfloat16), blocks)
+    x = jax.random.normal(jax.random.PRNGKey(1), (4, 16, 64)
+                          ).astype(jnp.bfloat16)
+    mesh = build_mesh(ParallelCfg(dp=1, tp=1, pp=2, cp=2, microbatches=2))
+
+    want = apply_transformer(bb, x, CFG)     # serial: no cp flag needed
+    got = pipeline_transformer(bb, x, cfg, mesh=mesh, num_microbatches=2)
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want, np.float32),
+                               rtol=0.05, atol=0.05)
+    g = jax.jit(jax.grad(
+        lambda b: jnp.sum(pipeline_transformer(
+            b, x, cfg, mesh=mesh, num_microbatches=2
+        ).astype(jnp.float32) ** 2)))(bb)
+    assert all(np.isfinite(np.asarray(l, np.float32)).all()
+               for l in jax.tree.leaves(g))
